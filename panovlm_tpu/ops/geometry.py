@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .se3 import einsum
+
 _EPS = 1e-12
 
 
@@ -28,7 +30,7 @@ def _masked_mean(pts, mask):
 def _masked_cov(pts, mask):
     mean, w, n = _masked_mean(pts, mask)
     centered = (pts - mean[..., None, :]) * w[..., None]
-    cov = jnp.einsum("...pi,...pj->...ij", centered, centered) / n[..., None]
+    cov = einsum("...pi,...pj->...ij", centered, centered) / n[..., None]
     return mean, cov, n[..., 0]
 
 

@@ -13,10 +13,26 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+
+# TPU MXU matmuls default to bf16 inputs; pose math needs full f32.
+# (Measured: default-precision 3x3 products give |R^T R - I| ~ 1e-2 on v5e.)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def matmul(a, b):
+    """Full-precision matmul for small pose/geometry matrices."""
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def einsum(subscripts, *operands):
+    """Full-precision einsum for pose/point transforms."""
+    return jnp.einsum(subscripts, *operands, precision=_HI)
 
 
 # ----------------------------------------------------------------------------
@@ -49,8 +65,11 @@ def exp_so3(w):
     a = jnp.where(use_taylor, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = hat(w)
-    WW = W @ W
+    # W @ W == w w^T - theta^2 I (outer-product form avoids an MXU matmul,
+    # which would otherwise run in bf16 by default on TPU).
+    wwT = w[..., :, None] * w[..., None, :]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    WW = wwT - theta2[..., None, None] * eye
     return eye + a[..., None, None] * W + b[..., None, None] * WW
 
 
@@ -201,19 +220,19 @@ def quat_slerp(q0, q1, t):
 def transform_points(R, t, pts):
     """x' = R @ x + t. R (...,3,3), t (...,3), pts (...,P,3) or (...,3)."""
     if pts.ndim == R.ndim - 1:  # single point per batch element
-        return jnp.einsum("...ij,...j->...i", R, pts) + t
-    return jnp.einsum("...ij,...pj->...pi", R, pts) + t[..., None, :]
+        return einsum("...ij,...j->...i", R, pts) + t
+    return einsum("...ij,...pj->...pi", R, pts) + t[..., None, :]
 
 
 def invert_pose(R, t):
     """(R, t)^-1 = (R^T, -R^T t)."""
     Rt = jnp.swapaxes(R, -1, -2)
-    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+    return Rt, -einsum("...ij,...j->...i", Rt, t)
 
 
 def compose_pose(Ra, ta, Rb, tb):
     """(Ra,ta) ∘ (Rb,tb): first apply b then a."""
-    return Ra @ Rb, jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+    return matmul(Ra, Rb), einsum("...ij,...j->...i", Ra, tb) + ta
 
 
 def relative_pose(R_w1, t_w1, R_w2, t_w2):
@@ -244,7 +263,7 @@ def retract(R, t, delta):
     Linearizing residuals at delta = 0 gives the tangent-space Jacobians.
     """
     omega, dt = delta[..., :3], delta[..., 3:]
-    return R @ exp_so3(omega), t + dt
+    return matmul(R, exp_so3(omega)), t + dt
 
 
 def pose_is_valid(R, t):
@@ -257,7 +276,7 @@ def pose_is_valid(R, t):
 
 def rotation_angle_deg(Ra, Rb):
     """Angle between two rotations, degrees (used by pair/triplet filters)."""
-    Rrel = jnp.swapaxes(Ra, -1, -2) @ Rb
+    Rrel = matmul(jnp.swapaxes(Ra, -1, -2), Rb)
     tr = Rrel[..., 0, 0] + Rrel[..., 1, 1] + Rrel[..., 2, 2]
     c = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(c))
