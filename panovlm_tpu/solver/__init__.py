@@ -1,0 +1,12 @@
+"""Batched Gauss-Newton / Levenberg-Marquardt solver replacing Ceres.
+
+The reference builds every optimization in the system through Ceres autodiff
+functors (base/CostFunction.h) assembled by util/Optimization.cpp. Here the
+same problems are expressed as ResidualBlocks (vmapped residual functions +
+index arrays into parameter groups) and solved by an LM loop that runs
+entirely on device: matrix-free JtJ products via jvp/vjp, block-Jacobi
+preconditioned CG, IRLS robust-loss weighting.
+"""
+
+from .lm import ResidualBlock, LMOptions, solve_lm  # noqa: F401
+from . import residuals, robust  # noqa: F401

@@ -1,0 +1,237 @@
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panovlm_tpu.ops import se3
+from panovlm_tpu.solver import LMOptions, ResidualBlock, residuals, robust, solve_lm
+
+
+def test_robust_losses_match_ceres_formulas():
+    s = jnp.asarray(9.0)  # residual norm 3
+    a = 2.0
+    # huber: s > a^2 -> 2 a sqrt(s) - a^2 = 12 - 4 = 8
+    np.testing.assert_allclose(float(robust.rho("huber", s, a)), 8.0, atol=1e-6)
+    np.testing.assert_allclose(float(robust.rho_prime("huber", s, a)), 2.0 / 3.0, atol=1e-6)
+    np.testing.assert_allclose(float(robust.rho("huber", jnp.asarray(1.0), a)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(robust.rho("soft_l1", s, a)),
+                               2 * 4 * (np.sqrt(1 + 9 / 4) - 1), atol=1e-5)
+
+
+def _make_two_view_problem(rng, n_pts=60, noise=0.0):
+    """Ground-truth two-view geometry with angle-residual observations."""
+    pts = rng.uniform(-3, 3, size=(n_pts, 3)).astype(np.float32)
+    pts[:, 2] += 6.0  # in front
+    aa1 = np.zeros(3, np.float32)
+    t1 = np.zeros(3, np.float32)
+    aa2 = np.array([0.02, -0.3, 0.01], np.float32)
+    t2 = np.array([0.5, 0.1, -1.0], np.float32)
+
+    def obs_rays(aa, t):
+        R = np.asarray(se3.exp_so3(jnp.asarray(aa)))
+        p_c = pts @ R.T + t
+        rays = p_c / np.linalg.norm(p_c, axis=1, keepdims=True)
+        if noise > 0:
+            rays += rng.normal(size=rays.shape).astype(np.float32) * noise
+            rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+        return rays.astype(np.float32)
+
+    return pts, (aa1, t1), (aa2, t2), obs_rays(aa1, t1), obs_rays(aa2, t2)
+
+
+def test_two_view_ba_recovers_pose(rng):
+    """Analog of SfMLocalBA (util/Optimization.cpp:84-170): camera 1 fixed,
+    camera 2 pose + structure refined from angle residuals."""
+    pts, (aa1, t1), (aa2, t2), rays1, rays2 = _make_two_view_problem(rng)
+    n = len(pts)
+
+    poses0 = np.stack([
+        np.concatenate([aa1, t1]),
+        np.concatenate([aa2 + 0.05, t2 + np.array([0.1, -0.1, 0.2], np.float32)]),
+    ]).astype(np.float32)
+    pts0 = (pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05)
+
+    groups = {"poses": jnp.asarray(poses0), "points": jnp.asarray(pts0)}
+    fixed = {
+        "poses": jnp.asarray(np.array([[True] * 6, [False] * 6])),
+        "points": jnp.zeros((n, 3), bool),
+    }
+    blocks = []
+    for cam, rays in [(0, rays1), (1, rays2)]:
+        blocks.append(ResidualBlock(
+            residuals.reproj_chordal,
+            groups=("poses", "points"),
+            indices=(jnp.full((n,), cam, jnp.int32), jnp.arange(n, dtype=jnp.int32)),
+            data=(jnp.asarray(rays),),
+            weight=jnp.ones((n,), jnp.float32),
+            mask=jnp.ones((n,), bool),
+            loss="huber", loss_scale=np.radians(4.0),
+        ))
+    out, info = solve_lm(groups, tuple(blocks), fixed, LMOptions(max_iters=30))
+    assert float(info["final_cost"]) < float(info["initial_cost"]) * 1e-6
+    pose2 = np.asarray(out["poses"][1])
+    np.testing.assert_allclose(pose2[:3], aa2, atol=1e-4)
+    # translation recovered up to the two-view scale gauge (the reference
+    # renormalizes |t_21| = 1 after SfMLocalBA, util/Optimization.cpp:162-165)
+    t_rec = pose2[3:]
+    np.testing.assert_allclose(
+        t_rec / np.linalg.norm(t_rec), t2 / np.linalg.norm(t2), atol=1e-4
+    )
+
+
+def test_two_view_ba_reference_angle_residual(rng):
+    """The reference's scalar-angle residual (ANGLE_RESIDUAL_1) converges to
+    the same basin but measurably slower (rank-1 GN blocks) — keep it honest
+    at a loose tolerance so its parity path stays exercised."""
+    pts, (aa1, t1), (aa2, t2), rays1, rays2 = _make_two_view_problem(rng)
+    n = len(pts)
+    poses0 = np.stack([
+        np.concatenate([aa1, t1]),
+        np.concatenate([aa2 + 0.02, t2 + 0.05]),
+    ]).astype(np.float32)
+    groups = {"poses": jnp.asarray(poses0), "points": jnp.asarray(pts)}
+    fixed = {
+        "poses": jnp.asarray(np.array([[True] * 6, [False] * 6])),
+        "points": jnp.ones((n, 3), bool),  # structure fixed: well-posed
+    }
+    blocks = []
+    for cam, rays in [(0, rays1), (1, rays2)]:
+        blocks.append(ResidualBlock(
+            residuals.reproj_1angle,
+            groups=("poses", "points"),
+            indices=(jnp.full((n,), cam, jnp.int32), jnp.arange(n, dtype=jnp.int32)),
+            data=(jnp.asarray(rays),),
+            weight=jnp.ones((n,), jnp.float32),
+            mask=jnp.ones((n,), bool),
+            loss="huber", loss_scale=np.radians(4.0),
+        ))
+    out, info = solve_lm(groups, tuple(blocks), fixed, LMOptions(max_iters=30))
+    pose2 = np.asarray(out["poses"][1])
+    np.testing.assert_allclose(pose2[:3], aa2, atol=1e-4)
+    np.testing.assert_allclose(pose2[3:], t2, atol=1e-3)
+
+
+def test_point2plane_pose_recovery(rng):
+    """Pairwise scan alignment: solve scan2's world pose from point-to-plane
+    residuals against scan1's planes (the lidar odometry core)."""
+    # three orthogonal planes in scan1 frame (= world frame)
+    planes = np.array([
+        [1, 0, 0, -2.0],
+        [0, 1, 0, -1.5],
+        [0, 0, 1, -3.0],
+    ], np.float32)
+    per_plane = 40
+    pts_w, plane_ids = [], []
+    for k, pl in enumerate(planes):
+        p = rng.uniform(-2, 2, size=(per_plane, 3)).astype(np.float32)
+        p -= (p @ pl[:3] + pl[3])[:, None] * pl[:3][None]
+        pts_w.append(p)
+        plane_ids += [k] * per_plane
+    pts_w = np.concatenate(pts_w)
+    plane_data = planes[np.array(plane_ids)]
+
+    # scan2's true pose (world->lidar2): a small motion
+    aa2 = np.array([0.03, 0.05, -0.02], np.float32)
+    t2 = np.array([0.2, -0.1, 0.15], np.float32)
+    R2 = np.asarray(se3.exp_so3(jnp.asarray(aa2)))
+    pts_l2 = pts_w @ R2.T + t2  # points observed in scan2's frame
+
+    n = len(pts_w)
+    poses0 = np.zeros((2, 6), np.float32)
+    poses0[1, :3] = aa2 + np.array([0.05, -0.04, 0.03], np.float32)
+    poses0[1, 3:] = t2 + np.array([-0.1, 0.15, -0.08], np.float32)
+
+    groups = {"poses": jnp.asarray(poses0)}
+    fixed = {"poses": jnp.asarray(np.array([[True] * 6, [False] * 6]))}
+    block = ResidualBlock(
+        residuals.point2plane_meter,
+        groups=("poses", "poses"),
+        indices=(jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)),
+        data=(jnp.asarray(pts_l2), jnp.asarray(plane_data)),
+        weight=jnp.ones((n,), jnp.float32),
+        mask=jnp.ones((n,), bool),
+        loss="huber", loss_scale=0.2,
+    )
+    out, info = solve_lm(groups, (block,), fixed, LMOptions(max_iters=20))
+    pose2 = np.asarray(out["poses"][1])
+    np.testing.assert_allclose(pose2[:3], aa2, atol=1e-4)
+    np.testing.assert_allclose(pose2[3:], t2, atol=1e-4)
+
+
+def test_rotation_averaging_chain(rng):
+    """PairWiseRotationResidual over a noisy chain + loop closure."""
+    n = 8
+    true_aa = rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    true_aa[0] = 0
+    R = np.asarray(se3.exp_so3(jnp.asarray(true_aa)))
+    pairs, rels = [], []
+    for i in range(n - 1):
+        R_rel = R[i + 1] @ R[i].T  # R_{i+1,w} R_{iw}^T = R_{i+1,i}
+        pairs.append((i, i + 1))
+        rels.append(np.asarray(se3.log_so3(jnp.asarray(R_rel))))
+    # loop closure 0 <-> n-1
+    pairs.append((0, n - 1))
+    rels.append(np.asarray(se3.log_so3(jnp.asarray(R[n - 1] @ R[0].T))))
+    m = len(pairs)
+    idx1 = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    idx2 = jnp.asarray([p[1] for p in pairs], jnp.int32)
+
+    def rot_res(rot1, rot2, aa_obs):
+        return residuals.pairwise_rotation(rot1, rot2, aa_obs)
+
+    aa0 = true_aa + rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+    aa0[0] = 0
+    groups = {"rot": jnp.asarray(aa0)}
+    fixed = {"rot": jnp.asarray(np.array([[True] * 3] + [[False] * 3] * (n - 1)))}
+    block = ResidualBlock(
+        rot_res, groups=("rot", "rot"), indices=(idx1, idx2),
+        data=(jnp.asarray(np.stack(rels), jnp.float32),),
+        weight=jnp.ones((m,), jnp.float32), mask=jnp.ones((m,), bool),
+    )
+    out, info = solve_lm(groups, (block,), fixed, LMOptions(max_iters=30))
+    err = np.abs(np.asarray(out["rot"]) - true_aa).max()
+    assert err < 1e-3, err
+    assert float(info["final_cost"]) < 1e-8
+
+
+def test_masked_residuals_ignored(rng):
+    """Garbage observations with mask=False must not affect the solution."""
+    n = 30
+    target = rng.normal(size=(1, 3)).astype(np.float32)
+
+    def point_res(x, obs):
+        return x - obs
+
+    obs = np.tile(target, (n, 1)).astype(np.float32)
+    obs[n // 2:] = 1e6  # garbage, masked out
+    mask = np.arange(n) < n // 2
+    groups = {"x": jnp.zeros((1, 3))}
+    block = ResidualBlock(
+        point_res, groups=("x",), indices=(jnp.zeros((n,), jnp.int32),),
+        data=(jnp.asarray(obs),), weight=jnp.ones((n,)), mask=jnp.asarray(mask),
+    )
+    out, _ = solve_lm(groups, (block,), None, LMOptions(max_iters=10))
+    np.testing.assert_allclose(np.asarray(out["x"][0]), target[0], atol=1e-4)
+
+
+def test_scale_group_soft_bounds():
+    """ScaleFactor keeps scales inside bounds (translation averaging)."""
+    def anchored(scale, anchor):
+        return scale - anchor
+
+    groups = {"s": jnp.asarray([[5.0]])}
+    b1 = ResidualBlock(
+        anchored, groups=("s",), indices=(jnp.zeros((1,), jnp.int32),),
+        data=(jnp.asarray([[10.0]]),), weight=jnp.ones((1,)) * 0.1,
+        mask=jnp.ones((1,), bool),
+    )
+    b2 = ResidualBlock(
+        functools.partial(residuals.scale_factor, lower=1.0, upper=2.0),
+        groups=("s",), indices=(jnp.zeros((1,), jnp.int32),),
+        data=(), weight=jnp.ones((1,)) * 10.0, mask=jnp.ones((1,), bool),
+    )
+    out, _ = solve_lm(groups, (b1, b2), None, LMOptions(max_iters=20))
+    s = float(out["s"][0, 0])
+    assert 1.9 < s < 2.2  # pulled to upper bound, slightly above by weak anchor
