@@ -1,0 +1,572 @@
+"""Velodyne VLP LiDAR frontend — range image, features, segmentation.
+
+TPU re-design of sensors/Velodyne.{h,cpp} (reference). The reference builds a
+16x1800 range image by sequentially walking the interleaved packet order
+(ReOrderVLP, Velodyne.cpp:371-526), then runs per-scan sequential loops for
+curvature (ExtractFeatures :531-769), greedy edge/plane picking
+(ExtractEdgeFeatures2 :885-999, ExtractPlaneFeatures2 :1100-1189), BFS range-
+image segmentation (Segmentation :1438-1595, from LeGO-LOAM) and per-point
+slerp undistortion (UndistortCloud :1642-1674).
+
+Here every stage is a fixed-shape batched array program over the
+(N_SCANS, H) range image:
+
+  * ring/column assignment is closed-form from elevation/azimuth (no
+    sequential cross-z-axis state machine) with a scatter-min z-buffer;
+  * rows are compacted (valid cells in column order) so the per-scan
+    "sequence" adjacency matches the reference's reordered cloud exactly;
+  * the adaptive curvature window is found with static-size offset scans +
+    cumulative sums instead of while-loops;
+  * greedy feature picking is a short lax.fori_loop: one masked argmax per
+    (scan, sector) per step, suppression applied as vectorized masks —
+    sector-parallel instead of sector-sequential (sectors are disjoint);
+  * segmentation is label propagation: per-row segmented min-scans
+    (associative_scan) alternating with 4-neighbor min steps, followed by
+    scatter-based component statistics (size / distinct rows), instead of BFS;
+  * undistortion is batched axis-angle scaling (slerp from identity).
+
+Axis convention matches the reference (Velodyne.cpp:124-131): input clouds
+are rotated lidar->camera (X right, Y down, Z front) before anything else,
+points closer than 0.5 m dropped, scans with <4000 points flagged invalid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# cloudState flags (reference sensors/Velodyne.h:55-66)
+NORMAL, LESS_SHARP, SHARP, FLAT, GROUND, DISABLE, OCCLUDED = (
+    1, 2, 4, 8, 16, 32, 64)
+
+N_SCANS = 16
+HORIZON = 1800
+MIN_RANGE = 0.5
+MIN_VALID_POINTS = 4000
+
+AXIS_SWAP = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]], np.float32)
+
+
+def preprocess_cloud(xyz: np.ndarray) -> tuple[np.ndarray, bool]:
+    """Axis swap lidar->camera + min-range filter (Velodyne.cpp:124-140).
+    Host-side data prep. Returns (points, valid_scan)."""
+    pts = np.asarray(xyz[:, :3], np.float32)
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    pts = pts @ AXIS_SWAP.T
+    keep = (pts ** 2).sum(axis=1) >= MIN_RANGE * MIN_RANGE
+    pts = pts[keep]
+    return pts, len(pts) >= MIN_VALID_POINTS
+
+
+def pad_points(pts: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    n = min(len(pts), cap)
+    out = np.zeros((cap, 3), np.float32)
+    out[:n] = pts[:n]
+    mask = np.zeros((cap,), bool)
+    mask[:n] = True
+    return out, mask
+
+
+# ----------------------------------------------------------------------------
+# range image
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_scans", "horizon"))
+def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON):
+    """Scatter points into the (n_scans, horizon) range image.
+
+    Ring id via the VLP-16 elevation formula (VerticalAngleToScanID,
+    Velodyne.cpp:170-186); column from azimuth relative to the first valid
+    point's azimuth (the reference's start_ori, Velodyne.cpp:398-400).
+    Collisions keep the nearer return (scatter-min; the reference keeps the
+    last write). rel_time in [0,1) is the azimuth sweep fraction, used for
+    undistortion.
+    """
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rng = jnp.sqrt(x * x + y * y + z * z)
+    vert_deg = jnp.degrees(jnp.arctan2(-y, jnp.sqrt(x * x + z * z)))
+    ring = jnp.floor((vert_deg + 15.0) / 2.0 + 0.5).astype(jnp.int32)
+    ring_ok = (ring >= 0) & (ring < n_scans)
+
+    ori = jnp.arctan2(x, z)
+    ori = jnp.where(ori < 0, ori + 2 * jnp.pi, ori)
+    first = jnp.argmax(mask)  # index of first valid point
+    start_ori = ori[first]
+    rel = jnp.mod(ori - start_ori, 2 * jnp.pi)
+    res = 2 * jnp.pi / horizon
+    col = jnp.mod(jnp.round(rel / res).astype(jnp.int32), horizon)
+    rel_time = rel / (2 * jnp.pi)
+
+    ok = mask & ring_ok & (rng > 0)
+    big = jnp.asarray(jnp.inf, rng.dtype)
+    r_img = jnp.full((n_scans, horizon), big).at[ring, col].min(
+        jnp.where(ok, rng, big), mode="drop")
+    valid = jnp.isfinite(r_img)
+    r_img = jnp.where(valid, r_img, 0.0)
+
+    # second pass: write xyz / rel_time of the winning (nearest) return;
+    # non-winners are routed to an out-of-bounds row and dropped so they
+    # can't overwrite the winner (scatter order is unspecified)
+    is_winner = ok & (jnp.abs(r_img[ring, col] - rng) < 1e-6)
+    w_ring = jnp.where(is_winner, ring, n_scans)  # n_scans = OOB -> dropped
+    xyz_img = jnp.zeros((n_scans, horizon, 3)).at[w_ring, col].set(pts, mode="drop")
+    t_img = jnp.zeros((n_scans, horizon)).at[w_ring, col].set(rel_time, mode="drop")
+    return {"range": r_img, "xyz": xyz_img, "valid": valid, "rel_time": t_img}
+
+
+@jax.jit
+def compact_rows(img):
+    """Per-row compaction: valid cells in column order, padded right.
+
+    The compacted sequence reproduces the reference's reordered cloud_scan
+    adjacency (consecutive points of one scan line), which the curvature and
+    picking logic rely on (Velodyne.cpp:506-520).
+    """
+    valid = img["valid"]
+    S, H = valid.shape
+    key = jnp.where(valid, jnp.arange(H)[None, :], H + 1)
+    order = jnp.argsort(key, axis=1)  # valid cells first, by column
+    gather = lambda a: jnp.take_along_axis(a, order, axis=1)
+    seq = {
+        "xyz": jnp.take_along_axis(img["xyz"], order[..., None], axis=1),
+        "range": gather(img["range"]),
+        "rel_time": gather(img["rel_time"]),
+        "col": gather(jnp.broadcast_to(jnp.arange(H)[None, :], (S, H))),
+        "valid": gather(valid),
+    }
+    seq["count"] = jnp.sum(valid, axis=1)
+    return seq
+
+
+# ----------------------------------------------------------------------------
+# segmentation (LeGO-LOAM angle criterion, label propagation)
+# ----------------------------------------------------------------------------
+
+def _seg_min_scan(labels, conn, reverse=False):
+    """Per-row segmented min-scan: labels flow along columns while conn
+    (connection to previous column) is True. Segmented-scan combine:
+    (v1,c1) o (v2,c2) = (c2 ? min(v1,v2) : v2, c1 & c2)."""
+    if reverse:
+        labels = labels[:, ::-1]
+        # element j in the reversed order connects to its predecessor iff the
+        # original pair (i, i+1) was connected, i = H-1-j
+        conn = jnp.concatenate(
+            [jnp.zeros_like(conn[:, :1]), conn[:, ::-1][:, :-1]], axis=1)
+
+    def combine(a, b):
+        a_lab, a_conn = a
+        b_lab, b_conn = b
+        return jnp.where(b_conn, jnp.minimum(a_lab, b_lab), b_lab), a_conn & b_conn
+
+    lab, _ = jax.lax.associative_scan(combine, (labels, conn), axis=1)
+    return lab[:, ::-1] if reverse else lab
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def segment_range_image(r_img, valid, iters: int = 24,
+                        theta_deg: float = 20.0):
+    """Connected-component segmentation over the range image
+    (Segmentation, Velodyne.cpp:1438-1595 — Fast Range Image Segmentation,
+    IROS'16): neighbors join a component when
+    atan2(d2 sin(a), d1 - d2 cos(a)) > theta. Components keep their points
+    when size >= 30, or size >= 5 spanning >= 3 scan rows.
+
+    Returns (labels (S,H) int32, keep (S,H) bool).
+    """
+    S, H = r_img.shape
+    alpha_x = jnp.float32(np.radians(0.2))
+    alpha_y = jnp.float32(np.radians(2.0))
+    theta = jnp.float32(np.radians(theta_deg))
+
+    def connected(ra, rb, alpha):
+        d1 = jnp.maximum(ra, rb)
+        d2 = jnp.minimum(ra, rb)
+        ang = jnp.arctan2(d2 * jnp.sin(alpha), d1 - d2 * jnp.cos(alpha))
+        return ang > theta
+
+    left = jnp.roll(r_img, 1, axis=1)
+    left_ok = jnp.roll(valid, 1, axis=1)
+    conn_left = connected(r_img, left, alpha_x) & valid & left_ok  # wraps
+    up = jnp.concatenate([jnp.zeros_like(r_img[:1]), r_img[:-1]], axis=0)
+    up_ok = jnp.concatenate([jnp.zeros_like(valid[:1]), valid[:-1]], axis=0)
+    conn_up = connected(r_img, up, alpha_y) & valid & up_ok
+
+    lin = jnp.arange(S * H, dtype=jnp.int32).reshape(S, H)
+    labels = jnp.where(valid, lin, jnp.int32(S * H))
+
+    def body(_, lab):
+        # row scans (non-wrapping part)
+        lab = _seg_min_scan(lab, conn_left.at[:, 0].set(False))
+        lab = _seg_min_scan(lab, conn_left.at[:, 0].set(False), reverse=True)
+        # wrap column 0 <-> H-1
+        wrap = conn_left[:, 0]
+        lab = lab.at[:, 0].min(jnp.where(wrap, lab[:, -1], S * H))
+        lab = lab.at[:, -1].min(jnp.where(wrap, lab[:, 0], S * H))
+        # vertical
+        down_lab = jnp.concatenate([lab[1:], jnp.full_like(lab[:1], S * H)], axis=0)
+        up_lab = jnp.concatenate([jnp.full_like(lab[:1], S * H), lab[:-1]], axis=0)
+        conn_down = jnp.concatenate([conn_up[1:], jnp.zeros_like(conn_up[:1])], axis=0)
+        lab = jnp.minimum(lab, jnp.where(conn_up, up_lab, S * H))
+        lab = jnp.minimum(lab, jnp.where(conn_down, down_lab, S * H))
+        return jnp.where(valid, lab, S * H)
+
+    labels = jax.lax.fori_loop(0, iters, body, labels)
+
+    flat = labels.ravel()
+    sizes = jnp.zeros((S * H + 1,), jnp.int32).at[flat].add(valid.ravel())
+    # distinct rows per component
+    rows_present = jnp.zeros((S * H + 1,), jnp.int32)
+    for r in range(S):
+        pres = jnp.zeros((S * H + 1,), jnp.int32).at[labels[r]].max(
+            valid[r].astype(jnp.int32))
+        rows_present = rows_present + pres
+    size_of = sizes[flat].reshape(S, H)
+    rows_of = rows_present[flat].reshape(S, H)
+    keep = valid & ((size_of >= 30) | ((size_of >= 5) & (rows_of >= 3)))
+    return labels, keep
+
+
+# ----------------------------------------------------------------------------
+# curvature
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_window",))
+def adaptive_curvature(seq, max_window: int = 16):
+    """ADAPTIVE curvature (Velodyne.cpp:625-663): expand the window on each
+    side until the point is >= 8 cm away, take the symmetric max window m,
+    curvature = |sum(range[i-m..i+m]) - (2m+1) range[i]| / (2m).
+
+    Returns (curvature (S,W), m (S,W) window radius, window_ok (S,W)).
+    """
+    xyz, rng, valid, count = seq["xyz"], seq["range"], seq["valid"], seq["count"]
+    S, W = rng.shape
+    idx = jnp.arange(W)[None, :]
+
+    def side_k(direction):
+        # smallest k in [1, max_window] with |p[i +- k] - p[i]|^2 >= 0.0064
+        found = jnp.zeros((S, W), bool)
+        kk = jnp.full((S, W), max_window, jnp.int32)
+        for k in range(1, max_window + 1):
+            j = idx + direction * k
+            ok = (j >= 0) & (j < W)
+            pj = jnp.take_along_axis(xyz, jnp.clip(j, 0, W - 1)[..., None], axis=1)
+            d2 = jnp.sum((pj - xyz) ** 2, axis=-1)
+            hit = (d2 >= 0.0064) & ok & ~found
+            kk = jnp.where(hit, k, kk)
+            found = found | hit
+        return kk
+
+    m = jnp.maximum(side_k(-1), side_k(+1))
+
+    csum = jnp.cumsum(jnp.where(valid, rng, 0.0), axis=1)
+    csum = jnp.concatenate([jnp.zeros((S, 1)), csum], axis=1)  # (S, W+1)
+    hi = jnp.clip(idx + m + 1, 0, W)
+    lo = jnp.clip(idx - m, 0, W)
+    win_sum = jnp.take_along_axis(csum, hi, axis=1) - jnp.take_along_axis(csum, lo, axis=1)
+    n_win = (2 * m + 1).astype(rng.dtype)
+    curv = jnp.abs(win_sum - n_win * rng) / jnp.maximum(2 * m, 1)
+
+    # window must stay within [0, count): mirror of the reference's bounds
+    # check (Velodyne.cpp:644-646, relative to scanStartInd-5 .. scanEndInd+5)
+    window_ok = (idx - m >= 0) & (idx + m < count[:, None]) & valid
+    curv = jnp.where(window_ok, curv, -1.0)
+    return curv, m, window_ok
+
+
+@jax.jit
+def loam_curvature(seq):
+    """LOAM/lego-loam curvature (Velodyne.cpp:608-623): squared sum of range
+    differences over a fixed +-5 window."""
+    rng, valid, count = seq["range"], seq["valid"], seq["count"]
+    S, W = rng.shape
+    idx = jnp.arange(W)[None, :]
+    csum = jnp.concatenate([jnp.zeros((S, 1)), jnp.cumsum(jnp.where(valid, rng, 0.0), axis=1)], axis=1)
+    m = 5
+    hi = jnp.clip(idx + m + 1, 0, W)
+    lo = jnp.clip(idx - m, 0, W)
+    win_sum = jnp.take_along_axis(csum, hi, axis=1) - jnp.take_along_axis(csum, lo, axis=1)
+    diff = win_sum - (2 * m + 1) * rng
+    window_ok = (idx - m >= 0) & (idx + m < count[:, None]) & valid
+    return jnp.where(window_ok, diff * diff, -1.0), jnp.full_like(rng, m, jnp.int32), window_ok
+
+
+@jax.jit
+def view_angles(seq, m):
+    """Intersection angle (livox-loam eq. 4; Velodyne.cpp:803-812): the angle
+    between the beam direction and the local surface chord
+    p[i-m] - p[i+m], in degrees (0..90 after the |dot|)."""
+    xyz, rng = seq["xyz"], seq["range"]
+    S, W = rng.shape
+    idx = jnp.arange(W)[None, :]
+    left = jnp.take_along_axis(xyz, jnp.clip(idx - m, 0, W - 1)[..., None], axis=1)
+    right = jnp.take_along_axis(xyz, jnp.clip(idx + m, 0, W - 1)[..., None], axis=1)
+    b = left - right
+    bn = jnp.linalg.norm(b, axis=-1)
+    dot = jnp.abs(jnp.sum(xyz * b, axis=-1))
+    cosv = dot / jnp.maximum(rng * bn, 1e-9)
+    return jnp.degrees(jnp.arccos(jnp.clip(cosv, -1.0, 1.0)))
+
+
+# ----------------------------------------------------------------------------
+# greedy feature picking
+# ----------------------------------------------------------------------------
+
+def _sector_ids(seq):
+    """Six curvature sectors per scan over the interior [5, count-6]
+    (Velodyne.cpp:700-712). Returns (sec (S,W) in 0..5 or -1, interior)."""
+    count = seq["count"]
+    W = seq["range"].shape[1]
+    idx = jnp.arange(W)[None, :]
+    length = count[:, None] - 11  # number of interior points
+    interior = (idx >= 5) & (idx <= count[:, None] - 6) & seq["valid"] & (length >= 6)
+    rel = idx - 5
+    sec = jnp.clip(rel * 6 // jnp.maximum(length, 1), 0, 5)
+    return jnp.where(interior, sec, -1), interior
+
+
+def _suppression(xyz, valid, pick_row, pick_idx, max_off: int = 16):
+    """Neighbor suppression after one pick (Velodyne.cpp:969-988):
+    offsets 1..5 stop at a >22.36 cm gap between consecutive points; offsets
+    beyond 5 stop when >6 cm from the picked point. Returns (S,W) disable."""
+    S, W = valid.shape
+    p0 = xyz[pick_row, pick_idx]  # (3,)
+    dis = jnp.zeros((S, W), bool)
+    for direction in (-1, 1):
+        stopped = jnp.asarray(False)
+        for l in range(1, max_off + 1):
+            j = pick_idx + direction * l
+            jc = jnp.clip(j, 0, W - 1)
+            pj = xyz[pick_row, jc]
+            pj_prev = xyz[pick_row, jnp.clip(j - direction, 0, W - 1)]
+            gap = jnp.sum((pj - pj_prev) ** 2)
+            far = jnp.sum((pj - p0) ** 2)
+            brk = jnp.where(l <= 5, gap > 0.05, far > 0.0036)
+            stopped = stopped | brk | (j < 0) | (j >= W)
+            dis = dis.at[pick_row, jc].set(
+                jnp.where(stopped, dis[pick_row, jc], True))
+    return dis
+
+
+@functools.partial(jax.jit, static_argnames=("n_picks", "pick_largest"))
+def greedy_pick(seq, curv, eligible, n_picks: int,
+                pick_largest: bool = True):
+    """Greedy per-(scan, sector) picking with neighbor suppression.
+
+    Vectorized analog of the pick loops (Velodyne.cpp:905-989 edges,
+    :1117-1160 planes): n_picks rounds; each round picks the extreme-curvature
+    eligible point in every (scan, sector) simultaneously, then suppresses its
+    neighbors. Returns (picked (S,W) bool, top_rank (S,W) int32 with the pick
+    round or -1, disabled (S,W)).
+    """
+    S, W = curv.shape
+    sec, _ = _sector_ids(seq)
+    xyz, valid = seq["xyz"], seq["valid"]
+    sign = 1.0 if pick_largest else -1.0
+
+    def body(t, state):
+        picked, rank, disabled = state
+        key = jnp.where(eligible & ~picked & ~disabled, sign * curv, -jnp.inf)
+
+        new_picked = picked
+        new_rank = rank
+        new_dis = disabled
+        for j in range(6):
+            key_j = jnp.where(sec == j, key, -jnp.inf)
+            idx_r = jnp.argmax(key_j, axis=1)              # (S,)
+            ok_r = jnp.take_along_axis(key_j, idx_r[:, None], axis=1)[:, 0] > -jnp.inf
+            rows = jnp.arange(S)
+            new_picked = new_picked.at[rows, idx_r].set(
+                jnp.where(ok_r, True, new_picked[rows, idx_r]))
+            new_rank = new_rank.at[rows, idx_r].set(
+                jnp.where(ok_r & (new_rank[rows, idx_r] < 0), t,
+                          new_rank[rows, idx_r]))
+            # suppression for each row's pick
+            def sup_row(r, dis):
+                do = ok_r[r]
+                d = jax.lax.cond(
+                    do,
+                    lambda: _suppression(xyz, valid, r, idx_r[r]),
+                    lambda: jnp.zeros_like(dis))
+                return dis | d
+            new_dis = jax.lax.fori_loop(0, S, sup_row, new_dis)
+        return new_picked, new_rank, new_dis
+
+    picked0 = jnp.zeros((S, W), bool)
+    rank0 = jnp.full((S, W), -1, jnp.int32)
+    state = jax.lax.fori_loop(0, n_picks, body, (picked0, rank0, jnp.zeros((S, W), bool)))
+    picked, rank, disabled = state
+    return picked, rank, disabled
+
+
+# ----------------------------------------------------------------------------
+# voxel downsample
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("leaf",))
+def voxel_downsample(pts, mask, leaf: float = 0.2):
+    """Centroid voxel-grid filter (pcl::VoxelGrid leaf 0.2, Velodyne.cpp:
+    1076-1080). Returns (centroids (N,3), out_mask (N,)) — one entry per
+    occupied voxel (first occurrence order after sort), padded with zeros."""
+    n = pts.shape[0]
+    vox = jnp.floor(pts / leaf).astype(jnp.int32)
+    vmin = jnp.min(jnp.where(mask[:, None], vox, 2**30), axis=0)
+    # 10-bit packed exact key (grid up to 1024 cells = 204 m per axis at the
+    # default leaf; farther points clip into the boundary voxel)
+    v = jnp.clip(vox - vmin, 0, 1023)
+    key = (v[:, 0] << 20) | (v[:, 1] << 10) | v[:, 2]
+    key = jnp.where(mask, key, jnp.int32(2**30))
+    order = jnp.argsort(key)
+    ks = key[order]
+    ps = pts[order]
+    ms = mask[order]
+    uniq = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]]) & ms
+    seg = jnp.cumsum(uniq) - 1  # segment id per sorted point
+    sums = jnp.zeros((n, 3)).at[seg].add(jnp.where(ms[:, None], ps, 0.0))
+    cnts = jnp.zeros((n,)).at[seg].add(ms.astype(pts.dtype))
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    out_mask = jnp.arange(n) < jnp.sum(uniq)
+    return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
+
+
+# ----------------------------------------------------------------------------
+# undistortion
+# ----------------------------------------------------------------------------
+
+@jax.jit
+def undistort_points(pts, frac, R_end, t_end):
+    """Motion undistortion (UndistortCloud, Velodyne.cpp:1642-1674): each
+    point is moved by the pose interpolated between identity (scan start)
+    and (R_end, t_end) at its sweep fraction: p' = Exp(s*log(R)) p + s*t."""
+    from ..ops import se3
+    w = se3.log_so3(R_end)
+    R_i = se3.exp_so3(frac[:, None] * w[None, :])
+    return jnp.einsum("nij,nj->ni", R_i, pts) + frac[:, None] * t_end[None, :]
+
+
+# ----------------------------------------------------------------------------
+# top-level feature extraction
+# ----------------------------------------------------------------------------
+
+class ScanFeatures(NamedTuple):
+    """Fixed-shape feature sets of one scan (reference Velodyne.h:80-91)."""
+    sharp: jnp.ndarray          # (CAP_SHARP, 3)
+    sharp_mask: jnp.ndarray
+    less_sharp: jnp.ndarray     # (CAP_EDGE, 3)
+    less_sharp_mask: jnp.ndarray
+    less_sharp_row: jnp.ndarray  # scan ring of each edge point
+    point_to_segment: jnp.ndarray  # (CAP_EDGE,) line id or -1
+    flat: jnp.ndarray           # (CAP_FLAT, 3)
+    flat_mask: jnp.ndarray
+    flat_ground: jnp.ndarray    # (CAP_FLAT,) bool ground class
+    less_flat: jnp.ndarray      # (CAP_SURF, 3)
+    less_flat_mask: jnp.ndarray
+    less_flat_ground: jnp.ndarray
+    line_points: jnp.ndarray    # (CAP_LINES, 3) point on line
+    line_dirs: jnp.ndarray      # (CAP_LINES, 3) unit direction
+    line_endpoints: jnp.ndarray  # (CAP_LINES, 2, 3)
+    line_mask: jnp.ndarray      # (CAP_LINES,)
+
+
+CAP_SHARP = 288       # 3 picks x 6 sectors x 16 scans
+CAP_EDGE = 1024
+CAP_FLAT = 512        # 4 picks x 6 sectors x 16 scans = 384
+CAP_SURF = 4096
+CAP_LINES = 64
+
+
+def gather_masked(values, mask, cap: int, fill=0.0):
+    """Compact masked rows of a (S,W,...) array into a (cap, ...) buffer."""
+    flat_mask = mask.ravel()
+    flat_vals = values.reshape((-1,) + values.shape[2:])
+    order = jnp.argsort(~flat_mask)  # True first, stable
+    take = order[:cap]
+    out_mask = flat_mask[take]
+    out = jnp.where(
+        out_mask.reshape((-1,) + (1,) * (flat_vals.ndim - 1)),
+        flat_vals[take], fill)
+    return out, out_mask
+
+
+@functools.partial(jax.jit, static_argnames=("max_curvature", "intersect_angle_threshold", "segment"))
+def extract_features(pts, mask, max_curvature: float = 5.0,
+                     intersect_angle_threshold: float = 5.0,
+                     segment: bool = True):
+    """ADAPTIVE feature extraction pipeline (ExtractFeatures with
+    method=ADAPTIVE, Velodyne.cpp:531-769 — the Room/Floor config choice,
+    config/Room.txt extraction_method=3).
+
+    Returns (ScanFeatures, seq, aux dict).
+    """
+    from . import lidar_lines
+
+    img = build_range_image(pts, mask)
+    if segment:
+        _, keep = segment_range_image(img["range"], img["valid"])
+        img = dict(img, valid=keep,
+                   range=jnp.where(keep, img["range"], 0.0),
+                   xyz=jnp.where(keep[..., None], img["xyz"], 0.0))
+    seq = compact_rows(img)
+
+    curv, m, window_ok = adaptive_curvature(seq)
+    vang = view_angles(seq, m)
+    _, interior = _sector_ids(seq)
+
+    edge_eligible = (
+        interior & window_ok
+        & (curv > 0.1) & (curv <= max_curvature)
+        & (vang >= intersect_angle_threshold)
+        & (vang <= 180.0 - intersect_angle_threshold)
+    )
+    picked_e, rank_e, disabled = greedy_pick(seq, curv, edge_eligible, n_picks=30)
+    sharp_mask_sw = picked_e & (rank_e < 3)
+
+    # planes: eligibility excludes anything picked/disabled by the edge pass
+    plane_eligible = (
+        interior & window_ok & (curv >= 0) & (curv <= 0.02)
+        & ~picked_e & ~disabled
+    )
+    picked_f, _, disabled_f = greedy_pick(seq, curv, plane_eligible,
+                                          n_picks=4, pick_largest=False)
+    all_disabled = disabled | disabled_f
+    less_flat_sw = (interior & window_ok & (curv >= 0) & (curv < 0.3)
+                    & ~picked_e & ~picked_f & ~all_disabled)
+
+    # --- gather into fixed buffers ---
+    rows = jnp.broadcast_to(jnp.arange(N_SCANS)[:, None], seq["valid"].shape)
+
+    edge_pts, edge_mask = gather_masked(seq["xyz"], picked_e, CAP_EDGE)
+    edge_rows, _ = gather_masked(rows.astype(jnp.int32), picked_e, CAP_EDGE, fill=-1)
+    sharp_pts, sharp_mask = gather_masked(seq["xyz"], sharp_mask_sw, CAP_SHARP)
+
+    flat_pts, flat_mask = gather_masked(seq["xyz"], picked_f, CAP_FLAT)
+
+    # voxel-filter on the full grid first (truncating to CAP_SURF before the
+    # 0.2 m leaf would bias the kept points toward the first scan rows)
+    lf_all = seq["xyz"].reshape(-1, 3)
+    lf_ds_full, lf_ds_full_mask = voxel_downsample(lf_all, less_flat_sw.ravel())
+    lf_ds, lf_ds_mask = gather_masked(
+        lf_ds_full[:, None, :], lf_ds_full_mask[:, None], CAP_SURF)
+
+    # 3D line segments from the edge points (EdgeToLine, Velodyne.cpp:1269+)
+    lines = lidar_lines.extract_lines(edge_pts, edge_mask, edge_rows)
+
+    # reference EdgeToLine keeps only edge points that belong to a line as
+    # cornerLessSharp (Velodyne.cpp:1283-1308)
+    on_line = lines["point_label"] >= 0
+    feats = ScanFeatures(
+        sharp=sharp_pts, sharp_mask=sharp_mask,
+        less_sharp=edge_pts, less_sharp_mask=edge_mask & on_line,
+        less_sharp_row=edge_rows,
+        point_to_segment=lines["point_label"],
+        flat=flat_pts, flat_mask=flat_mask,
+        flat_ground=jnp.zeros(flat_mask.shape, bool),
+        less_flat=lf_ds, less_flat_mask=lf_ds_mask,
+        less_flat_ground=jnp.zeros(lf_ds_mask.shape, bool),
+        line_points=lines["points"], line_dirs=lines["dirs"],
+        line_endpoints=lines["endpoints"], line_mask=lines["mask"],
+    )
+    return feats, seq, {"curvature": curv, "img": img}

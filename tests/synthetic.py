@@ -1,0 +1,93 @@
+"""Synthetic Room-like dataset generation for tests and benchmarks.
+
+Simulates a VLP-16 (16 rings x 1800 azimuth steps, sensors/Velodyne.h:171)
+inside a box room with interior box columns, in the raw lidar convention
+(X right, Y forward, Z up) that Velodyne::LoadLidar expects before its axis
+swap (Velodyne.cpp:124-131). Also renders matching synthetic panoramas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+VLP16_ELEVATIONS = np.arange(-15.0, 16.0, 2.0)  # degrees, 16 rings
+
+
+def vlp16_directions(h_steps: int = 1800):
+    """(16*h, 3) unit ray directions in lidar frame, azimuth-major order
+    mimicking a sweep (azimuth varies slowly, ring varies fast)."""
+    az = np.linspace(0, 2 * np.pi, h_steps, endpoint=False)
+    el = np.radians(VLP16_ELEVATIONS)
+    a, e = np.meshgrid(az, el, indexing="ij")  # (h, 16)
+    d = np.stack([np.sin(a) * np.cos(e), np.cos(a) * np.cos(e), np.sin(e)], axis=-1)
+    return d.reshape(-1, 3)
+
+
+def raycast_room(origins, dirs, half_extents=(3.0, 2.0, 1.5),
+                 columns=((1.5, 0.8, 0.25), (-1.2, -0.9, 0.3))):
+    """Cast rays from inside a box room with solid square columns.
+
+    origins: (3,) or (N,3); dirs (N,3) unit. Returns (N,) ranges (inf = miss).
+    columns: (cx, cy, half_width) full-height square columns.
+    """
+    o = np.broadcast_to(np.asarray(origins, np.float64), dirs.shape)
+    d = np.asarray(dirs, np.float64)
+    he = np.asarray(half_extents)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # interior walls: for each axis the exit distance
+        t_axis = np.where(d > 0, (he - o) / d, (-he - o) / d)
+        t_axis = np.where(np.abs(d) < 1e-12, np.inf, t_axis)
+        t_wall = np.min(t_axis, axis=1)
+
+        t = t_wall
+        for cx, cy, hw in columns:
+            lo = np.array([cx - hw, cy - hw, -he[2]])
+            hi = np.array([cx + hw, cy + hw, he[2]])
+            t1 = (lo - o) / d
+            t2 = (hi - o) / d
+            t1, t2 = np.minimum(t1, t2), np.maximum(t1, t2)
+            t_near = np.max(np.where(np.isfinite(t1), t1, -np.inf), axis=1)
+            t_far = np.min(np.where(np.isfinite(t2), t2, np.inf), axis=1)
+            hit = (t_near <= t_far) & (t_near > 0)
+            t = np.where(hit & (t_near < t), t_near, t)
+    return t
+
+
+def make_scan(origin=(0.0, 0.0, 0.0), noise=0.005, rng=None, h_steps=1800,
+              dropout=0.0, **room_kw):
+    """One synthetic VLP-16 scan (lidar frame, X right Y fwd Z up) -> (N,3)."""
+    rng = rng or np.random.default_rng(0)
+    dirs = vlp16_directions(h_steps)
+    t = raycast_room(np.asarray(origin), dirs, **room_kw)
+    ok = np.isfinite(t)
+    if dropout > 0:
+        ok &= rng.random(len(t)) > dropout
+    pts = dirs[ok] * t[ok, None]
+    if noise > 0:
+        pts += rng.normal(size=pts.shape) * noise
+    return pts.astype(np.float32)
+
+
+def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
+                          noise=0.003, seed=0, **kw):
+    """Scans along a straight-ish trajectory. Returns (scans, poses) where
+    poses are (R_wl, t_wl) ground truth in the LIDAR (z-up) world frame."""
+    rng = np.random.default_rng(seed)
+    scans, poses = [], []
+    for i in range(n_scans):
+        yaw = yaw_step * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        t = np.asarray(step) * i
+        # scan points measured in lidar frame: p_l = R^T (p_w - t)
+        # generate by raycasting from the moved origin with rotated rays
+        dirs = vlp16_directions(kw.get("h_steps", 1800))
+        dirs_w = dirs @ R.T
+        tt = raycast_room(t, dirs_w, **{k: v for k, v in kw.items() if k != "h_steps"})
+        ok = np.isfinite(tt)
+        pts_l = dirs[ok] * tt[ok, None]
+        pts_l += rng.normal(size=pts_l.shape) * noise
+        scans.append(pts_l.astype(np.float32))
+        poses.append((R, t.astype(np.float64)))
+    return scans, poses

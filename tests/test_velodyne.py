@@ -1,0 +1,161 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panovlm_tpu.sensors import velodyne as vd
+from panovlm_tpu.sensors import lidar_lines
+
+from synthetic import make_scan
+
+
+@pytest.fixture(scope="module")
+def scan():
+    pts_lidar = make_scan(noise=0.002)
+    pts, ok = vd.preprocess_cloud(pts_lidar)
+    assert ok
+    return pts
+
+
+@pytest.fixture(scope="module")
+def img(scan):
+    pts, mask = vd.pad_points(scan, 32768)
+    return vd.build_range_image(jnp.asarray(pts), jnp.asarray(mask))
+
+
+def test_preprocess_axis_swap():
+    # lidar (0, 1, 0) = forward -> camera (0, 0, 1) = +Z front
+    raw = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (5000, 1))
+    pts, _ = vd.preprocess_cloud(raw)
+    np.testing.assert_allclose(pts[0], [0, 0, 1], atol=1e-6)
+    # min-range filter
+    raw2 = np.array([[0.1, 0.1, 0.0], [0, 2.0, 0]], np.float32)
+    pts2, ok = vd.preprocess_cloud(raw2)
+    assert len(pts2) == 1 and not ok  # <4000 points -> invalid scan
+
+
+def test_range_image_coverage(img):
+    valid = np.asarray(img["valid"])
+    # nearly every cell should be hit for a closed room
+    assert valid.mean() > 0.9
+    r = np.asarray(img["range"])
+    assert r[valid].min() > 0.5
+    assert r[valid].max() < 10.0
+
+
+def test_range_image_geometry(img, scan):
+    # ranges should match point norms
+    valid = np.asarray(img["valid"])
+    xyz = np.asarray(img["xyz"])
+    r = np.asarray(img["range"])
+    norms = np.linalg.norm(xyz[valid], axis=1)
+    np.testing.assert_allclose(norms, r[valid], atol=1e-4)
+
+
+def test_compact_rows(img):
+    seq = vd.compact_rows(img)
+    count = np.asarray(seq["count"])
+    assert (count > 1000).all()  # dense rows
+    v = np.asarray(seq["valid"])
+    for i in range(vd.N_SCANS):
+        assert v[i, :count[i]].all() and not v[i, count[i]:].any()
+    # columns strictly increasing within valid prefix
+    col = np.asarray(seq["col"])
+    assert (np.diff(col[0, :count[0]]) > 0).all()
+
+
+def test_segmentation_keeps_big_components(img):
+    labels, keep = vd.segment_range_image(img["range"], img["valid"])
+    valid = np.asarray(img["valid"])
+    # a closed room: walls+columns are all large connected components
+    assert np.asarray(keep).sum() > 0.8 * valid.sum()
+
+
+def test_adaptive_curvature_flags_column_edges(img):
+    seq = vd.compact_rows(img)
+    curv, m, ok = vd.adaptive_curvature(seq)
+    curv = np.asarray(curv)
+    ok = np.asarray(ok)
+    assert (curv[ok] >= 0).all()
+    # wall interiors are flat: median curvature low
+    assert np.median(curv[ok]) < 0.05
+    # but the column edges create high-curvature points
+    assert (curv[ok] > 0.5).sum() > 10
+
+
+def test_extract_features_end_to_end(scan):
+    pts, mask = vd.pad_points(scan, 32768)
+    feats, seq, aux = vd.extract_features(jnp.asarray(pts), jnp.asarray(mask))
+    n_sharp = int(np.asarray(feats.sharp_mask).sum())
+    n_edge = int(np.asarray(feats.less_sharp_mask).sum())
+    n_flat = int(np.asarray(feats.flat_mask).sum())
+    n_surf = int(np.asarray(feats.less_flat_mask).sum())
+    n_lines = int(np.asarray(feats.line_mask).sum())
+    assert n_edge > 20, n_edge
+    assert n_flat > 50, n_flat
+    assert n_surf > 500, n_surf
+    assert n_lines >= 4, n_lines  # two columns x >=2 visible vertical edges
+
+    # vertical column edges: line directions ~ Y (camera frame, Y down)
+    dirs = np.asarray(feats.line_dirs)[np.asarray(feats.line_mask)]
+    vertical = np.abs(dirs[:, 1]) > 0.95
+    assert vertical.sum() >= 4, dirs
+
+    # every kept less-sharp point belongs to a line
+    lbl = np.asarray(feats.point_to_segment)
+    msk = np.asarray(feats.less_sharp_mask)
+    assert (lbl[msk] >= 0).all()
+
+
+def test_voxel_downsample():
+    rng = np.random.default_rng(0)
+    # 1000 points in a 0.2-cube -> 1 voxel
+    pts = (rng.random((1000, 3)) * 0.18).astype(np.float32)
+    out, mask = vd.voxel_downsample(jnp.asarray(pts), jnp.ones(1000, bool))
+    assert int(np.asarray(mask).sum()) == 1
+    np.testing.assert_allclose(np.asarray(out[0]), pts.mean(0), atol=1e-4)
+    # two separated clusters -> 2 voxels
+    pts2 = np.concatenate([pts, pts + 5.0]).astype(np.float32)
+    out2, mask2 = vd.voxel_downsample(jnp.asarray(pts2), jnp.ones(2000, bool))
+    assert int(np.asarray(mask2).sum()) == 2
+
+
+def test_undistort_identity_and_rotation():
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32))
+    frac = jnp.linspace(0, 1, 100)
+    out = vd.undistort_points(pts, frac, jnp.eye(3), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-6)
+    # pure translation: point at frac=1 moves by t, frac=0 stays
+    t = jnp.asarray([1.0, 0, 0])
+    out2 = np.asarray(vd.undistort_points(pts, frac, jnp.eye(3), t))
+    np.testing.assert_allclose(out2[0], np.asarray(pts)[0], atol=1e-6)
+    np.testing.assert_allclose(out2[-1], np.asarray(pts)[-1] + [1, 0, 0], atol=1e-5)
+
+
+def test_extract_lines_synthetic():
+    rng = np.random.default_rng(1)
+    # two perpendicular segments + noise clutter
+    # lines must span >= n/2 distinct rings (reference FilterLineByScan) —
+    # like real vertical edges with ~1-2 points per ring
+    t1 = np.linspace(0, 2, 30)
+    l1 = np.stack([t1, np.zeros_like(t1), np.ones_like(t1)], 1)
+    t2 = np.linspace(0, 1.5, 24)
+    l2 = np.stack([np.zeros_like(t2), t2, 2 * np.ones_like(t2)], 1)
+    clutter = rng.uniform(-3, 3, size=(30, 3))
+    pts = np.concatenate([l1, l2, clutter]).astype(np.float32)
+    pts += rng.normal(size=pts.shape).astype(np.float32) * 0.01
+    P = 128
+    buf = np.zeros((P, 3), np.float32)
+    buf[:len(pts)] = pts
+    mask = np.zeros(P, bool)
+    mask[:len(pts)] = True
+    rows = np.zeros(P, np.int32)
+    rows[:30] = np.arange(30) % 16         # line 1: 16 rings, <=2 pts each
+    rows[30:54] = np.arange(24) % 13
+    rows[54:] = -1
+    out = lidar_lines.extract_lines(jnp.asarray(buf), jnp.asarray(mask), jnp.asarray(rows))
+    got = int(np.asarray(out["mask"]).sum())
+    assert got >= 2, got
+    dirs = np.asarray(out["dirs"])[np.asarray(out["mask"])]
+    # the two dominant lines should be along x and y
+    ax = np.abs(dirs)
+    assert (ax[:, 0] > 0.99).any() and (ax[:, 1] > 0.99).any()
