@@ -138,6 +138,8 @@ def compact_rows(img):
         "col": gather(jnp.broadcast_to(jnp.arange(H)[None, :], (S, H))),
         "valid": gather(valid),
     }
+    if "ground" in img:
+        seq["ground"] = gather(img["ground"])
     seq["count"] = jnp.sum(valid, axis=1)
     return seq
 
@@ -228,6 +230,35 @@ def segment_range_image(r_img, valid, iters: int = 24,
     rows_of = rows_present[flat].reshape(S, H)
     keep = valid & ((size_of >= 30) | ((size_of >= 5) & (rows_of >= 3)))
     return labels, keep
+
+
+@functools.partial(jax.jit, static_argnames=("max_ground_ring", "slope_deg"))
+def mark_ground(img, max_ground_ring: int = 8, slope_deg: float = 10.0):
+    """Ground-cell detection on the range image.
+
+    Vectorized analog of the reference's ground handling
+    (sensors/ground_segmentation.{h,cpp} linefit / SegmentGround,
+    Velodyne.cpp:1326-1401): for the downward-looking rings, the vector
+    between vertically-adjacent cells of one azimuth column must be nearly
+    horizontal (slope < slope_deg) for both cells to be ground. Ground cells
+    are exempted from the component-size segmentation drop (LeGO-LOAM
+    excludes ground before segmentation — otherwise isolated floor ring arcs
+    form thin components and are discarded wholesale).
+    Camera convention: y points DOWN, so ground height = +y.
+    """
+    xyz, valid = img["xyz"], img["valid"]
+    S, H = valid.shape
+    up = xyz[1:max_ground_ring + 1]      # (G, H, 3) the next ring up
+    lo = xyz[:max_ground_ring]
+    d = up - lo
+    horiz = jnp.sqrt(d[..., 0] ** 2 + d[..., 2] ** 2)
+    slope = jnp.degrees(jnp.arctan2(jnp.abs(d[..., 1]), horiz))
+    both = valid[1:max_ground_ring + 1] & valid[:max_ground_ring]
+    flat_step = (slope < slope_deg) & both
+    ground = jnp.zeros((S, H), bool)
+    ground = ground.at[:max_ground_ring].set(ground[:max_ground_ring] | flat_step)
+    ground = ground.at[1:max_ground_ring + 1].set(ground[1:max_ground_ring + 1] | flat_step)
+    return ground & valid
 
 
 # ----------------------------------------------------------------------------
@@ -407,10 +438,11 @@ def greedy_pick(seq, curv, eligible, n_picks: int,
 # ----------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("leaf",))
-def voxel_downsample(pts, mask, leaf: float = 0.2):
+def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2):
     """Centroid voxel-grid filter (pcl::VoxelGrid leaf 0.2, Velodyne.cpp:
     1076-1080). Returns (centroids (N,3), out_mask (N,)) — one entry per
-    occupied voxel (first occurrence order after sort), padded with zeros."""
+    occupied voxel (first occurrence order after sort), padded with zeros.
+    Optional aux (N,) channel is averaged per voxel too (returned third)."""
     n = pts.shape[0]
     vox = jnp.floor(pts / leaf).astype(jnp.int32)
     vmin = jnp.min(jnp.where(mask[:, None], vox, 2**30), axis=0)
@@ -429,7 +461,18 @@ def voxel_downsample(pts, mask, leaf: float = 0.2):
     cnts = jnp.zeros((n,)).at[seg].add(ms.astype(pts.dtype))
     centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
     out_mask = jnp.arange(n) < jnp.sum(uniq)
-    return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
+    centroids = jnp.where(out_mask[:, None], centroids, 0.0)
+    if aux is None:
+        return centroids, out_mask
+    aux2 = jnp.asarray(aux, pts.dtype)
+    squeeze = aux2.ndim == 1
+    if squeeze:
+        aux2 = aux2[:, None]
+    aux_s = aux2[order]
+    aux_sum = jnp.zeros((n, aux2.shape[1])).at[seg].add(
+        jnp.where(ms[:, None], aux_s, 0.0))
+    aux_out = jnp.where(out_mask[:, None], aux_sum / jnp.maximum(cnts, 1.0)[:, None], 0.0)
+    return centroids, out_mask, (aux_out[:, 0] if squeeze else aux_out)
 
 
 # ----------------------------------------------------------------------------
@@ -462,9 +505,11 @@ class ScanFeatures(NamedTuple):
     flat: jnp.ndarray           # (CAP_FLAT, 3)
     flat_mask: jnp.ndarray
     flat_ground: jnp.ndarray    # (CAP_FLAT,) bool ground class
+    flat_row: jnp.ndarray       # (CAP_FLAT,) scan ring
     less_flat: jnp.ndarray      # (CAP_SURF, 3)
     less_flat_mask: jnp.ndarray
     less_flat_ground: jnp.ndarray
+    less_flat_row: jnp.ndarray  # (CAP_SURF,) scan ring (voxel-averaged)
     line_points: jnp.ndarray    # (CAP_LINES, 3) point on line
     line_dirs: jnp.ndarray      # (CAP_LINES, 3) unit direction
     line_endpoints: jnp.ndarray  # (CAP_LINES, 2, 3)
@@ -504,11 +549,14 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
     from . import lidar_lines
 
     img = build_range_image(pts, mask)
+    ground = mark_ground(img)
     if segment:
         _, keep = segment_range_image(img["range"], img["valid"])
+        keep = keep | ground  # ground is exempt from the component-size drop
         img = dict(img, valid=keep,
                    range=jnp.where(keep, img["range"], 0.0),
                    xyz=jnp.where(keep[..., None], img["xyz"], 0.0))
+    img["ground"] = ground & img["valid"]
     seq = compact_rows(img)
 
     curv, m, window_ok = adaptive_curvature(seq)
@@ -516,7 +564,7 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
     _, interior = _sector_ids(seq)
 
     edge_eligible = (
-        interior & window_ok
+        interior & window_ok & ~seq["ground"]
         & (curv > 0.1) & (curv <= max_curvature)
         & (vang >= intersect_angle_threshold)
         & (vang <= 180.0 - intersect_angle_threshold)
@@ -543,13 +591,22 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
     sharp_pts, sharp_mask = gather_masked(seq["xyz"], sharp_mask_sw, CAP_SHARP)
 
     flat_pts, flat_mask = gather_masked(seq["xyz"], picked_f, CAP_FLAT)
+    flat_rows, _ = gather_masked(rows.astype(jnp.int32), picked_f, CAP_FLAT, fill=-1)
+    flat_grd, _ = gather_masked(seq["ground"], picked_f, CAP_FLAT, fill=False)
 
     # voxel-filter on the full grid first (truncating to CAP_SURF before the
     # 0.2 m leaf would bias the kept points toward the first scan rows)
     lf_all = seq["xyz"].reshape(-1, 3)
-    lf_ds_full, lf_ds_full_mask = voxel_downsample(lf_all, less_flat_sw.ravel())
+    lf_aux = jnp.stack([rows.ravel().astype(jnp.float32),
+                        seq["ground"].ravel().astype(jnp.float32)], axis=1)
+    lf_ds_full, lf_ds_full_mask, lf_aux_full = voxel_downsample(
+        lf_all, less_flat_sw.ravel(), aux=lf_aux)
     lf_ds, lf_ds_mask = gather_masked(
         lf_ds_full[:, None, :], lf_ds_full_mask[:, None], CAP_SURF)
+    lf_aux_g, _ = gather_masked(
+        lf_aux_full[:, None, :], lf_ds_full_mask[:, None], CAP_SURF, fill=-1.0)
+    lf_rows = jnp.round(lf_aux_g[:, 0]).astype(jnp.int32)
+    lf_grd = lf_aux_g[:, 1] > 0.5
 
     # 3D line segments from the edge points (EdgeToLine, Velodyne.cpp:1269+)
     lines = lidar_lines.extract_lines(edge_pts, edge_mask, edge_rows)
@@ -563,9 +620,11 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
         less_sharp_row=edge_rows,
         point_to_segment=lines["point_label"],
         flat=flat_pts, flat_mask=flat_mask,
-        flat_ground=jnp.zeros(flat_mask.shape, bool),
+        flat_ground=flat_grd,
+        flat_row=flat_rows,
         less_flat=lf_ds, less_flat_mask=lf_ds_mask,
-        less_flat_ground=jnp.zeros(lf_ds_mask.shape, bool),
+        less_flat_ground=lf_grd,
+        less_flat_row=lf_rows,
         line_points=lines["points"], line_dirs=lines["dirs"],
         line_endpoints=lines["endpoints"], line_mask=lines["mask"],
     )

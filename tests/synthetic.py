@@ -23,12 +23,24 @@ def vlp16_directions(h_steps: int = 1800):
     return d.reshape(-1, 3)
 
 
+DEFAULT_BOXES = (
+    # full-height square columns (vertical edge features)
+    ((1.5, 0.8, 0.0), (0.25, 0.25, 10.0)),
+    ((-1.2, -0.9, 0.0), (0.3, 0.3, 10.0)),
+    # table-like slabs (horizontal surfaces -> vertical observability for a
+    # VLP-16 whose +-15 deg fan misses distant floor/ceiling)
+    ((0.8, -1.0, -0.7), (0.5, 0.35, 0.06)),
+    ((-1.8, 1.2, -0.5), (0.4, 0.5, 0.05)),
+)
+
+
 def raycast_room(origins, dirs, half_extents=(3.0, 2.0, 1.5),
-                 columns=((1.5, 0.8, 0.25), (-1.2, -0.9, 0.3))):
-    """Cast rays from inside a box room with solid square columns.
+                 boxes=DEFAULT_BOXES):
+    """Cast rays from inside a box room with solid interior boxes.
 
     origins: (3,) or (N,3); dirs (N,3) unit. Returns (N,) ranges (inf = miss).
-    columns: (cx, cy, half_width) full-height square columns.
+    boxes: ((center xyz), (half extents xyz)) solid obstacles; half extents
+    are clipped to the room so "10" means full height.
     """
     o = np.broadcast_to(np.asarray(origins, np.float64), dirs.shape)
     d = np.asarray(dirs, np.float64)
@@ -41,9 +53,11 @@ def raycast_room(origins, dirs, half_extents=(3.0, 2.0, 1.5),
         t_wall = np.min(t_axis, axis=1)
 
         t = t_wall
-        for cx, cy, hw in columns:
-            lo = np.array([cx - hw, cy - hw, -he[2]])
-            hi = np.array([cx + hw, cy + hw, he[2]])
+        for center, half in boxes:
+            c = np.asarray(center, np.float64)
+            h = np.asarray(half, np.float64)
+            lo = np.maximum(c - h, -he)
+            hi = np.minimum(c + h, he)
             t1 = (lo - o) / d
             t2 = (hi - o) / d
             t1, t2 = np.minimum(t1, t2), np.maximum(t1, t2)
@@ -70,16 +84,21 @@ def make_scan(origin=(0.0, 0.0, 0.0), noise=0.005, rng=None, h_steps=1800,
 
 
 def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
-                          noise=0.003, seed=0, **kw):
+                          noise=0.003, seed=0, origin=(0.0, 0.0, -1.0), **kw):
     """Scans along a straight-ish trajectory. Returns (scans, poses) where
-    poses are (R_wl, t_wl) ground truth in the LIDAR (z-up) world frame."""
+    poses are (R_wl, t_wl) ground truth in the LIDAR (z-up) world frame.
+
+    Default origin sits near the floor: a VLP-16's +-15 deg fan at room
+    center never hits floor or ceiling, leaving vertical translation
+    unobservable for LiDAR-only odometry (walls give horizontal normals,
+    edges give vertical lines)."""
     rng = np.random.default_rng(seed)
     scans, poses = [], []
     for i in range(n_scans):
         yaw = yaw_step * i
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
-        t = np.asarray(step) * i
+        t = np.asarray(step) * i + np.asarray(origin)
         # scan points measured in lidar frame: p_l = R^T (p_w - t)
         # generate by raycasting from the moved origin with rotated rays
         dirs = vlp16_directions(kw.get("h_steps", 1800))

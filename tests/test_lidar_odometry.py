@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panovlm_tpu.models import association, lidar_odometry
+from panovlm_tpu.ops import se3
+from panovlm_tpu.sensors import velodyne as vd
+
+from synthetic import make_trajectory_scans
+
+S = vd.AXIS_SWAP  # lidar (z-up) -> camera (y-down) axes
+
+
+def lidar_pose_to_cam(R_wl_lidar, t_wl_lidar):
+    """Ground-truth pose in lidar z-up world -> camera-convention world.
+    p_cam = S p_lidar both for local and world frames."""
+    R = S @ R_wl_lidar @ S.T
+    t = S @ np.asarray(t_wl_lidar)
+    return R, t
+
+
+def pose_params_from_wl(R_wl, t_wl):
+    """(R_wl, t_wl) world pose -> solver params [aa_lw, t_lw]."""
+    R_lw = R_wl.T
+    t_lw = -R_wl.T @ t_wl
+    aa = np.asarray(se3.log_so3(jnp.asarray(R_lw, jnp.float32)))
+    return np.concatenate([aa, t_lw]).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def traj():
+    scans, poses = make_trajectory_scans(n_scans=5, step=(0.2, 0.05, 0.0),
+                                         yaw_step=0.03, noise=0.002, h_steps=900)
+    feats = []
+    valid = []
+    for pts_lidar in scans:
+        pts, ok = vd.preprocess_cloud(pts_lidar)
+        p, m = vd.pad_points(pts, 16384)
+        f, _, _ = vd.extract_features(jnp.asarray(p), jnp.asarray(m))
+        feats.append(f)
+        valid.append(ok)
+    batch = lidar_odometry.stack_features(feats)
+    gt_params = np.stack([
+        pose_params_from_wl(*lidar_pose_to_cam(R, t)) for R, t in poses
+    ])
+    return batch, gt_params, np.asarray(valid)
+
+
+def test_association_finds_matches(traj):
+    batch, gt, valid = traj
+    poses = jnp.asarray(gt)
+    pr, pn = association.find_neighbors(poses, valid)
+    assert len(pr) >= 8  # 5 scans, temporal + knn
+    assoc = association.associate_all_pairs(batch, poses, jnp.asarray(pr), jnp.asarray(pn))
+    n_p2l = int(np.asarray(assoc["p2l"]["mask"]).sum())
+    n_p2p = int(np.asarray(assoc["p2p"]["mask"]).sum())
+    assert n_p2l > 20, n_p2l
+    assert n_p2p > 200, n_p2p
+    # at ground truth, residual distances should be small: check point2plane
+    m = np.asarray(assoc["p2p"]["mask"])
+    pts = np.asarray(assoc["p2p"]["point"])
+    pls = np.asarray(assoc["p2p"]["plane"])
+    pr_np, pn_np = np.asarray(pr), np.asarray(pn)
+    # transform a few points n->r and measure plane distance
+    errs = []
+    for k in range(len(pr_np)):
+        mm = m[k]
+        if not mm.any():
+            continue
+        i = np.argmax(mm)
+        pose_r, pose_n = gt[pr_np[k]], gt[pn_np[k]]
+        from panovlm_tpu.solver.residuals import transform_n_to_r
+        p_r = np.asarray(transform_n_to_r(jnp.asarray(pose_r), jnp.asarray(pose_n),
+                                          jnp.asarray(pts[k, i])))
+        errs.append(abs(pls[k, i, :3] @ p_r + pls[k, i, 3]))
+    assert np.median(errs) < 0.05, np.median(errs)
+
+
+def test_odometry_recovers_perturbed_poses(traj):
+    batch, gt, valid = traj
+    rng = np.random.default_rng(0)
+    poses0 = gt.copy()
+    poses0[1:, :3] += rng.normal(size=(len(gt) - 1, 3)).astype(np.float32) * 0.01
+    poses0[1:, 3:] += rng.normal(size=(len(gt) - 1, 3)).astype(np.float32) * 0.05
+
+    cfg = lidar_odometry.OdometryConfig(num_iteration_lidar=3)
+    poses, infos = lidar_odometry.estimate_poses(batch, poses0, valid, cfg)
+    poses = np.asarray(poses)
+    rot_err0 = np.abs(poses0[:, :3] - gt[:, :3]).max()
+    t_err0 = np.abs(poses0[:, 3:] - gt[:, 3:]).max()
+    rot_err = np.abs(poses[:, :3] - gt[:, :3]).max()
+    t_err = np.abs(poses[:, 3:] - gt[:, 3:]).max()
+    # must improve substantially over the perturbation
+    assert rot_err < rot_err0 * 0.5, (rot_err0, rot_err)
+    assert t_err < t_err0 * 0.5, (t_err0, t_err)
+    # and land close to ground truth (cm / sub-degree)
+    assert rot_err < 5e-3, rot_err
+    assert t_err < 2e-2, t_err
+
+
+def test_undistort_scan_linear_motion():
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (50, 3)).astype(np.float32))
+    frac = jnp.linspace(0, 1, 50)
+    pose_i = jnp.zeros(6)
+    # next scan moved +0.3 in x (world): pose params aa=0, t_lw = -t_wl
+    pose_next = jnp.asarray([0, 0, 0, -0.3, 0, 0], jnp.float32)
+    out = np.asarray(lidar_odometry.undistort_scan(pts, frac, pose_i, pose_next))
+    np.testing.assert_allclose(out[0], np.asarray(pts)[0], atol=1e-6)
+    np.testing.assert_allclose(out[-1], np.asarray(pts)[-1] + [0.3, 0, 0], atol=1e-5)
+
+
+def test_fuse_world(traj):
+    batch, gt, valid = traj
+    pts = batch["less_flat"]
+    mask = batch["less_flat_mask"]
+    fused, fmask = lidar_odometry.fuse_world(pts, mask, jnp.asarray(gt))
+    assert fused.shape[0] == pts.shape[0] * pts.shape[1]
+    # fused surf points should lie near the room surfaces (|x|<=3.05 etc)
+    f = np.asarray(fused)[np.asarray(fmask)]
+    assert (np.abs(f[:, 0]) < 3.3).all()
