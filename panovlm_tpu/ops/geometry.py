@@ -34,6 +34,61 @@ def _masked_cov(pts, mask):
     return mean, cov, n[..., 0]
 
 
+def eigh3x3(A):
+    """Analytic eigendecomposition of symmetric 3x3 matrices (batched).
+
+    Closed-form trigonometric eigenvalues (Smith's method) + cross-product
+    eigenvectors — pure elementwise VPU math, far faster on TPU than the
+    iterative jnp.linalg.eigh for large batches of tiny matrices (the plane/
+    line fits in association and MVS run thousands per step).
+    Returns (eigvals ascending (...,3), eigvecs (...,3,3) columns).
+    """
+    dtype = A.dtype
+    q = (A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]) / 3.0
+    B = A - q[..., None, None] * jnp.eye(3, dtype=dtype)
+    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = (
+        B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1])
+        - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 0])
+        + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
+    )
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    eigvals = jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+
+    def eigvec(lam):
+        # v = cross of two rows of (A - lam I); pick the largest of the three
+        M = A - lam[..., None, None] * jnp.eye(3, dtype=dtype)
+        c01 = jnp.cross(M[..., 0, :], M[..., 1, :])
+        c02 = jnp.cross(M[..., 0, :], M[..., 2, :])
+        c12 = jnp.cross(M[..., 1, :], M[..., 2, :])
+        n01 = jnp.sum(c01 * c01, axis=-1)
+        n02 = jnp.sum(c02 * c02, axis=-1)
+        n12 = jnp.sum(c12 * c12, axis=-1)
+        best = jnp.argmax(jnp.stack([n01, n02, n12], axis=-1), axis=-1)
+        v = jnp.take_along_axis(
+            jnp.stack([c01, c02, c12], axis=-2), best[..., None, None].repeat(3, -1),
+            axis=-2)[..., 0, :]
+        # degenerate (repeated eigenvalue): fall back to any unit vector
+        # orthogonalized later; normalize safely
+        norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = jnp.where(norm > 1e-20, v / jnp.maximum(norm, 1e-20),
+                      jnp.broadcast_to(jnp.array([1.0, 0, 0], dtype), v.shape))
+        return v
+
+    v_lo = eigvec(e_lo)
+    v_hi = eigvec(e_hi)
+    # enforce orthogonality for the middle one
+    v_mid = jnp.cross(v_hi, v_lo)
+    v_mid = v_mid / jnp.maximum(jnp.linalg.norm(v_mid, axis=-1, keepdims=True), 1e-20)
+    eigvecs = jnp.stack([v_lo, v_mid, v_hi], axis=-1)
+    return eigvals, eigvecs
+
+
 def fit_line_pca(pts, mask):
     """PCA line fit (reference FormLine semantics).
 
@@ -42,7 +97,7 @@ def fit_line_pca(pts, mask):
     (>=2 valid points and non-degenerate direction).
     """
     mean, cov, n = _masked_cov(pts, mask)
-    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
+    eigvals, eigvecs = eigh3x3(cov)  # ascending
     direction = eigvecs[..., :, 2]
     # canonical sign: largest-|.| component positive
     idx = jnp.argmax(jnp.abs(direction), axis=-1, keepdims=True)
@@ -67,7 +122,7 @@ def fit_plane_lsq(pts, mask, tolerance=None):
     association, lidar_mapping/LidarFeatureAssociate.cpp:550-629).
     """
     mean, cov, n = _masked_cov(pts, mask)
-    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    eigvals, eigvecs = eigh3x3(cov)
     normal = eigvecs[..., :, 0]  # smallest principal axis
     d = -jnp.einsum("...i,...i->...", normal, mean)
     dist = jnp.abs(jnp.einsum("...pi,...i->...p", pts, normal) + d[..., None])

@@ -359,26 +359,27 @@ def _sector_ids(seq):
     return jnp.where(interior, sec, -1), interior
 
 
-def _suppression(xyz, valid, pick_row, pick_idx, max_off: int = 16):
-    """Neighbor suppression after one pick (Velodyne.cpp:969-988):
+def _suppression_rows(xyz, pick_idx, pick_ok, max_off: int = 16):
+    """Neighbor suppression after one pick per row (Velodyne.cpp:969-988):
     offsets 1..5 stop at a >22.36 cm gap between consecutive points; offsets
-    beyond 5 stop when >6 cm from the picked point. Returns (S,W) disable."""
-    S, W = valid.shape
-    p0 = xyz[pick_row, pick_idx]  # (3,)
+    beyond 5 stop when >6 cm from the picked point. Vectorized over all scan
+    rows at once: pick_idx (S,), pick_ok (S,). Returns (S,W) disable."""
+    S, W = xyz.shape[:2]
+    rows = jnp.arange(S)
+    p0 = xyz[rows, pick_idx]  # (S,3)
     dis = jnp.zeros((S, W), bool)
     for direction in (-1, 1):
-        stopped = jnp.asarray(False)
+        stopped = ~pick_ok
         for l in range(1, max_off + 1):
             j = pick_idx + direction * l
             jc = jnp.clip(j, 0, W - 1)
-            pj = xyz[pick_row, jc]
-            pj_prev = xyz[pick_row, jnp.clip(j - direction, 0, W - 1)]
-            gap = jnp.sum((pj - pj_prev) ** 2)
-            far = jnp.sum((pj - p0) ** 2)
+            pj = xyz[rows, jc]
+            pj_prev = xyz[rows, jnp.clip(j - direction, 0, W - 1)]
+            gap = jnp.sum((pj - pj_prev) ** 2, axis=-1)
+            far = jnp.sum((pj - p0) ** 2, axis=-1)
             brk = jnp.where(l <= 5, gap > 0.05, far > 0.0036)
             stopped = stopped | brk | (j < 0) | (j >= W)
-            dis = dis.at[pick_row, jc].set(
-                jnp.where(stopped, dis[pick_row, jc], True))
+            dis = dis.at[rows, jc].max(~stopped)
     return dis
 
 
@@ -405,25 +406,16 @@ def greedy_pick(seq, curv, eligible, n_picks: int,
         new_picked = picked
         new_rank = rank
         new_dis = disabled
+        rows = jnp.arange(S)
         for j in range(6):
             key_j = jnp.where(sec == j, key, -jnp.inf)
             idx_r = jnp.argmax(key_j, axis=1)              # (S,)
             ok_r = jnp.take_along_axis(key_j, idx_r[:, None], axis=1)[:, 0] > -jnp.inf
-            rows = jnp.arange(S)
-            new_picked = new_picked.at[rows, idx_r].set(
-                jnp.where(ok_r, True, new_picked[rows, idx_r]))
+            new_picked = new_picked.at[rows, idx_r].max(ok_r)
             new_rank = new_rank.at[rows, idx_r].set(
                 jnp.where(ok_r & (new_rank[rows, idx_r] < 0), t,
                           new_rank[rows, idx_r]))
-            # suppression for each row's pick
-            def sup_row(r, dis):
-                do = ok_r[r]
-                d = jax.lax.cond(
-                    do,
-                    lambda: _suppression(xyz, valid, r, idx_r[r]),
-                    lambda: jnp.zeros_like(dis))
-                return dis | d
-            new_dis = jax.lax.fori_loop(0, S, sup_row, new_dis)
+            new_dis = new_dis | _suppression_rows(xyz, idx_r, ok_r)
         return new_picked, new_rank, new_dis
 
     picked0 = jnp.zeros((S, W), bool)
