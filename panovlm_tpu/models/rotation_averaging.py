@@ -1,0 +1,129 @@
+"""Global rotation averaging.
+
+Replaces sfm/RotationAveraging.{h,cpp} (reference):
+  * FilterPairs (:11-183): X84/MAD outlier rejection on pairwise rotation
+    consistency + temporal-connectivity repair;
+  * RotationAveragingSpanningTree (:278-315): maximum-spanning-tree
+    propagation of relative rotations (host control plane, networkx);
+  * RotationAveragingL1 (:376-582): spanning-tree init + robust refinement.
+    The reference alternates an L1-ADMM solve with IRLS (weights |e|^-1.5 /
+    Geman-McClure); here the same robust objective is minimized by the
+    on-device LM solver with a soft-L1 loss (IRLS inside solver/lm.py) —
+    one program instead of a host ADMM loop;
+  * RotationAveragingL2 (:317-374): ceres pairwise-rotation refinement ->
+    LM with trivial/huber loss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import se3
+from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
+
+
+def spanning_tree_init(n_frames, pair_i, pair_j, rel_aa, weights=None):
+    """Maximum-spanning-tree rotation initialization (host, numpy/networkx).
+
+    rel_aa (M,3): axis-angle of R_ji (frame i -> j) measurements.
+    Returns aa_fw (n_frames, 3) global world->frame rotations with frame of
+    the tree root = identity; unreachable frames get identity + invalid flag.
+    """
+    import networkx as nx
+    from scipy.spatial.transform import Rotation as ScR
+
+    g = nx.Graph()
+    g.add_nodes_from(range(n_frames))
+    if weights is None:
+        # default: favor temporally-near pairs (they carry the most matches
+        # in practice; the reference weights tree edges by inlier count)
+        gap = np.abs(np.asarray(pair_i) - np.asarray(pair_j)).astype(np.float64)
+        w = 1.0 / (1.0 + gap)
+    else:
+        w = np.asarray(weights)
+    for k in range(len(pair_i)):
+        i, j = int(pair_i[k]), int(pair_j[k])
+        if g.has_edge(i, j):
+            if g[i][j]["weight"] >= w[k]:
+                continue
+        g.add_edge(i, j, weight=float(w[k]), k=k)
+    tree = nx.maximum_spanning_tree(g)
+    R = np.tile(np.eye(3), (n_frames, 1, 1))
+    valid = np.zeros(n_frames, bool)
+    # BFS from the largest component's first node
+    comps = sorted(nx.connected_components(tree), key=len, reverse=True)
+    if not comps:
+        return np.zeros((n_frames, 3)), valid
+    root = min(comps[0])
+    valid[root] = True
+    for a, b in nx.bfs_edges(tree, root):
+        k = tree[a][b]["k"]
+        i, j = int(pair_i[k]), int(pair_j[k])
+        R_ji = ScR.from_rotvec(np.asarray(rel_aa[k])).as_matrix()
+        if b == j and a == i:       # R_jw = R_ji R_iw
+            R[b] = R_ji @ R[a]
+        else:                        # walking j -> i: R_iw = R_ji^T R_jw
+            R[b] = R_ji.T @ R[a]
+        valid[b] = True
+    aa = ScR.from_matrix(R).as_rotvec()
+    return aa.astype(np.float32), valid
+
+
+def filter_pairs_x84(pair_i, pair_j, rel_aa, aa_global, k_mad: float = 3.5):
+    """X84 (MAD) rejection of rotation measurements inconsistent with the
+    current global rotations (FilterPairs, RotationAveraging.cpp:11-183).
+    Keeps temporal edges |i-j| <= 3 regardless (the reference repairs
+    temporal connectivity). Returns keep mask (M,). Host numpy."""
+    from scipy.spatial.transform import Rotation as ScR
+    Ri = ScR.from_rotvec(np.asarray(aa_global)[np.asarray(pair_i)]).as_matrix()
+    Rj = ScR.from_rotvec(np.asarray(aa_global)[np.asarray(pair_j)]).as_matrix()
+    Rji = ScR.from_rotvec(np.asarray(rel_aa)).as_matrix()
+    cycle = np.einsum("mij,mkj->mik", np.einsum("mij,mkj->mik", Rj, Ri), Rji)
+    err = np.linalg.norm(ScR.from_matrix(cycle).as_rotvec(), axis=1)
+    med = np.median(err)
+    mad = np.median(np.abs(err - med)) + 1e-12
+    keep = err <= med + k_mad * 1.4826 * mad
+    temporal = np.abs(np.asarray(pair_i) - np.asarray(pair_j)) <= 3
+    return keep | temporal
+
+
+def _solve(aa0, pair_i, pair_j, rel_aa, mask, loss, loss_scale, max_iters,
+           fixed_idx: int = 0):
+    m = len(np.asarray(pair_i))
+    groups = {"rot": jnp.asarray(aa0, jnp.float32)}
+    fixed = np.zeros(groups["rot"].shape, bool)
+    fixed[fixed_idx] = True
+    block = ResidualBlock(
+        residuals.pairwise_rotation, ("rot", "rot"),
+        (jnp.asarray(pair_i, jnp.int32), jnp.asarray(pair_j, jnp.int32)),
+        (jnp.asarray(rel_aa, jnp.float32),),
+        jnp.ones((m,), jnp.float32), jnp.asarray(mask),
+        loss=loss, loss_scale=loss_scale)
+    out, info = solve_lm(groups, (block,), {"rot": jnp.asarray(fixed)},
+                         LMOptions(max_iters=max_iters))
+    return np.asarray(out["rot"]), info
+
+
+def rotation_averaging_l1(n_frames, pair_i, pair_j, rel_aa, weights=None,
+                          x84: bool = True):
+    """L1-flavoured robust rotation averaging + L2 refinement
+    (EstimateGlobalRotation flow, sfm/SfM.cpp:811-905). Returns
+    (aa_fw (N,3), valid (N,), keep_mask (M,))."""
+    aa0, valid = spanning_tree_init(n_frames, pair_i, pair_j, rel_aa, weights)
+    # pre-filter vs the tree estimate (reference runs FilterByTriplet /
+    # FilterPairs before averaging, sfm/SfM.cpp:705-778)
+    mask = filter_pairs_x84(pair_i, pair_j, rel_aa, aa0) if x84 \
+        else np.ones(len(pair_i), bool)
+    # robust (soft-L1 ~ the reference's L1/IRLS stage)
+    aa1, _ = _solve(aa0, pair_i, pair_j, rel_aa, jnp.asarray(mask),
+                    "soft_l1", float(np.radians(1.0)), 40,
+                    fixed_idx=int(np.argmax(valid)))
+    if x84:
+        mask = filter_pairs_x84(pair_i, pair_j, rel_aa, aa1)
+    # L2 refinement on surviving pairs (RotationAveragingL2 uses Huber)
+    aa2, info = _solve(aa1, pair_i, pair_j, rel_aa, jnp.asarray(mask),
+                       "huber", float(np.radians(2.0)), 30,
+                       fixed_idx=int(np.argmax(valid)))
+    return aa2, valid, mask

@@ -76,7 +76,10 @@ def exp_so3(w):
 def log_so3(R):
     """Rotation matrix (...,3,3) -> axis-angle (...,3). Safe near 0 and pi."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # clip strictly inside (-1, 1): arccos' derivative is infinite at +-1 and
+    # the resulting NaN would poison gradients through the Taylor branch
+    # (theta^2 term -> 0 * inf). The value error is <= sqrt(2e-7) rad.
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)
     # vee of (R - R^T)/2 = sin(theta) * axis
     v = jnp.stack(

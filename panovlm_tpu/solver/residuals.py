@@ -247,10 +247,15 @@ def pairwise_translation(t_1w, t_2w, scale, aa_21_obs, t_21_obs_unit):
 
 
 def lud(t_w1, t_w2, scale, direction_w):
-    """LUDResidual (base/CostFunction.h:89-117): sqrt-robust norm of
-    t_w1 - t_w2 - scale * dir, dir = normalize(R_w2 t_21). (1,)."""
-    e = t_w1 - t_w2 - scale[0] * direction_w
-    return jnp.sqrt(jnp.sqrt(jnp.sum(e * e) + 1e-20))[None]
+    """LUD center residual (base/CostFunction.h:89-117 objective):
+    e = t_w1 - t_w2 - scale * dir, dir = normalize(R_w2 t_21). (3,).
+
+    Reformulation note: the reference feeds sqrt(sqrt(|e|)) to Ceres to get
+    an L1/2-robust norm; that scalar has infinite slope at e = 0 and a
+    rank-1 GN block — hostile to any GN-family solver. We return the raw
+    3-vector and let the solver's soft-L1/Cauchy loss provide the
+    robustness (same M-estimator family, well-behaved Jacobians)."""
+    return t_w1 - t_w2 - scale[0] * direction_w
 
 
 def chordal(t_w1, t_w2, direction_w):

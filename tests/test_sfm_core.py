@@ -1,0 +1,153 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScR
+
+from panovlm_tpu.models import rotation_averaging as ra
+from panovlm_tpu.models import translation_averaging as ta
+from panovlm_tpu.ops import triangulate as tri
+from panovlm_tpu.utils import tracks as trk
+
+
+def test_union_find_tracks():
+    # 3 images; feature f of img0 matches img1 and img2 -> one track of 3
+    matches = [
+        (0, 1, np.array([[0, 5], [1, 6]])),
+        (1, 2, np.array([[5, 2]])),
+        (0, 2, np.array([[3, 9]])),
+    ]
+    img, feat, mask = trk.build_tracks(matches, [10, 10, 10], min_length=2)
+    lens = mask.sum(1)
+    assert sorted(lens.tolist()) == [2, 2, 3]
+    # the 3-track is (0,0)-(1,5)-(2,2)
+    k = int(np.argmax(lens))
+    assert img[k].tolist() == [0, 1, 2]
+    assert feat[k].tolist() == [0, 5, 2]
+
+
+def test_tracks_inconsistent_dropped():
+    # feature 0 and 1 of img0 both link to img1 feat 5 -> same track sees
+    # img0 twice -> dropped
+    matches = [(0, 1, np.array([[0, 5], [1, 5]]))]
+    img, feat, mask = trk.build_tracks(matches, [4, 8], min_length=2)
+    assert mask.sum() == 0
+
+
+def _pose_graph(rng, n=12, rot_noise=0.01):
+    aa_gt = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    aa_gt[0] = 0
+    R = ScR.from_rotvec(aa_gt).as_matrix()
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    pairs += [(i, i + 2) for i in range(n - 2)]
+    pairs += [(0, n - 1)]
+    pi = np.array([p[0] for p in pairs], np.int32)
+    pj = np.array([p[1] for p in pairs], np.int32)
+    rel = np.stack([
+        ScR.from_matrix(R[j] @ R[i].T).as_rotvec() +
+        rng.normal(size=3) * rot_noise
+        for i, j in pairs
+    ]).astype(np.float32)
+    return aa_gt, R, pi, pj, rel
+
+
+def test_spanning_tree_init(rng):
+    aa_gt, R, pi, pj, rel = _pose_graph(rng, rot_noise=0.0)
+    aa0, valid = ra.spanning_tree_init(len(aa_gt), pi, pj, rel)
+    assert valid.all()
+    R0 = ScR.from_rotvec(aa0).as_matrix()
+    # up to global gauge: R0 R_gt^T should be constant
+    G = np.einsum("nij,nkj->nik", R0, R)
+    err = np.abs(G - G[0]).max()
+    assert err < 1e-4, err
+
+
+def test_rotation_averaging_with_outliers(rng):
+    aa_gt, R, pi, pj, rel = _pose_graph(rng, n=12, rot_noise=0.005)
+    # corrupt the loop-closure measurement badly (|i-j| > 3, so the
+    # X84 filter may drop it without the temporal-connectivity exemption)
+    rel[len(pi) - 1] += 1.0
+    aa, valid, keep = ra.rotation_averaging_l1(len(aa_gt), pi, pj, rel)
+    R_est = ScR.from_rotvec(aa).as_matrix()
+    # gauge align via frame 0
+    G = R_est[0] @ R[0].T
+    R_aligned = np.einsum("ij,njk->nik", G.T, R_est)
+    err = np.linalg.norm(
+        ScR.from_matrix(np.einsum("nij,nkj->nik", R_aligned, R)).as_rotvec(),
+        axis=1)
+    assert err.max() < 0.025, err.max()
+
+
+def _translation_graph(rng, n=10, noise=0.0):
+    aa = rng.normal(size=(n, 3)).astype(np.float32) * 0.2
+    aa[0] = 0
+    R = ScR.from_rotvec(aa).as_matrix()
+    C = rng.uniform(-3, 3, (n, 3)).astype(np.float32)  # centers
+    C[0] = 0
+    t = -np.einsum("nij,nj->ni", R, C)  # t_fw
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, min(i + 4, n))]
+    pi = np.array([p[0] for p in pairs], np.int32)
+    pj = np.array([p[1] for p in pairs], np.int32)
+    rel_aa = np.stack([ScR.from_matrix(R[j] @ R[i].T).as_rotvec()
+                       for i, j in pairs]).astype(np.float32)
+    # t_ji = t_j - R_ji t_i ; unit dir + scale
+    t_rel = np.stack([t[j] - (R[j] @ R[i].T) @ t[i] for i, j in pairs])
+    scale = np.linalg.norm(t_rel, axis=1)
+    u = t_rel / scale[:, None]
+    if noise:
+        u = u + rng.normal(size=u.shape) * noise
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+    return aa, t, C, pi, pj, rel_aa, u.astype(np.float32), scale.astype(np.float32)
+
+
+def align_translations(t_est, t_gt):
+    """Align up to global scale (gauge: t[0]=0 already)."""
+    num = (t_est * t_gt).sum()
+    den = (t_est * t_est).sum() + 1e-12
+    return t_est * (num / den)
+
+
+@pytest.mark.parametrize("method", ["dlt", "softl1", "l2irls", "lud"])
+def test_translation_averaging_methods(rng, method):
+    aa, t_gt, C, pi, pj, rel_aa, u, scale = _translation_graph(rng, noise=1e-4)
+    scales = scale.copy()
+    if method in ("lud",):
+        scales = np.zeros_like(scale)  # LUD estimates its own scales
+    t_est, s = ta.translation_averaging(aa, pi, pj, rel_aa, u, scales,
+                                        method=method)
+    t_al = align_translations(t_est, t_gt)
+    err = np.abs(t_al - t_gt).max() / (np.abs(t_gt).max() + 1e-9)
+    assert err < 0.05, (method, err)
+
+
+def test_translation_averaging_softl1_outliers(rng):
+    aa, t_gt, C, pi, pj, rel_aa, u, scale = _translation_graph(rng, noise=1e-4)
+    u = u.copy()
+    u[3] = np.array([0, 0, 1.0], np.float32)  # corrupt one direction
+    t_est, s = ta.translation_averaging(aa, pi, pj, rel_aa, u, scale,
+                                        method="softl1")
+    t_al = align_translations(t_est, t_gt)
+    err = np.abs(t_al - t_gt).max() / np.abs(t_gt).max()
+    assert err < 0.1, err
+
+
+def test_triangulate_rays(rng):
+    X_gt = np.array([1.0, -0.5, 3.0], np.float32)
+    origins = rng.uniform(-2, 2, (6, 3)).astype(np.float32)
+    dirs = X_gt - origins
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    mask = np.ones(6, bool)
+    mask[-1] = False
+    origins[-1] = 1e3  # garbage, masked
+    X, ok = tri.triangulate_rays(jnp.asarray(origins), jnp.asarray(dirs),
+                                 jnp.asarray(mask))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(X), X_gt, atol=1e-4)
+
+
+def test_max_pairwise_angle():
+    dirs = jnp.asarray(np.array([[1, 0, 0], [1, 0.02, 0], [0, 1, 0]], np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    a_all = tri.max_pairwise_ray_angle(dirs, jnp.ones(3, bool))
+    np.testing.assert_allclose(float(a_all), 90.0, atol=0.5)
+    a_two = tri.max_pairwise_ray_angle(dirs, jnp.asarray([True, True, False]))
+    assert float(a_two) < 2.0
