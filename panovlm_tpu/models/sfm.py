@@ -1,0 +1,342 @@
+"""Global SfM orchestration — the reference's init_camera_pose stage.
+
+Replaces sfm/SfM.{h,cpp} (reference, 2.7k LoC orchestrator) with batched
+array programs per step (reference call stack: SURVEY.md §3.1):
+
+  InitImagePairs    -> init_image_pairs (exhaustive / contiguous-20 / VLAD)
+  MatchImagePairs   -> match_all_pairs (MXU matmul KNN, utils/sift.py)
+  FilterImagePairs  -> relative_poses (batched AC-RANSAC -> decompose ->
+                       CheckRT -> two-view chordal refinement)
+  SetTranslationScaleDepthMap -> translation_scale_from_depth
+  FilterByTriplet / LargestBiconnectedGraph -> host networkx (control plane)
+  EstimateGlobalRotation -> models/rotation_averaging.py
+  EstimateGlobalTranslation -> models/translation_averaging.py
+  EstimateStructure -> estimate_structure (tracks + N-view triangulation)
+  GlobalBundleAdjustment -> global_ba (device LM, Huber(4 deg))
+  SetToOrigin -> set_to_origin
+
+Pose convention everywhere: params [aa_cw, t_cw] (world->camera), first
+valid camera gauge-fixed, exactly like the reference's Ceres problems.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import epipolar, se3, spherical, triangulate as tri_ops
+from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
+from ..utils import tracks as trk
+from ..utils.sift import match_descriptors
+
+
+class SfMConfig(NamedTuple):
+    num_sift: int = 4096
+    sift_match_dist_threshold: float = 0.6
+    sift_match_num_threshold: int = 40       # Config.h
+    pair_method: str = "contiguous"          # exhaustive|contiguous|vlad
+    contiguous_window: int = 20              # SfM.cpp:65
+    ransac_hypotheses: int = 300             # SfM.cpp:338
+    min_inliers: int = 30
+    triangulate_angle_threshold: float = 25.0
+    translation_method: str = "softl1"
+    upper_scale_ratio: float = 1.3
+    lower_scale_ratio: float = 0.9
+    max_matches: int = 1024
+    match_max_dist_factor: float = 0.8    # SfM.cpp MatchImagePairs filter
+    ba_huber_deg: float = 4.0                # Optimization.cpp:104-110
+    min_track_length: int = 3                # Structure.cpp:8-85
+
+
+def init_image_pairs(n_frames: int, cfg: SfMConfig, embeddings=None):
+    """Pair proposal (InitImagePairs, sfm/SfM.cpp:49-168). Returns (pi, pj).
+
+    vlad: neighbors by embedding cosine similarity (embeddings (N,D));
+    always unioned with the temporal window like GPS_VLAD."""
+    pairs = set()
+    if cfg.pair_method == "exhaustive":
+        pairs |= {(i, j) for i in range(n_frames) for j in range(i + 1, n_frames)}
+    else:
+        w = cfg.contiguous_window
+        pairs |= {(i, j) for i in range(n_frames)
+                  for j in range(i + 1, min(i + 1 + w, n_frames))}
+    if cfg.pair_method == "vlad" and embeddings is not None:
+        e = np.asarray(embeddings)
+        e = e / (np.linalg.norm(e, axis=1, keepdims=True) + 1e-12)
+        sim = e @ e.T
+        np.fill_diagonal(sim, -1)
+        for i in range(n_frames):
+            for j in np.argsort(-sim[i])[:10]:
+                a, b = min(i, int(j)), max(i, int(j))
+                if a != b:
+                    pairs.add((a, b))
+    ordered = sorted(pairs)
+    return (np.array([p[0] for p in ordered], np.int32),
+            np.array([p[1] for p in ordered], np.int32))
+
+
+def match_all_pairs(desc, fmask, pi, pj, cfg: SfMConfig):
+    """Match every proposed pair (MatchImagePairs, SfM.cpp:229-295).
+    desc (N,F,128), fmask (N,F). Returns dict idx (P,K,2), mask (P,K)."""
+
+    @jax.jit
+    def run(desc, fmask, pi, pj):
+        def one(pair):
+            i, j = pair
+            return match_descriptors(desc[i], fmask[i], desc[j], fmask[j],
+                                     ratio=cfg.sift_match_dist_threshold,
+                                     max_dist_factor=cfg.match_max_dist_factor,
+                                     max_matches=cfg.max_matches)
+        return jax.lax.map(one, (pi, pj), batch_size=4)
+
+    out = run(desc, fmask, jnp.asarray(pi), jnp.asarray(pj))
+    # pair acceptance: enough matches (sift_match_num_threshold)
+    n_m = np.asarray(out["mask"].sum(axis=1))
+    out["pair_ok"] = jnp.asarray(n_m >= cfg.sift_match_num_threshold)
+    return out
+
+
+def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig):
+    """Relative pose per pair (FilterImagePairs, SfM.cpp:298-480):
+    AC-RANSAC essential -> decompose -> CheckRT best-of-4 -> two-view
+    refinement with the chordal residual (SfMLocalBA analog), |t| renormalized.
+
+    Returns dict with per-pair: rel_aa (P,3), rel_t (P,3) unit, n_inliers,
+    ok, tri_points (P,K,3) (frame-i coords), tri_mask (P,K).
+    """
+    K = matches_idx.shape[1]
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(bearings, matches_idx, matches_mask, pi, pj, keys):
+        def one(args):
+            i, j, midx, mmask, key = args
+            b1 = bearings[i][midx[:, 0]]
+            b2 = bearings[j][midx[:, 1]]
+            ransac = epipolar.find_essential_acransac(
+                b1, b2, mmask, n_hyp=cfg.ransac_hypotheses, seed=0)
+            # different pairs need different hypothesis draws: fold the pair
+            # id into the rng by re-running with per-pair seed is wasteful;
+            # instead the sampling inside uses match ordering which differs
+            # per pair. (seed kept fixed for determinism.)
+            pose = epipolar.best_pose_from_essential(
+                ransac["E"], b1, b2, ransac["inliers"])
+            # two-view refinement on triangulated inliers (chordal), pose 1
+            # fixed, then renormalize |t| (Optimization.cpp:160-169)
+            n_inl = jnp.sum(pose["good"])
+            aa0 = se3.log_so3(pose["R_21"])
+            poses0 = jnp.stack([jnp.zeros(6),
+                                jnp.concatenate([aa0, pose["t_21"]])])
+            groups = {"poses": poses0, "pts": pose["points"]}
+            fixed = {"poses": jnp.asarray(np.array([[True] * 6, [False] * 6])),
+                     "pts": jnp.zeros((K, 3), bool)}
+            blocks = []
+            for cam, bb in ((0, b1), (1, b2)):
+                blocks.append(ResidualBlock(
+                    residuals.reproj_chordal, ("poses", "pts"),
+                    (jnp.full((K,), cam, jnp.int32),
+                     jnp.arange(K, dtype=jnp.int32)),
+                    (bb,), jnp.ones((K,), jnp.float32), pose["good"],
+                    loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg))))
+            out, _ = solve_lm(groups, tuple(blocks), fixed,
+                              LMOptions(max_iters=10, cg_iters=30))
+            aa = out["poses"][1, :3]
+            t = out["poses"][1, 3:]
+            t_norm = jnp.linalg.norm(t) + 1e-12
+            pts = out["pts"] / t_norm
+            ok = ransac["ok"] & (n_inl >= cfg.min_inliers)
+            return {"rel_aa": aa, "rel_t": t / t_norm, "n_inliers": n_inl,
+                    "ok": ok, "tri_points": pts,
+                    "tri_mask": pose["good"]}
+
+        return jax.lax.map(one, (pi, pj, matches_idx, matches_mask, keys),
+                           batch_size=2)
+
+    P = len(pi)
+    keys = jnp.arange(P, dtype=jnp.int32)
+    return run(bearings, jnp.asarray(matches_idx), jnp.asarray(matches_mask),
+               jnp.asarray(pi), jnp.asarray(pj), keys)
+
+
+def translation_scale_from_depth(depth_maps, frame_rows, frame_cols,
+                                 rel, matches_idx, uv, pi, cfg: SfMConfig,
+                                 min_votes: int = 10):
+    """Metric scale per pair from LiDAR depth maps
+    (SetTranslationScaleDepthMap, SfM.cpp:487-679): compare each
+    two-view-triangulated inlier's depth in frame i against the (completed)
+    LiDAR depth panorama at its pixel; the pair scale is the robust median of
+    the ratios after MAD filtering (the reference's histogram filter).
+
+    depth_maps: (N, H, W) float32, 0 = no depth. Returns scales (P,) with
+    -1 where undetermined.
+    """
+    tri = np.asarray(rel["tri_points"])           # (P, K, 3) frame-i coords
+    tmask = np.asarray(rel["tri_mask"])
+    midx = np.asarray(matches_idx)
+    H, W = depth_maps.shape[1:]
+    scales = np.full(len(pi), -1.0, np.float32)
+    for p in range(len(pi)):
+        if not tmask[p].any():
+            continue
+        i = int(pi[p])
+        uv_i = np.asarray(uv[i])[midx[p, :, 0]]   # (K,2) pixels in frame i
+        d_tri = np.linalg.norm(tri[p], axis=1)
+        px = np.clip(uv_i[:, 0].astype(int), 0, W - 1)
+        py = np.clip(uv_i[:, 1].astype(int), 0, H - 1)
+        d_lidar = np.asarray(depth_maps[i])[py, px]
+        ok = tmask[p] & (d_lidar > 0.1) & (d_tri > 1e-6)
+        if ok.sum() < min_votes:
+            continue
+        ratio = d_lidar[ok] / d_tri[ok]
+        med = np.median(ratio)
+        mad = np.median(np.abs(ratio - med)) + 1e-9
+        inl = np.abs(ratio - med) < 3 * 1.4826 * mad
+        if inl.sum() < min_votes:
+            continue
+        scales[p] = float(np.median(ratio[inl]))
+    return scales
+
+
+def filter_by_triplet(pi, pj, rel_aa, ok, angle_threshold_deg: float = 5.0):
+    """Triplet rotation-consistency filter (FilterByTriplet, SfM.cpp:705-778)
+    (host, networkx): a pair survives if it belongs to at least one triangle
+    whose composed rotation is within the threshold of identity."""
+    import networkx as nx
+    from scipy.spatial.transform import Rotation as ScR
+    g = nx.Graph()
+    edge_of = {}
+    for k in range(len(pi)):
+        if not ok[k]:
+            continue
+        g.add_edge(int(pi[k]), int(pj[k]))
+        edge_of[(int(pi[k]), int(pj[k]))] = k
+    R = ScR.from_rotvec(np.asarray(rel_aa)).as_matrix()
+
+    def rel_R(a, b):
+        if (a, b) in edge_of:
+            return R[edge_of[(a, b)]]
+        return R[edge_of[(b, a)]].T
+
+    keep = np.zeros(len(pi), bool)
+    for a, b in g.edges:
+        common = set(g.adj[a]) & set(g.adj[b])
+        for c in common:
+            cyc = rel_R(a, b) @ rel_R(c, a) @ rel_R(b, c)
+            ang = np.degrees(np.linalg.norm(ScR.from_matrix(cyc).as_rotvec()))
+            if ang < angle_threshold_deg:
+                for e in ((a, b), (min(c, a), max(c, a)), (min(b, c), max(b, c))):
+                    if e in edge_of:
+                        keep[edge_of[e]] = True
+                break
+    return keep & np.asarray(ok)
+
+
+def largest_biconnected(pi, pj, ok, n_frames):
+    """Largest bi-edge-connected subgraph (LargestBiconnectedGraph,
+    SfM.cpp:780-799; lemon -> networkx). Returns (pair keep, frame valid)."""
+    import networkx as nx
+    g = nx.Graph()
+    for k in range(len(pi)):
+        if ok[k]:
+            g.add_edge(int(pi[k]), int(pj[k]))
+    if g.number_of_edges() == 0:
+        return np.zeros(len(pi), bool), np.zeros(n_frames, bool)
+    # remove bridges, take the largest remaining component
+    bridges = set(nx.bridges(g))
+    g2 = g.copy()
+    g2.remove_edges_from(bridges)
+    comps = sorted(nx.connected_components(g2), key=len, reverse=True)
+    nodes = comps[0] if comps else set()
+    frame_valid = np.zeros(n_frames, bool)
+    for v in nodes:
+        frame_valid[v] = True
+    keep = np.array([
+        ok[k] and frame_valid[int(pi[k])] and frame_valid[int(pj[k])]
+        for k in range(len(pi))])
+    return keep, frame_valid
+
+
+def estimate_structure(poses_cw, bearings, track_img, track_feat, track_mask,
+                       cfg: SfMConfig):
+    """TriangulateTracks (sfm/Structure.cpp:8-85): N-view triangulation of
+    tracks with the viewing-angle criterion. Returns (points (T,3),
+    ok (T,))."""
+    poses_j = jnp.asarray(poses_cw)
+    b_obs = jnp.asarray(bearings)[jnp.asarray(track_img),
+                                  jnp.asarray(track_feat)]  # (T, L, 3)
+    p_obs = poses_j[jnp.asarray(track_img)]                 # (T, L, 6)
+    origins, dirs = tri_ops.rays_from_poses(p_obs, b_obs)
+    X, ok = tri_ops.triangulate_rays(origins, dirs, jnp.asarray(track_mask))
+    ang = tri_ops.max_pairwise_ray_angle(dirs, jnp.asarray(track_mask))
+    # reprojection sanity (FilterTracksAngleResidual)
+    rep = tri_ops.reprojection_angles(p_obs, b_obs, X, jnp.asarray(track_mask))
+    ok = ok & (ang <= cfg.triangulate_angle_threshold) & \
+        (jnp.max(rep, axis=-1) < 5.0) & (ang > 1.0)
+    return X, ok
+
+
+def global_ba(poses_cw, points, track_img, track_feat, track_mask, bearings,
+              point_ok, frame_valid, cfg: SfMConfig,
+              refine_rotation=True, refine_translation=True,
+              refine_structure=True, max_iters: int = 50):
+    """SfMGlobalBA (util/Optimization.cpp:10-82): one LM problem over all
+    camera poses + structure with Huber(4 deg) chordal reprojection."""
+    T, L = track_img.shape
+    obs_t = np.repeat(np.arange(T), L)
+    obs_img = np.asarray(track_img).ravel()
+    obs_feat = np.asarray(track_feat).ravel()
+    obs_mask = (np.asarray(track_mask).ravel()
+                & np.asarray(point_ok)[obs_t]
+                & np.asarray(frame_valid)[obs_img])
+    b_obs = np.asarray(bearings)[obs_img, obs_feat]
+
+    groups = {"poses": jnp.asarray(poses_cw, jnp.float32),
+              "pts": jnp.asarray(points, jnp.float32)}
+    fixed_p = np.zeros(groups["poses"].shape, bool)
+    if not refine_rotation:
+        fixed_p[:, :3] = True
+    if not refine_translation:
+        fixed_p[:, 3:] = True
+    fixed_p[~np.asarray(frame_valid)] = True
+    first = int(np.argmax(np.asarray(frame_valid)))
+    fixed_p[first] = True  # gauge
+    fixed_x = np.zeros(groups["pts"].shape, bool)
+    if not refine_structure:
+        fixed_x[:] = True
+    fixed_x[~np.asarray(point_ok)] = True
+    block = ResidualBlock(
+        residuals.reproj_chordal, ("poses", "pts"),
+        (jnp.asarray(obs_img, jnp.int32), jnp.asarray(obs_t, jnp.int32)),
+        (jnp.asarray(b_obs),),
+        jnp.ones((len(obs_img),), jnp.float32), jnp.asarray(obs_mask),
+        loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg)),
+        name="reproj")
+    out, info = solve_lm(groups, (block,),
+                         {"poses": jnp.asarray(fixed_p), "pts": jnp.asarray(fixed_x)},
+                         LMOptions(max_iters=max_iters))
+    return np.asarray(out["poses"]), np.asarray(out["pts"]), info
+
+
+def set_to_origin(poses_cw, frame_valid):
+    """SetToOrigin (SfM.cpp:1385-1421): move the first valid camera to the
+    world origin with identity rotation."""
+    from scipy.spatial.transform import Rotation as ScR
+    first = int(np.argmax(np.asarray(frame_valid)))
+    aa0 = np.asarray(poses_cw)[first, :3]
+    t0 = np.asarray(poses_cw)[first, 3:]
+    R0 = ScR.from_rotvec(aa0).as_matrix()
+    out = np.array(poses_cw, np.float64).copy()
+    for i in range(len(out)):
+        if not frame_valid[i]:
+            continue
+        Ri = ScR.from_rotvec(out[i, :3]).as_matrix()
+        ti = out[i, 3:]
+        # T_iw' = T_iw * T_w0 (new world = old frame 'first')
+        R_new = Ri @ R0.T
+        t_new = ti - R_new @ t0
+        out[i, :3] = ScR.from_matrix(R_new).as_rotvec()
+        out[i, 3:] = t_new
+    return out.astype(np.float32)
