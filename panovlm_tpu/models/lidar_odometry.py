@@ -49,7 +49,8 @@ def _pad_pairs(pair_r, pair_n, bucket: int = 64):
 
 def build_blocks(assoc, pair_r, pair_n, pair_valid, *, angle_residual=True,
                  normalize_distance=True, weight=1.0,
-                 point_to_line=True, line_to_line=True, point_to_plane=True):
+                 point_to_line=True, line_to_line=True, point_to_plane=True,
+                 group: str = "poses"):
     """Flatten per-pair association outputs into solver ResidualBlocks.
 
     Mirrors util/Optimization.cpp residual assembly: Huber(2 deg) for angle
@@ -71,7 +72,7 @@ def build_blocks(assoc, pair_r, pair_n, pair_valid, *, angle_residual=True,
                                 normalize_distance=normalize_distance)
               if angle_residual else residuals.point2line_meter)
         blocks.append(ResidualBlock(
-            fn, ("poses", "poses"),
+            fn, (group, group),
             (flat_idx(pair_r, P), flat_idx(pair_n, P)),
             (p2l["point"].reshape(-1, 3), p2l["line_pt"].reshape(-1, 3),
              p2l["line_dir"].reshape(-1, 3)),
@@ -86,7 +87,7 @@ def build_blocks(assoc, pair_r, pair_n, pair_valid, *, angle_residual=True,
                                 normalize_distance=normalize_distance)
               if angle_residual else residuals.point2plane_meter)
         blocks.append(ResidualBlock(
-            fn, ("poses", "poses"),
+            fn, (group, group),
             (flat_idx(pair_r, Q), flat_idx(pair_n, Q)),
             (p2p["point"].reshape(-1, 3), p2p["plane"].reshape(-1, 4)),
             jnp.full((M * Q,), weight, jnp.float32), mask,
@@ -97,7 +98,7 @@ def build_blocks(assoc, pair_r, pair_n, pair_valid, *, angle_residual=True,
         L = l2l["mask"].shape[1]
         mask = (l2l["mask"] & pair_valid[:, None]).ravel()
         blocks.append(ResidualBlock(
-            residuals.line2line_angle, ("poses", "poses"),
+            residuals.line2line_angle, (group, group),
             (flat_idx(pair_r, L), flat_idx(pair_n, L)),
             (l2l["dir_r"].reshape(-1, 3), l2l["dir_n"].reshape(-1, 3)),
             jnp.full((M * L,), weight, jnp.float32), mask,

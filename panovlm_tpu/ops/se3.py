@@ -61,9 +61,15 @@ def exp_so3(w):
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
     use_taylor = theta2 < 1e-8
-    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
-    a = jnp.where(use_taylor, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks. The un-taken branch
+    # must use a SAFE denominator: reverse-mode AD propagates cotangents into
+    # both branches of a where, and (1-cos 0)/0 = 0/0 would emit NaN
+    # (the "double-where" trick).
+    theta_s = jnp.where(use_taylor, 1.0, theta)
+    theta2_s = jnp.where(use_taylor, 1.0, theta2)
+    a = jnp.where(use_taylor, 1.0 - theta2 / 6.0, jnp.sin(theta_s) / theta_s)
+    b = jnp.where(use_taylor, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta_s)) / theta2_s)
     W = hat(w)
     # W @ W == w w^T - theta^2 I (outer-product form avoids an MXU matmul,
     # which would otherwise run in bf16 by default on TPU).

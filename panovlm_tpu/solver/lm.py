@@ -86,10 +86,35 @@ def _gather_params(block: ResidualBlock, groups: dict):
     return [groups[g][idx] for g, idx in zip(block.groups, block.indices)]
 
 
+def _safe_data(block: ResidualBlock):
+    """Replace masked-out observation rows with a copy of some valid row.
+
+    Padded/invalid rows routinely carry degenerate data (zero endpoints,
+    zero plane normals). Their residuals are masked to zero, but reverse-mode
+    AD still propagates (zero) cotangents through the residual function,
+    where a 0/0 in a local partial turns into NaN and poisons the whole
+    gradient (0 * inf = NaN — masking the output does not mask the chain
+    rule). Substituting a valid row's data keeps every partial finite while
+    the mask still zeroes those rows' contributions exactly.
+    """
+    if not block.data:
+        return block.data
+    j = jnp.argmax(block.mask)  # first valid row (0 if none)
+    out = []
+    for d in block.data:
+        m = block.mask.reshape((-1,) + (1,) * (d.ndim - 1))
+        out.append(jnp.where(m, d, d[j]))
+    return tuple(out)
+
+
 def _raw_residuals(block: ResidualBlock, groups: dict):
     params = _gather_params(block, groups)
-    r = jax.vmap(block.fn)(*params, *block.data)  # (M, r_dim)
+    data = _safe_data(block)
+    r = jax.vmap(block.fn)(*params, *data)  # (M, r_dim)
     r = r * block.weight[:, None]
+    # final safety net (Ceres drops residual blocks with invalid jacobians;
+    # we zero non-finite residuals the same way)
+    r = jnp.where(jnp.isfinite(r), r, 0.0)
     return jnp.where(block.mask[:, None], r, 0.0)
 
 
@@ -123,10 +148,12 @@ def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict):
     out = {g: jnp.zeros(v.shape + (v.shape[-1],), v.dtype) for g, v in groups.items()}
     for block, w in zip(blocks, irls):
         params = _gather_params(block, groups)
+        data = _safe_data(block)
         scale = (block.weight * w * block.mask.astype(w.dtype))  # (M,)
         for k, (g, idx) in enumerate(zip(block.groups, block.indices)):
             jac_fn = jax.jacfwd(block.fn, argnums=k)
-            J = jax.vmap(jac_fn)(*params, *block.data)  # (M, r_dim, W)
+            J = jax.vmap(jac_fn)(*params, *data)  # (M, r_dim, W)
+            J = jnp.where(jnp.isfinite(J), J, 0.0)
             J = J * scale[:, None, None]
             JtJ = jnp.einsum("mri,mrj->mij", J, J,
                              precision=jax.lax.Precision.HIGHEST)

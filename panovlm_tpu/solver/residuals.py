@@ -46,10 +46,22 @@ def transform_n_to_r(pose_r, pose_n, point_n):
     return R_rn @ point_n - R_rn @ t_n + t_r
 
 
+def _safe_norm(x, eps: float = 1e-6):
+    """sqrt(|x|^2 + eps^2): jnp.linalg.norm has a NaN gradient at exactly 0
+    (0/0), which leaks through downstream clamps/wheres in reverse mode."""
+    return jnp.sqrt(jnp.sum(x * x) + eps * eps)
+
+
 def vector_angle(v1, v2):
-    """Unsigned angle between vectors; atan2 form, stable near 0 and pi."""
+    """Unsigned angle between vectors; atan2 form, stable near 0 and pi.
+
+    The sqrt floor is 1e-12 (not tighter): reverse-mode partials scale as
+    1/sin_n, and a 1e-20 floor lets degenerate (zero/parallel) inputs build
+    1e10-scale cotangent products that overflow f32 into inf/NaN. 1e-12
+    bounds partials at ~1e6 while costing only ~1e-6 rad of resolution,
+    far below the reference's 1e-3 deadbands."""
     cross = jnp.cross(v1, v2)
-    sin_n = jnp.sqrt(jnp.sum(cross * cross) + 1e-20)
+    sin_n = jnp.sqrt(jnp.sum(cross * cross) + 1e-12)
     cos_d = jnp.sum(v1 * v2)
     return jnp.arctan2(sin_n, cos_d)
 
@@ -63,8 +75,10 @@ def plane_angle(v1, v2):
 def _normalized_center_angle(point_proj, point_ref):
     """The reference's distance normalization (CostFunction.h:694-715):
     measure the angle from a center placed 1 m from the projected point
-    (along the origin->projection ray), so the angle ~ metric distance."""
-    norm = jnp.linalg.norm(point_proj) + 1e-12
+    (along the origin->projection ray), so the angle ~ metric distance.
+    The norm is clamped to 1 cm: below that the construction is degenerate
+    and a tiny eps would overflow reverse-mode partials (1/norm^2)."""
+    norm = jnp.maximum(_safe_norm(point_proj), 1e-2)
     center = (norm - 1.0) / norm * point_proj
     return vector_angle(point_proj - center, point_ref - center)
 
@@ -174,7 +188,7 @@ def _point_line_distance(p, line_pt, line_dir):
     diff = p - line_pt
     k = jnp.sum(diff * line_dir)
     closest = diff - k * line_dir
-    return jnp.sqrt(jnp.sum(closest * closest) + 1e-20)
+    return jnp.sqrt(jnp.sum(closest * closest) + 1e-12)
 
 
 def point2line_meter(pose_r, pose_n, point_n, line_pt_r, line_dir_r):
@@ -189,7 +203,7 @@ def point2line_angle(pose_r, pose_n, point_n, line_pt_r, line_dir_r,
     p_ref = transform_n_to_r(pose_r, pose_n, point_n)
     k = jnp.sum(line_dir_r * (p_ref - line_pt_r))
     p_proj = line_pt_r + k * line_dir_r
-    dis = jnp.linalg.norm(p_ref - p_proj)
+    dis = _safe_norm(p_ref - p_proj)
     if normalize_distance:
         ang = _normalized_center_angle(p_proj, p_ref)
     else:
@@ -219,6 +233,68 @@ def line2line_angle(pose_r, pose_n, dir_r, dir_n):
     d_ref = se3.exp_so3(aa_r) @ d_world
     ang = plane_angle(d_ref, dir_r)
     return jnp.where(ang < 1e-3, 0.0, ang)[None]
+
+
+# ----------------------------------------------------------------------------
+# camera-LiDAR line residuals (base/CostFunction.h:294-564)
+# ----------------------------------------------------------------------------
+
+
+def _transform_pair(pose_r, pose_n, p):
+    """neighbor local -> world -> reference local (the functors' transform)."""
+    aa_n, t_n = split_pose(pose_n)
+    aa_r, t_r = split_pose(pose_r)
+    R_wn = se3.exp_so3(-aa_n)
+    p_w = R_wn @ p - R_wn @ t_n
+    return se3.exp_so3(aa_r) @ p_w + t_r
+
+
+def plane2plane_global(pose_r, pose_n, plane_ref_n3, point_a_n, point_b_n):
+    """Plane2Plane_Global (base/CostFunction.h:350-426): the camera-LiDAR
+    line residual. plane_ref_n3: unit normal of the plane through the image
+    line and the camera center, in the reference (camera) frame; point_a/b:
+    LiDAR line endpoints in the neighbor (LiDAR) frame. Residual = fold-90
+    angle between the image-line plane and the plane spanned by the
+    transformed endpoints and the origin. (1,)."""
+    a_ref = _transform_pair(pose_r, pose_n, point_a_n)
+    b_ref = _transform_pair(pose_r, pose_n, point_b_n)
+    n1 = jnp.cross(a_ref, b_ref)
+    return plane_angle(plane_ref_n3, n1)[None]
+
+
+def plane_iou(pose_r, pose_n, ref_plane4, middle_n, middle_ref, half_angle):
+    """PlaneIOUResidual (base/CostFunction.h:433-506): hinge on the angular
+    offset between the neighbor line's midpoint (projected into the
+    reference-line plane) and the reference line's midpoint, beyond the
+    reference line's half arc angle. (1,)."""
+    m_ref = _transform_pair(pose_r, pose_n, middle_n)
+    n = ref_plane4[:3]
+    dis = jnp.sum(n * m_ref) + ref_plane4[3]
+    m_proj = m_ref - dis * n
+    ang = vector_angle(m_proj, middle_ref)
+    return jnp.maximum(ang - half_angle, 0.0)[None]
+
+
+def plane2plane_relative(pose_cl, plane_ref_n3, point_a_l, point_b_l):
+    """Plane2Plane_Relative (base/CostFunction.h:294-348): calibration
+    variant optimizing only T_cl. (1,)."""
+    aa, t = split_pose(pose_cl)
+    R = se3.exp_so3(aa)
+    a_c = R @ point_a_l + t
+    b_c = R @ point_b_l + t
+    n1 = jnp.cross(a_c, b_c)
+    return plane_angle(plane_ref_n3, n1)[None]
+
+
+def plane_relative_iou(pose_cl, ref_plane4, middle_l, middle_ref, half_angle):
+    """PlaneRelativeIOUResidual (base/CostFunction.h:509-564). (1,)."""
+    aa, t = split_pose(pose_cl)
+    m_c = se3.exp_so3(aa) @ middle_l + t
+    n = ref_plane4[:3]
+    dis = jnp.sum(n * m_c) + ref_plane4[3]
+    m_proj = m_c - dis * n
+    ang = vector_angle(m_proj, middle_ref)
+    return jnp.maximum(ang - half_angle, 0.0)[None]
 
 
 # ----------------------------------------------------------------------------

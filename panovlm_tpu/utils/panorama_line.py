@@ -1,0 +1,178 @@
+"""Panoramic 2D line detection + great-circle fusion.
+
+Replaces util/PanoramaLine.{h,cpp} (reference, 1474 LoC): LSD detection in
+the usable latitude band (PanoramaLine.cpp:34-101), then fusion of fragments
+of the same physical edge (FuseNearLines/FuseFarLines/FuseOverlapLines/
+FuseBoundaryLines + NCC split test, PanoramaLine.h:54-94) and length/arc
+filters (:103-160).
+
+TPU-first reformulation: a 2D segment on an equirectangular image is an arc
+of a great circle — fully described by the unit normal of the plane through
+its endpoint rays and the camera center. Fragment fusion then becomes a
+single vectorized criterion (normal-normal angle + arc adjacency/overlap +
+optional gray NCC along the arc) and a connected-component merge, instead of
+the reference's four pairwise fusion passes over pixel-space polylines.
+Detection itself (LSD) runs on host like SIFT — it is data prep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import spherical
+
+
+def detect_lsd(gray: np.ndarray, lat_band_deg: float = 70.0,
+               mask: np.ndarray | None = None, min_pixel_len: float = 20.0):
+    """LSD segments on a panorama, restricted to |lat| <= lat_band_deg
+    (the reference detects in the +-45..70 deg band / under a user mask,
+    PanoramaLine.cpp:34-101). Returns (L, 4) [u1 v1 u2 v2] float32."""
+    import cv2
+    H, W = gray.shape[:2]
+    lsd = cv2.createLineSegmentDetector()
+    out = lsd.detect(gray)[0]
+    if out is None:
+        return np.zeros((0, 4), np.float32)
+    segs = out.reshape(-1, 4).astype(np.float32)
+    v_lo = H * (0.5 - lat_band_deg / 180.0)
+    v_hi = H * (0.5 + lat_band_deg / 180.0)
+    keep = ((segs[:, 1] > v_lo) & (segs[:, 1] < v_hi)
+            & (segs[:, 3] > v_lo) & (segs[:, 3] < v_hi))
+    length = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    keep &= length >= min_pixel_len
+    if mask is not None:
+        my = np.clip(segs[:, 1].astype(int), 0, H - 1)
+        mx = np.clip(segs[:, 0].astype(int), 0, W - 1)
+        keep &= mask[my, mx] > 0
+    return segs[keep]
+
+
+def segments_to_arcs(segs: np.ndarray, rows: int, cols: int):
+    """2D segments -> great-circle arcs.
+
+    Returns dict of numpy arrays: normal (L,3) unit plane normals, e1/e2
+    (L,3) endpoint rays, mid (L,3) midpoint rays, arc (L,) arc angle rad."""
+    import jax.numpy as jnp
+    if len(segs) == 0:
+        z = np.zeros((0, 3), np.float32)
+        return {"normal": z, "e1": z, "e2": z, "mid": z,
+                "arc": np.zeros((0,), np.float32)}
+    uv1 = jnp.asarray(segs[:, :2])
+    uv2 = jnp.asarray(segs[:, 2:])
+    e1 = np.asarray(spherical.image_to_cam(uv1, rows, cols))
+    e2 = np.asarray(spherical.image_to_cam(uv2, rows, cols))
+    n = np.cross(e1, e2)
+    nn = np.linalg.norm(n, axis=1, keepdims=True)
+    ok = nn[:, 0] > 1e-9
+    n = np.where(ok[:, None], n / np.maximum(nn, 1e-12), 0.0)
+    mid = e1 + e2
+    mid /= np.linalg.norm(mid, axis=1, keepdims=True) + 1e-12
+    arc = np.arccos(np.clip((e1 * e2).sum(1), -1.0, 1.0))
+    return {"normal": n.astype(np.float32), "e1": e1.astype(np.float32),
+            "e2": e2.astype(np.float32), "mid": mid.astype(np.float32),
+            "arc": arc.astype(np.float32)}
+
+
+def fuse_arcs(arcs: dict, angle_thresh_deg: float = 2.0,
+              gap_deg: float = 4.0):
+    """Merge fragments on the same great circle with adjacent/overlapping
+    arcs (the reference's Fuse* family). Host numpy (few hundred lines).
+
+    Returns fused dict (same keys as segments_to_arcs)."""
+    n = arcs["normal"]
+    L = len(n)
+    if L == 0:
+        return arcs
+    cos_t = np.cos(np.radians(angle_thresh_deg))
+    nn = np.abs(n @ n.T)
+    same_plane = nn >= cos_t
+    # arc adjacency: min endpoint-pair angle <= gap OR midpoints closer than
+    # the sum of half arcs (overlap)
+    E = np.stack([arcs["e1"], arcs["e2"]], axis=1)  # (L,2,3)
+    dots = np.einsum("iak,jbk->iajb", E, E).reshape(L, 2, L, 2)
+    min_gap = np.arccos(np.clip(dots, -1, 1)).min(axis=(1, 3))
+    mid_dot = np.einsum("ik,jk->ij", arcs["mid"], arcs["mid"])
+    mid_ang = np.arccos(np.clip(mid_dot, -1, 1))
+    half_sum = 0.5 * (arcs["arc"][:, None] + arcs["arc"][None, :])
+    adjacent = (min_gap <= np.radians(gap_deg)) | (mid_ang <= half_sum)
+    connect = same_plane & adjacent
+    # connected components (host union-find)
+    from .tracks import UnionFind
+    uf = UnionFind(L)
+    ii, jj = np.nonzero(connect)
+    for a, b in zip(ii, jj):
+        if a < b:
+            uf.union(int(a), int(b))
+    roots = np.array([uf.find(i) for i in range(L)])
+    out = {k: [] for k in ("normal", "e1", "e2", "mid", "arc")}
+    for r in np.unique(roots):
+        grp = np.nonzero(roots == r)[0]
+        if len(grp) == 1:
+            for k in ("normal", "e1", "e2", "mid", "arc"):
+                out[k].append(arcs[k][grp[0]])
+            continue
+        # refit plane: smallest eigenvector of endpoint scatter (weighted by arc)
+        pts = E[grp].reshape(-1, 3)
+        w = np.repeat(arcs["arc"][grp], 2)[:, None]
+        A = (pts * w).T @ pts
+        evals, evecs = np.linalg.eigh(A)
+        nrm = evecs[:, 0]
+        nrm /= np.linalg.norm(nrm) + 1e-12
+        # endpoints: extreme angular positions along the circle
+        ref = pts[0] - (pts[0] @ nrm) * nrm
+        ref /= np.linalg.norm(ref) + 1e-12
+        t2 = np.cross(nrm, ref)
+        proj = pts - (pts @ nrm)[:, None] * nrm
+        proj /= np.linalg.norm(proj, axis=1, keepdims=True) + 1e-12
+        ang = np.arctan2(proj @ t2, proj @ ref)
+        a_lo, a_hi = ang.min(), ang.max()
+        e1 = np.cos(a_lo) * ref + np.sin(a_lo) * t2
+        e2 = np.cos(a_hi) * ref + np.sin(a_hi) * t2
+        mid = e1 + e2
+        mid /= np.linalg.norm(mid) + 1e-12
+        out["normal"].append(nrm.astype(np.float32))
+        out["e1"].append(e1.astype(np.float32))
+        out["e2"].append(e2.astype(np.float32))
+        out["mid"].append(mid.astype(np.float32))
+        out["arc"].append(np.float32(a_hi - a_lo))
+    return {k: np.stack(v) if v else np.zeros((0, 3) if k != "arc" else (0,),
+                                              np.float32)
+            for k, v in out.items()}
+
+
+def filter_arcs(arcs: dict, min_arc_deg: float = 3.0):
+    """Length/arc filter (PanoramaLine.cpp:103-160)."""
+    keep = arcs["arc"] >= np.radians(min_arc_deg)
+    return {k: v[keep] for k, v in arcs.items()}
+
+
+def pad_arcs(arcs: dict, cap: int):
+    """Pad to fixed shapes for device consumption. Returns dict + mask."""
+    L = min(len(arcs["arc"]), cap)
+    out = {}
+    for k in ("normal", "e1", "e2", "mid"):
+        buf = np.zeros((cap, 3), np.float32)
+        buf[:L] = arcs[k][:L]
+        out[k] = buf
+    arc = np.zeros((cap,), np.float32)
+    arc[:L] = arcs["arc"][:L]
+    out["arc"] = arc
+    mask = np.zeros((cap,), bool)
+    mask[:L] = True
+    out["mask"] = mask
+    return out
+
+
+def extract_panorama_lines(gray: np.ndarray, cap: int = 128,
+                           mask: np.ndarray | None = None):
+    """Full Detect+Fuse pipeline for one panorama (PanoramaLine::Detect/Fuse).
+    Returns padded arc dict."""
+    H, W = gray.shape[:2]
+    segs = detect_lsd(gray, mask=mask)
+    arcs = segments_to_arcs(segs, H, W)
+    arcs = fuse_arcs(arcs)
+    arcs = filter_arcs(arcs)
+    # strongest (longest) first
+    order = np.argsort(-arcs["arc"])
+    arcs = {k: v[order] for k, v in arcs.items()}
+    return pad_arcs(arcs, cap)

@@ -1,0 +1,198 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as ScR
+
+from panovlm_tpu.models import camera_lidar as cl
+from panovlm_tpu.ops import se3
+
+LI_CAP = 32     # image line cap
+LS_CAP = 16     # lidar segment cap
+P_CAP = 256     # lidar edge point cap
+
+
+def make_line_scene(rng, n_lines=10, pts_per_line=14):
+    """3D segments in world + helpers to render image arcs / lidar features."""
+    starts = rng.uniform(-3, 3, (n_lines, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_lines, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    lengths = rng.uniform(1.0, 2.5, n_lines).astype(np.float32)
+    ends = starts + dirs * lengths[:, None]
+    # keep lines away from the origin (cameras nearby)
+    mids = 0.5 * (starts + ends)
+    far = np.linalg.norm(mids, axis=1) > 1.5
+    starts, ends = starts[far], ends[far]
+    return starts, ends
+
+
+def arcs_from_world_lines(starts, ends, pose_c):
+    """Project world segments into a camera -> padded arc dict."""
+    R = ScR.from_rotvec(pose_c[:3]).as_matrix().astype(np.float32)
+    t = pose_c[3:]
+    e1 = starts @ R.T + t
+    e2 = ends @ R.T + t
+    n = np.cross(e1, e2)
+    n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-12
+    e1n = e1 / np.linalg.norm(e1, axis=1, keepdims=True)
+    e2n = e2 / np.linalg.norm(e2, axis=1, keepdims=True)
+    mid = e1n + e2n
+    mid /= np.linalg.norm(mid, axis=1, keepdims=True) + 1e-12
+    arc = np.arccos(np.clip((e1n * e2n).sum(1), -1, 1))
+    L = len(starts)
+    out = {"normal": np.zeros((LI_CAP, 3), np.float32),
+           "e1": np.zeros((LI_CAP, 3), np.float32),
+           "e2": np.zeros((LI_CAP, 3), np.float32),
+           "mid": np.zeros((LI_CAP, 3), np.float32),
+           "arc": np.zeros((LI_CAP,), np.float32),
+           "mask": np.zeros((LI_CAP,), bool)}
+    out["normal"][:L] = n
+    out["e1"][:L] = e1n
+    out["e2"][:L] = e2n
+    out["mid"][:L] = mid
+    out["arc"][:L] = arc
+    out["mask"][:L] = True
+    return out
+
+
+def lidar_feats_from_world_lines(starts, ends, pose_l, rng, pts_per_line=14,
+                                 noise=0.003):
+    """Sample lidar edge points along world segments, in the lidar frame."""
+    R = ScR.from_rotvec(pose_l[:3]).as_matrix().astype(np.float32)
+    t = pose_l[3:]
+    L = len(starts)
+    pts, labels = [], []
+    for k in range(L):
+        s = np.linspace(0.05, 0.95, pts_per_line)[:, None]
+        p_w = starts[k] * (1 - s) + ends[k] * s
+        p_l = p_w @ R.T + t + rng.normal(size=(pts_per_line, 3)).astype(np.float32) * noise
+        pts.append(p_l)
+        labels += [k] * pts_per_line
+    pts = np.concatenate(pts).astype(np.float32)
+    feats = {
+        "less_sharp": np.zeros((P_CAP, 3), np.float32),
+        "less_sharp_mask": np.zeros((P_CAP,), bool),
+        "point_to_segment": np.full((P_CAP,), -1, np.int32),
+        "line_endpoints": np.zeros((LS_CAP, 2, 3), np.float32),
+        "line_mask": np.zeros((LS_CAP,), bool),
+    }
+    n = min(len(pts), P_CAP)
+    feats["less_sharp"][:n] = pts[:n]
+    feats["less_sharp_mask"][:n] = True
+    feats["point_to_segment"][:n] = np.asarray(labels[:n])
+    e_l1 = starts @ R.T + t
+    e_l2 = ends @ R.T + t
+    feats["line_endpoints"][:L, 0] = e_l1
+    feats["line_endpoints"][:L, 1] = e_l2
+    feats["line_mask"][:L] = True
+    return feats
+
+
+def test_associate_by_angle_exact(rng):
+    starts, ends = make_line_scene(rng)
+    pose_c = np.zeros(6, np.float32)
+    pose_l = np.concatenate([np.array([0.01, -0.02, 0.005]),
+                             np.array([0.1, 0.05, -0.08])]).astype(np.float32)
+    arcs = arcs_from_world_lines(starts, ends, pose_c)
+    feats = lidar_feats_from_world_lines(starts, ends, pose_l, rng)
+    R_cl, t_cl = cl.relative_cl(jnp.asarray(pose_c), jnp.asarray(pose_l))
+    out = cl.associate_by_angle_pair(
+        {k: jnp.asarray(v) for k, v in arcs.items()},
+        {k: jnp.asarray(v) for k, v in feats.items()}, R_cl, t_cl)
+    m = np.asarray(out["mask"])
+    L = len(starts)
+    assert m[:L].sum() >= L - 1, m[:L]
+    # each accepted lidar segment k matches image line k (same world line)
+    il = np.asarray(out["img_line"])
+    assert (il[:L][m[:L]] == np.nonzero(m[:L])[0]).all()
+
+
+def test_associate_rejects_wrong_pose(rng):
+    starts, ends = make_line_scene(rng)
+    pose_c = np.zeros(6, np.float32)
+    pose_l = np.zeros(6, np.float32)
+    arcs = arcs_from_world_lines(starts, ends, pose_c)
+    feats = lidar_feats_from_world_lines(starts, ends, pose_l, rng)
+    # grossly wrong extrinsic: most associations must disappear
+    R_bad = jnp.asarray(ScR.from_rotvec([0.4, 0.3, -0.5]).as_matrix(), jnp.float32)
+    out = cl.associate_by_angle_pair(
+        {k: jnp.asarray(v) for k, v in arcs.items()},
+        {k: jnp.asarray(v) for k, v in feats.items()},
+        R_bad, jnp.asarray([0.5, -0.4, 0.3]))
+    assert np.asarray(out["mask"]).sum() <= 2
+
+
+def test_calibrate_recovers_extrinsic(rng):
+    starts, ends = make_line_scene(rng, n_lines=14)
+    pose_c = np.zeros(6, np.float32)
+    pose_l = np.zeros(6, np.float32)
+    arcs = arcs_from_world_lines(starts, ends, pose_c)
+    feats = lidar_feats_from_world_lines(starts, ends, pose_l, rng, noise=0.001)
+    # true T_cl = identity; start from a perturbed guess
+    T0 = np.eye(4)
+    T0[:3, :3] = ScR.from_rotvec([0.02, -0.015, 0.01]).as_matrix()
+    T0[:3, 3] = [0.03, -0.02, 0.04]
+    T, info = cl.calibrate({k: jnp.asarray(v) for k, v in arcs.items()},
+                           {k: jnp.asarray(v) for k, v in feats.items()}, T0)
+    rot_err = np.degrees(np.linalg.norm(ScR.from_matrix(T[:3, :3]).as_rotvec()))
+    assert rot_err < 0.2, rot_err
+    # note: line-to-plane constraints weakly observe translation along lines;
+    # the reference relies on many lines in general position
+    assert np.abs(T[:3, 3]).max() < 0.04, T[:3, 3]
+
+
+def test_joint_optimize_improves_lidar_poses(rng):
+    starts, ends = make_line_scene(rng, n_lines=14)
+    n_cam, n_lid = 3, 3
+    cam_gt = np.zeros((n_cam, 6), np.float32)
+    cam_gt[:, 3] = np.arange(n_cam) * 0.2
+    lid_gt = np.zeros((n_lid, 6), np.float32)
+    lid_gt[:, 3] = np.arange(n_lid) * 0.2 + 0.05
+
+    arc_list = [arcs_from_world_lines(starts, ends, cam_gt[i]) for i in range(n_cam)]
+    arc_batch = {k: jnp.asarray(np.stack([a[k] for a in arc_list]))
+                 for k in arc_list[0]}
+    feats_list = [lidar_feats_from_world_lines(starts, ends, lid_gt[i], rng)
+                  for i in range(n_lid)]
+    lidar_batch = {k: jnp.asarray(np.stack([f[k] for f in feats_list]))
+                   for k in feats_list[0]}
+    # minimal lidar ScanFeatures keys needed by the lidar-lidar association
+    Z = np.zeros
+    n_pts = 128
+    for k, shape in [("flat", (n_lid, 64, 3)), ("flat_mask", (n_lid, 64)),
+                     ("flat_ground", (n_lid, 64)), ("flat_row", (n_lid, 64)),
+                     ("less_flat", (n_lid, 128, 3)), ("less_flat_mask", (n_lid, 128)),
+                     ("less_flat_ground", (n_lid, 128)), ("less_flat_row", (n_lid, 128)),
+                     ("less_sharp_row", (n_lid, P_CAP)),
+                     ("line_points", (n_lid, LS_CAP, 3)),
+                     ("line_dirs", (n_lid, LS_CAP, 3)),
+                     ("sharp", (n_lid, 16, 3)), ("sharp_mask", (n_lid, 16))]:
+        if k not in lidar_batch:
+            dt = bool if k.endswith("mask") or k.endswith("ground") else (
+                np.int32 if k.endswith("row") else np.float32)
+            lidar_batch[k] = jnp.asarray(Z(shape, dt))
+
+    # camera tracks: a handful of world points
+    pts3d = rng.uniform(-3, 3, (60, 3)).astype(np.float32)
+    pts3d[np.linalg.norm(pts3d, axis=1) < 1.0] += 2.0
+    bearings = np.zeros((n_cam, 60, 3), np.float32)
+    for i in range(n_cam):
+        R = ScR.from_rotvec(cam_gt[i, :3]).as_matrix()
+        pc = pts3d @ R.T + cam_gt[i, 3:]
+        bearings[i] = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    timg = np.tile(np.arange(n_cam), (60, 1)).astype(np.int32)
+    tfeat = np.tile(np.arange(60)[:, None], (1, n_cam)).astype(np.int32)
+    tmask = np.ones((60, n_cam), bool)
+
+    lid0 = lid_gt.copy()
+    lid0[:, :3] += rng.normal(size=(n_lid, 3)).astype(np.float32) * 0.01
+    lid0[:, 3:] += rng.normal(size=(n_lid, 3)).astype(np.float32) * 0.03
+
+    cfg = cl.JointConfig(num_iteration_joint=2, lidar_weight=0.01,
+                         camera_lidar_weight=5.0)
+    cam_out, lid_out, pts_out, infos = cl.joint_optimize(
+        arc_batch, lidar_batch, cam_gt, lid0, timg, tfeat, tmask,
+        bearings, pts3d, np.ones(60, bool), cfg)
+    lid_out = np.asarray(lid_out)
+    err0 = np.abs(lid0 - lid_gt).max()
+    err1 = np.abs(lid_out - lid_gt).max()
+    assert err1 < err0 * 0.5, (err0, err1)
