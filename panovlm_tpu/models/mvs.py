@@ -1,0 +1,261 @@
+"""Joint panoramic MVS — the reference's joint_mvs stage.
+
+Replaces mvs/MVS.{h,cpp} (reference, 3.3k LoC). Pipeline parity
+(EstimateDepthMaps, MVS.cpp:81-166):
+
+  RefineCameraPose    -> models/sfm.global_ba with per-frame T_cl preserved
+                         by the caller (MVS.cpp:383-428)
+  SelectNeighborViews -> select_neighbor_views (KNN on camera centers,
+                         MVS.cpp:334-381)
+  Initialize          -> init_depth_normal (LiDAR depth init + random fill,
+                         depth_constant mask, MVS.cpp:496-584)
+  pass 1 photometric  -> estimate_depth_map(geometric=False)
+  pass 2 geometric    -> estimate_depth_map(geometric=True, neighbor depths)
+  RemoveSmallSegments -> remove_small_segments (MVS.cpp:1504)
+  GapInterpolation    -> gap_interpolation (MVS.cpp:1580)
+  FilterDepthMaps     -> filter_depth_maps (Merrell-style conf-weighted
+                         consensus with occlusion / free-space checks,
+                         MVS.cpp:1794-1891)
+  FuseDepthMaps       -> fuse_depth_maps (multi-view conf-weighted merge,
+                         MVS.cpp:2168-2336)
+
+The hot per-pixel loops live in ops/patchmatch.py as batched array programs;
+this module is the per-image driver and the cross-image filter/fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import patchmatch, se3, spherical
+from ..ops.patchmatch import PatchMatchConfig
+
+
+class MVSConfig(NamedTuple):
+    pm: PatchMatchConfig = PatchMatchConfig()
+    n_iterations: int = 4
+    n_neighbors: int = 4
+    keep_lidar_constant: bool = False     # Config.h keep_lidar_constant
+    mvs_use_geometric: bool = True
+    depth_diff_threshold: float = 0.01
+    min_segment: int = 50
+    conf_threshold: float = 0.3           # min NCC-score to keep a pixel
+    filter_support: int = 2               # neighbors agreeing (Merrell)
+
+
+def select_neighbor_views(poses_cw, n_neighbors: int, valid=None):
+    """KNN neighbor view selection on camera centers (MVS.cpp:334-381).
+    Returns (N, K) int32 neighbor indices."""
+    aa = jnp.asarray(poses_cw[:, :3])
+    R = se3.exp_so3(aa)
+    C = -se3.einsum("nji,nj->ni", R, jnp.asarray(poses_cw[:, 3:]))
+    C = np.asarray(C)
+    n = len(C)
+    if valid is None:
+        valid = np.ones(n, bool)
+    d = np.linalg.norm(C[:, None] - C[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    d[:, ~valid] = np.inf
+    return np.argsort(d, axis=1)[:, :n_neighbors].astype(np.int32)
+
+
+def relative_to_neighbors(poses_cw, ref: int, nei_idx):
+    """(R_nr, t_nr) for each neighbor view: p_n = R_nr p_r + t_nr."""
+    poses = jnp.asarray(poses_cw)
+    R_all = se3.exp_so3(poses[:, :3])
+    t_all = poses[:, 3:]
+    R_r, t_r = R_all[ref], t_all[ref]
+    R_n, t_n = R_all[jnp.asarray(nei_idx)], t_all[jnp.asarray(nei_idx)]
+    R_nr = se3.matmul(R_n, jnp.swapaxes(R_r[None], -1, -2))
+    t_nr = t_n - se3.einsum("vij,j->vi", R_nr, t_r)
+    return R_nr, t_nr
+
+
+def init_depth_normal(key, rays, lidar_depth=None,
+                      cfg: MVSConfig = MVSConfig()):
+    """InitDepthNormal (MVS.cpp:496-584): LiDAR depth where available +
+    random depth elsewhere; random camera-facing normals; fixed mask when
+    keep_lidar_constant."""
+    H, W = rays.shape[:2]
+    k1, k2 = jax.random.split(key)
+    d_rand = jnp.exp(jax.random.uniform(
+        k1, (H, W), minval=jnp.log(cfg.pm.min_depth),
+        maxval=jnp.log(cfg.pm.max_depth)))
+    if lidar_depth is not None:
+        has = lidar_depth > cfg.pm.min_depth
+        depth = jnp.where(has, lidar_depth, d_rand)
+        fixed = has & cfg.keep_lidar_constant
+    else:
+        depth = d_rand
+        fixed = jnp.zeros((H, W), bool)
+    normal = patchmatch.random_normals(k2, rays)
+    return depth, normal, fixed
+
+
+def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
+                       depth0, normal0, fixed, cfg: MVSConfig,
+                       nei_depths=None, seed: int = 0):
+    """Per-image PatchMatch (EstimateDepthMapSingle, MVS.cpp:930-1054):
+    n_iterations of red/black half-steps. Returns (depth, normal, conf)."""
+    H, W = gray_ref.shape
+    rays = spherical.pixel_ray_grid(H, W)
+    R_nr, t_nr = relative_to_neighbors(poses_cw, ref, nei_idx)
+    cost = patchmatch.multiview_cost(
+        gray_ref, grays_nei, rays, depth0, normal0, R_nr, t_nr, cfg.pm,
+        nei_depths)
+    depth, normal = depth0, normal0
+    key = jax.random.PRNGKey(seed)
+    for it in range(cfg.n_iterations):
+        for parity in (0, 1):
+            key, sub = jax.random.split(key)
+            depth, normal, cost = patchmatch.checkerboard_step(
+                gray_ref, grays_nei, rays, depth, normal, cost,
+                R_nr, t_nr, sub, fixed, cfg.pm, parity, nei_depths)
+    conf = jnp.clip(1.0 - cost, -1.0, 1.0)   # NCC-like confidence in [-1,1]
+    return depth, normal, conf
+
+
+@functools.partial(jax.jit, static_argnames=("min_segment", "iters"))
+def remove_small_segments(depth, depth_diff_threshold: float = 0.01,
+                          min_segment: int = 50, iters: int = 48):
+    """RemoveSmallSegments (MVS.cpp:1504): connected components of the depth
+    map under relative-continuity (|d_p - d_q| < thr * d_p), label
+    propagation like the range-image segmentation; small components die."""
+    H, W = depth.shape
+    valid = depth > 0
+
+    def conn(a, b):
+        return (jnp.abs(a - b) < depth_diff_threshold * jnp.maximum(a, b)) \
+            & (a > 0) & (b > 0)
+
+    left = jnp.concatenate([depth[:, :1], depth[:, :-1]], axis=1)
+    up = jnp.concatenate([depth[:1, :], depth[:-1, :]], axis=0)
+    c_left = conn(depth, left).at[:, 0].set(False)
+    c_up = conn(depth, up).at[0, :].set(False)
+
+    lin = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    labels = jnp.where(valid, lin, H * W)
+
+    def body(_, lab):
+        l_left = jnp.concatenate([lab[:, :1], lab[:, :-1]], axis=1)
+        l_right = jnp.concatenate([lab[:, 1:], lab[:, -1:]], axis=1)
+        l_up = jnp.concatenate([lab[:1, :], lab[:-1, :]], axis=0)
+        l_down = jnp.concatenate([lab[1:, :], lab[-1:, :]], axis=0)
+        c_right = jnp.concatenate([c_left[:, 1:], jnp.zeros_like(c_left[:, :1])], axis=1)
+        c_down = jnp.concatenate([c_up[1:, :], jnp.zeros_like(c_up[:1, :])], axis=0)
+        lab = jnp.minimum(lab, jnp.where(c_left, l_left, H * W))
+        lab = jnp.minimum(lab, jnp.where(c_right, l_right, H * W))
+        lab = jnp.minimum(lab, jnp.where(c_up, l_up, H * W))
+        lab = jnp.minimum(lab, jnp.where(c_down, l_down, H * W))
+        return jnp.where(valid, lab, H * W)
+
+    labels = jax.lax.fori_loop(0, iters, body, labels)
+    sizes = jnp.zeros((H * W + 1,), jnp.int32).at[labels.ravel()].add(
+        valid.ravel().astype(jnp.int32))
+    keep = sizes[labels] >= min_segment
+    return jnp.where(keep & valid, depth, 0.0)
+
+
+@jax.jit
+def gap_interpolation(depth, max_gap: int = 3):
+    """GapInterpolation (MVS.cpp:1580): fill small holes with the mean of
+    valid neighbors (repeated local averaging into empty pixels only)."""
+    d = depth
+    for _ in range(max_gap):
+        v = (d > 0).astype(d.dtype)
+        num = jnp.zeros_like(d)
+        den = jnp.zeros_like(d)
+        for dv, du in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            num = num + jnp.roll(jnp.roll(d * v, dv, 0), du, 1)
+            den = den + jnp.roll(jnp.roll(v, dv, 0), du, 1)
+        fill = num / jnp.maximum(den, 1.0)
+        d = jnp.where((d <= 0) & (den >= 2), fill, d)
+    return d
+
+
+def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
+    """FilterDepthImageRefine (MVS.cpp:1794-1891): per reference image,
+    project each neighbor's depth map into the reference view and run the
+    Merrell-style consensus: pixels need >= filter_support neighbors within
+    the relative threshold; supported depths are conf-weighted averaged;
+    occluded / free-space-violating pixels are dropped.
+
+    depths (N,H,W), confs (N,H,W). Returns (filtered depths, filtered confs).
+    """
+    depths = jnp.asarray(depths)
+    confs = jnp.asarray(confs)
+    N, H, W = depths.shape
+    rays = spherical.pixel_ray_grid(H, W)
+
+    @jax.jit
+    def one(ref, depth_ref, conf_ref, nei_idx):
+        R_nr, t_nr = relative_to_neighbors(poses_cw, ref, nei_idx)
+        X = depth_ref[..., None] * rays
+
+        def per_view(v):
+            x_n = jnp.einsum("ij,hwj->hwi", R_nr[v], X) + t_nr[v]
+            d_at_n = jnp.linalg.norm(x_n, axis=-1)
+            uv = spherical.cam_to_image(x_n, H, W)
+            d_n = spherical.bilinear_sample(depths[nei_idx[v]], uv)
+            c_n = spherical.bilinear_sample(confs[nei_idx[v]], uv)
+            rel = jnp.abs(d_n - d_at_n) / jnp.maximum(d_at_n, 1e-6)
+            support = (d_n > 0) & (rel < cfg.depth_diff_threshold * 3)
+            # occlusion: the neighbor sees a CLOSER surface along this ray
+            occluded = (d_n > 0) & (d_at_n > d_n * (1 + 3 * cfg.depth_diff_threshold))
+            # estimate of ref depth implied by the neighbor's surface
+            d_implied = depth_ref * jnp.where(d_at_n > 1e-6, d_n / d_at_n, 0.0)
+            return support, occluded, d_implied, c_n
+
+        outs = [per_view(v) for v in range(nei_idx.shape[0])]
+        support = jnp.stack([o[0] for o in outs])
+        occluded = jnp.stack([o[1] for o in outs])
+        d_imp = jnp.stack([o[2] for o in outs])
+        c_n = jnp.stack([o[3] for o in outs])
+        n_support = jnp.sum(support, axis=0)
+        w = jnp.where(support, jnp.maximum(c_n, 0.0) + 1e-3, 0.0)
+        d_avg = (jnp.sum(w * d_imp, axis=0) + jnp.maximum(conf_ref, 0) * depth_ref) \
+            / jnp.maximum(jnp.sum(w, axis=0) + jnp.maximum(conf_ref, 0), 1e-6)
+        ok = ((n_support >= cfg.filter_support)
+              & (conf_ref > cfg.conf_threshold)
+              & (depth_ref > 0)
+              & (jnp.sum(occluded, axis=0) < nei_idx.shape[0] - 1))
+        return jnp.where(ok, d_avg, 0.0), jnp.where(ok, conf_ref, -1.0)
+
+    out_d, out_c = [], []
+    for ref in range(N):
+        d, c = one(ref, depths[ref], confs[ref], jnp.asarray(nei_table[ref]))
+        out_d.append(d)
+        out_c.append(c)
+    return jnp.stack(out_d), jnp.stack(out_c)
+
+
+def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
+                    voxel: float = 0.04):
+    """FuseDepthImages (MVS.cpp:2168-2336): back-project every filtered
+    depth map to world, conf-weighted voxel merge. colors: (N,H,W) gray or
+    (N,H,W,3). Returns (points (M,3), colors (M,...), mask)."""
+    from ..sensors.velodyne import voxel_downsample
+    depths = jnp.asarray(depths)
+    N, H, W = depths.shape
+    rays = spherical.pixel_ray_grid(H, W)
+    poses = jnp.asarray(poses_cw)
+    R_all = se3.exp_so3(poses[:, :3])
+    pts_w, cols, mask = [], [], []
+    for i in range(N):
+        X = depths[i][..., None] * rays
+        R_wc = jnp.swapaxes(R_all[i], -1, -2)
+        Xw = jnp.einsum("ij,hwj->hwi", R_wc, X - poses[i, 3:])
+        pts_w.append(Xw.reshape(-1, 3))
+        c = jnp.asarray(colors[i]).reshape(H * W, -1)
+        cols.append(c)
+        mask.append((depths[i] > 0).reshape(-1))
+    pts = jnp.concatenate(pts_w)
+    cols = jnp.concatenate(cols)
+    msk = jnp.concatenate(mask)
+    fused, fmask, caux = voxel_downsample(pts, msk, aux=cols, leaf=voxel)
+    return fused, caux, fmask

@@ -83,6 +83,52 @@ def make_scan(origin=(0.0, 0.0, 0.0), noise=0.005, rng=None, h_steps=1800,
     return pts.astype(np.float32)
 
 
+def pano_rays(H, W):
+    """Equirectangular pixel-center rays in CAMERA convention (X right,
+    Y down, Z front), matching panovlm_tpu.ops.spherical."""
+    v, u = np.meshgrid(np.arange(H) + 0.0, np.arange(W) + 0.0, indexing="ij")
+    lon = (2 * u / W - 1) * np.pi
+    lat = (0.5 - v / H) * np.pi
+    x = np.cos(lat) * np.sin(lon)
+    y = -np.sin(lat)
+    z = np.cos(lat) * np.cos(lon)
+    return np.stack([x, y, z], -1)
+
+
+def _texture(p):
+    """Procedural gray texture of a 3D point (gives NCC signal); includes
+    high-frequency components so matching localizes to sub-pixel."""
+    return (0.5
+            + 0.12 * np.sin(7.1 * p[..., 0]) * np.cos(5.3 * p[..., 1])
+            + 0.10 * np.sin(9.7 * p[..., 2] + 1.3)
+            + 0.08 * np.sin(3.1 * (p[..., 0] + p[..., 2]))
+            + 0.08 * np.sin(17.0 * p[..., 1] + 0.7)
+            + 0.07 * np.sin(41.0 * p[..., 0] + 2.1) * np.cos(37.0 * p[..., 2])
+            + 0.06 * np.sin(53.0 * p[..., 1] + 29.0 * p[..., 0])).astype(np.float32)
+
+
+def render_panorama(origin_cam, H, W, R_wc=None, **room_kw):
+    """Render a synthetic panorama + GT depth from inside the room.
+
+    origin_cam: camera center in CAMERA-CONVENTION world (x right, y down,
+    z front); internally converted to the lidar z-up convention used by
+    raycast_room. R_wc: optional camera-to-world rotation (camera conv).
+    Returns (gray (H,W) float32 in [0,1], depth (H,W) float32)."""
+    S = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]], np.float64)  # p_cam = S p_lidar
+    rays_c = pano_rays(H, W).reshape(-1, 3)
+    if R_wc is not None:
+        rays_w_cam = rays_c @ np.asarray(R_wc).T
+    else:
+        rays_w_cam = rays_c
+    rays_l = rays_w_cam @ S            # row form of S^T @ v
+    o_l = S.T @ np.asarray(origin_cam, np.float64)
+    t = raycast_room(o_l, rays_l, **room_kw)
+    t = np.where(np.isfinite(t), t, 0.0)
+    hit_l = o_l + rays_l * t[:, None]
+    gray = _texture(hit_l).reshape(H, W)
+    return gray.astype(np.float32), t.reshape(H, W).astype(np.float32)
+
+
 def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
                           noise=0.003, seed=0, origin=(0.0, 0.0, -1.0), **kw):
     """Scans along a straight-ish trajectory. Returns (scans, poses) where
