@@ -1,0 +1,36 @@
+"""CLI entry — mirrors the reference executable (main.cpp:41-89):
+
+    python -m panovlm_tpu <stage> <config.txt>
+
+stages: init_camera_pose | init_lidar_pose | joint_optimization |
+        colorize_lidar_map | joint_mvs
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from .config import load_config
+from .pipeline import STAGES
+from .utils.timing import TimeReport
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 2 or argv[0] not in STAGES:
+        print(__doc__)
+        return 2
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    stage, config_path = argv
+    cfg = load_config(config_path)
+    tr = TimeReport()
+    with tr.phase(stage):
+        STAGES[stage](cfg, tr)
+    print(tr.report())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -177,6 +177,15 @@ def translation_scale_from_depth(depth_maps, frame_rows, frame_cols,
     tmask = np.asarray(rel["tri_mask"])
     midx = np.asarray(matches_idx)
     H, W = depth_maps.shape[1:]
+    # only trust depth where it is locally smooth: SIFT features concentrate
+    # on edges, and completed depth bleeds the (nearer) foreground across
+    # discontinuities, which biases the scale low (measured -13% at low res)
+    dm = np.asarray(depth_maps)
+    from scipy.ndimage import grey_dilation, grey_erosion
+    local_max = np.stack([grey_dilation(d, size=3) for d in dm])
+    local_min = np.stack([grey_erosion(np.where(d > 0, d, np.inf), size=3)
+                          for d in dm])
+    smooth = (local_max - local_min) < 0.1 * np.maximum(dm, 1e-6)
     scales = np.full(len(pi), -1.0, np.float32)
     for p in range(len(pi)):
         if not tmask[p].any():
@@ -186,8 +195,9 @@ def translation_scale_from_depth(depth_maps, frame_rows, frame_cols,
         d_tri = np.linalg.norm(tri[p], axis=1)
         px = np.clip(uv_i[:, 0].astype(int), 0, W - 1)
         py = np.clip(uv_i[:, 1].astype(int), 0, H - 1)
-        d_lidar = np.asarray(depth_maps[i])[py, px]
-        ok = tmask[p] & (d_lidar > 0.1) & (d_tri > 1e-6)
+        d_lidar = dm[i][py, px]
+        ok = (tmask[p] & (d_lidar > 0.1) & (d_tri > 1e-6)
+              & smooth[i][py, px])
         if ok.sum() < min_votes:
             continue
         ratio = d_lidar[ok] / d_tri[ok]

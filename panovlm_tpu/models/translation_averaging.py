@@ -220,4 +220,15 @@ def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
                              **common)
     else:
         raise ValueError(f"unknown method {method}")
+    # Re-anchor the global scale gauge: direction noise exerts uniform
+    # shrink pressure on a translation-averaging problem (cost ~ s^2), so
+    # the solution slides to the soft lower bound (lower_scale_ratio * s0).
+    # Rescaling the whole solution is a pure gauge transform; anchor it so
+    # the measured metric scales hold on median.
+    measured = np.asarray(scales) > 0
+    if method != "dlt" and measured.any():
+        ratio = s0[measured] / np.maximum(np.abs(s[measured]), 1e-9)
+        alpha = float(np.median(ratio))
+        t = t * alpha
+        s = s * alpha
     return t.astype(np.float32), s.astype(np.float32)

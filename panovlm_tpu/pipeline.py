@@ -1,0 +1,440 @@
+"""Five-stage pipeline drivers — the reference's main.cpp stage functions.
+
+Mirrors the CLI contract (main.cpp:41-84): each stage reads a config txt,
+consumes the previous stage's artifacts from disk and writes its own
+(checkpoint/resume by stage files, SURVEY.md §5.4):
+
+  init_camera_pose   (InitCameraPose,  main.cpp:91-370)  -> result/sfm/
+  init_lidar_pose    (InitLidarPose,   main.cpp:372-452) -> result/odometry/
+  joint_optimization (JointOptimization, main.cpp:454-522) -> result/joint/
+  colorize_lidar_map (ColorizeLidarMap, main.cpp:524-551) -> result/texture/
+  joint_mvs          (JointMVS,        main.cpp:553-678) -> result/mvs/
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+
+import numpy as np
+
+from .config import Config
+from .io import artifacts, pointcloud
+from .utils import poses as pose_util
+from .utils.timing import TimeReport
+
+log = logging.getLogger("panovlm")
+
+
+def _list_files(path, exts):
+    out = []
+    for e in exts:
+        out += glob.glob(os.path.join(path, f"*.{e}"))
+    return sorted(out)
+
+
+def load_images(cfg: Config, scale_override=None):
+    """Load panoramas as grayscale float [0,1] (+ names). Applies the
+    config 'scale' pyramid factor (Frame.cpp:18-44)."""
+    import cv2
+    files = _list_files(cfg.image_path, ("jpg", "jpeg", "png"))
+    scale = cfg.scale if scale_override is None else scale_override
+    grays = []
+    for f in files:
+        g = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
+        if scale < 0:
+            for _ in range(-scale):
+                g = cv2.pyrDown(g)
+        elif scale > 0:
+            for _ in range(scale):
+                g = cv2.pyrUp(g)
+        grays.append(g.astype(np.float32) / 255.0)
+    return grays, [os.path.basename(f) for f in files]
+
+
+def load_scans(cfg: Config):
+    from .sensors import velodyne as vd
+    files = _list_files(cfg.lidar_path, ("pcd", "ply"))
+    scans, valid, names = [], [], []
+    for f in files:
+        raw = pointcloud.load_cloud(f)
+        pts, ok = vd.preprocess_cloud(raw)
+        scans.append(pts)
+        valid.append(ok)
+        names.append(os.path.basename(f))
+    return scans, np.asarray(valid), names
+
+
+def extract_all_features(scans, cap: int = 32768, cfg: Config = None):
+    import jax.numpy as jnp
+    from .sensors import velodyne as vd
+    from .models import lidar_odometry
+    feats = []
+    for pts in scans:
+        p, m = vd.pad_points(pts, cap)
+        f, _, _ = vd.extract_features(
+            jnp.asarray(p), jnp.asarray(m),
+            max_curvature=cfg.max_curvature if cfg else 5.0,
+            intersect_angle_threshold=cfg.intersection_angle_threshold if cfg else 5.0,
+            segment=cfg.lidar_segmentation if cfg else True)
+        feats.append(f)
+    return lidar_odometry.stack_features(feats)
+
+
+# ----------------------------------------------------------------------------
+
+
+def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
+    """LiDAR-assisted global SfM (InitCameraPose, main.cpp:91-370)."""
+    import jax.numpy as jnp
+    from .models import rotation_averaging as ra
+    from .models import sfm as sfm_mod
+    from .models import translation_averaging as ta
+    from .ops import spherical
+    from .utils import sift as sift_mod
+    from .utils import tracks as trk
+    from .utils.depth_completion import compute_depth_image
+    from .sensors import velodyne as vd
+
+    tr = tr or TimeReport()
+    os.makedirs(cfg.sfm_result_path, exist_ok=True)
+    grays, names = load_images(cfg)
+    n = len(grays)
+    H, W = grays[0].shape
+
+    with tr.phase("extract sift"):
+        cap = min(cfg.num_sift, 4096)
+        uv = np.zeros((n, cap, 2), np.float32)
+        desc = np.zeros((n, cap, 128), np.float32)
+        fmask = np.zeros((n, cap), bool)
+        for i, g in enumerate(grays):
+            u, d, _ = sift_mod.extract_sift(
+                (g * 255).astype(np.uint8), num_features=cap,
+                root_sift=cfg.root_sift)
+            uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
+        bearings = np.asarray(spherical.image_to_cam(jnp.asarray(uv), H, W))
+
+    with tr.phase("compute depth images"):
+        scans, lidar_valid, _ = load_scans(cfg)
+        depth_maps = []
+        for pts in scans[:n]:
+            p, m = vd.pad_points(pts, 32768)
+            depth_maps.append(np.asarray(compute_depth_image(
+                jnp.asarray(p), jnp.asarray(m), jnp.asarray(cfg.T_cl, jnp.float32),
+                H, W, max_depth=cfg.max_depth)))
+        while len(depth_maps) < n:
+            depth_maps.append(np.zeros((H, W), np.float32))
+        depth_maps = np.stack(depth_maps)
+
+    scfg = sfm_mod.SfMConfig(
+        num_sift=cap, sift_match_dist_threshold=cfg.sift_match_dist_threshold,
+        sift_match_num_threshold=cfg.sift_match_num_threshold,
+        triangulate_angle_threshold=cfg.triangulate_angle_threshold,
+        upper_scale_ratio=cfg.upper_scale_ratio,
+        lower_scale_ratio=cfg.lower_scale_ratio)
+    with tr.phase("match pairs"):
+        pi, pj = sfm_mod.init_image_pairs(n, scfg)
+        matches = sfm_mod.match_all_pairs(jnp.asarray(desc), jnp.asarray(fmask),
+                                          pi, pj, scfg)
+    with tr.phase("relative poses"):
+        rel = sfm_mod.relative_poses(jnp.asarray(bearings), matches["idx"],
+                                     matches["mask"], pi, pj, scfg)
+        ok = np.asarray(rel["ok"]) & np.asarray(matches["pair_ok"])
+    with tr.phase("translation scale from depth"):
+        scales = sfm_mod.translation_scale_from_depth(
+            depth_maps, H, W, rel, np.asarray(matches["idx"]), uv, pi, scfg)
+    with tr.phase("graph filters"):
+        keep = sfm_mod.filter_by_triplet(pi, pj, np.asarray(rel["rel_aa"]), ok)
+        keep, frame_valid = sfm_mod.largest_biconnected(pi, pj, keep, n)
+    with tr.phase("rotation averaging"):
+        aa_glob, valid_r, _ = ra.rotation_averaging_l1(
+            n, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
+            weights=np.asarray(rel["n_inliers"])[keep])
+    with tr.phase("translation averaging"):
+        t_glob, s = ta.translation_averaging(
+            aa_glob, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
+            np.asarray(rel["rel_t"])[keep], scales[keep], method="softl1",
+            upper_scale_ratio=cfg.upper_scale_ratio,
+            lower_scale_ratio=cfg.lower_scale_ratio)
+    with tr.phase("structure + BA"):
+        pair_matches = []
+        midx = np.asarray(matches["idx"])
+        mmask = np.asarray(matches["mask"])
+        for k in np.where(keep)[0]:
+            pair_matches.append((int(pi[k]), int(pj[k]), midx[k][mmask[k]]))
+        timg, tfeat, tmask = trk.build_tracks(pair_matches, [cap] * n,
+                                              min_length=scfg.min_track_length)
+        poses0 = np.concatenate([aa_glob, t_glob], axis=1).astype(np.float32)
+        X, x_ok = sfm_mod.estimate_structure(poses0, bearings, timg, tfeat,
+                                             tmask, scfg)
+        poses_ba, pts_ba, info = sfm_mod.global_ba(
+            poses0, np.asarray(X), timg, tfeat, tmask, bearings,
+            np.asarray(x_ok), frame_valid, scfg)
+        # second BA round after residual filtering (main.cpp:299-300)
+        poses_ba, pts_ba, info = sfm_mod.global_ba(
+            poses_ba, pts_ba, timg, tfeat, tmask, bearings,
+            np.asarray(x_ok), frame_valid, scfg)
+        poses_fin = sfm_mod.set_to_origin(poses_ba, frame_valid)
+
+    with tr.phase("export"):
+        R_wc, t_wc = pose_util.params_to_world(poses_fin)
+        R_wc[~frame_valid] = np.eye(3)
+        t_wc[~frame_valid] = np.inf
+        artifacts.export_pose_t(
+            os.path.join(cfg.sfm_result_path, "camera_pose_final.txt"),
+            R_wc, t_wc, names)
+        n_l = len(scans)
+        R_wl, t_wl, l_ok = pose_util.set_lidar_pose(
+            R_wc, t_wc, frame_valid, cfg.T_cl, n_l,
+            cfg.data_gap_time or 0.1, cfg.time_offset)
+        artifacts.export_pose_t(
+            os.path.join(cfg.sfm_result_path, "lidar_pose.txt"), R_wl, t_wl)
+        artifacts.export_point_tracks(
+            os.path.join(cfg.sfm_result_path, "points.npz"),
+            timg, tfeat, tmask, pts_ba, np.asarray(x_ok))
+        artifacts.save_npz(os.path.join(cfg.sfm_result_path, "frames.npz"),
+                           uv=uv, fmask=fmask, bearings=bearings,
+                           poses=poses_fin, frame_valid=frame_valid,
+                           rows=np.asarray([H]), cols=np.asarray([W]))
+    return poses_fin, frame_valid
+
+
+def init_lidar_pose(cfg: Config, tr: TimeReport | None = None):
+    """LiDAR odometry + undistortion (InitLidarPose, main.cpp:372-452)."""
+    import jax.numpy as jnp
+    from .models import lidar_odometry
+    from .sensors import velodyne as vd
+
+    tr = tr or TimeReport()
+    os.makedirs(cfg.odo_result_path, exist_ok=True)
+    scans, valid, names = load_scans(cfg)
+    with tr.phase("load sfm-seeded lidar poses"):
+        R_wl, t_wl, _, pose_ok = artifacts.read_pose_t(
+            os.path.join(cfg.sfm_result_path, "lidar_pose.txt"))
+        valid = valid & pose_ok[:len(valid)]
+        poses0 = pose_util.world_to_params(
+            np.where(pose_ok[:, None, None], R_wl, np.eye(3)),
+            np.where(pose_ok[:, None], t_wl, 0.0))
+    with tr.phase("extract features"):
+        batch = extract_all_features(scans, cfg=cfg)
+    with tr.phase("estimate poses"):
+        ocfg = lidar_odometry.OdometryConfig(
+            num_iteration_lidar=cfg.num_iteration_lidar,
+            angle_residual=cfg.angle_residual,
+            normalize_distance=cfg.normalize_distance,
+            point_to_line=cfg.point_to_line_residual,
+            line_to_line=cfg.line_to_line_residual,
+            point_to_plane=cfg.point_to_plane_residual)
+        poses, infos = lidar_odometry.estimate_poses(batch, poses0, valid, ocfg)
+    with tr.phase("export"):
+        R, t = pose_util.params_to_world(np.asarray(poses))
+        artifacts.export_pose_t(
+            os.path.join(cfg.odo_result_path, "lidar_pose_refined.txt"),
+            R, t, names)
+    return np.asarray(poses), valid
+
+
+def joint_optimization(cfg: Config, tr: TimeReport | None = None):
+    """Camera-LiDAR joint refinement (JointOptimization, main.cpp:454-522)."""
+    import jax.numpy as jnp
+    from .models import camera_lidar as cl
+    from .utils import panorama_line as pl
+
+    tr = tr or TimeReport()
+    os.makedirs(cfg.joint_result_path, exist_ok=True)
+    grays, names = load_images(cfg)
+    n = len(grays)
+    frames = artifacts.load_npz(os.path.join(cfg.sfm_result_path, "frames.npz"))
+    tracks = artifacts.read_point_tracks(
+        os.path.join(cfg.sfm_result_path, "points.npz"))
+    scans, lidar_valid, lidar_names = load_scans(cfg)
+    with tr.phase("extract image lines"):
+        arc_list = [pl.extract_panorama_lines((g * 255).astype(np.uint8))
+                    for g in grays]
+        arc_batch = {k: jnp.asarray(np.stack([a[k] for a in arc_list]))
+                     for k in arc_list[0]}
+    with tr.phase("extract lidar features"):
+        lidar_batch = extract_all_features(scans, cfg=cfg)
+    with tr.phase("load poses"):
+        odo = os.path.join(cfg.odo_result_path, "lidar_pose_refined.txt")
+        R_wl, t_wl, _, pose_ok = artifacts.read_pose_t(odo)
+        lidar_poses0 = pose_util.world_to_params(
+            np.where(pose_ok[:, None, None], R_wl, np.eye(3)),
+            np.where(pose_ok[:, None], t_wl, 0.0))
+        cam_poses0 = frames["poses"]
+    with tr.phase("joint optimize"):
+        jcfg = cl.JointConfig(
+            num_iteration_joint=cfg.num_iteration_joint,
+            neighbor_size_joint=cfg.neighbor_size_joint,
+            camera_weight=cfg.camera_weight,
+            lidar_weight=cfg.lidar_weight,
+            camera_lidar_weight=cfg.camera_lidar_weight,
+            angle_residual=cfg.angle_residual,
+            normalize_distance=cfg.normalize_distance)
+        cam_poses, lidar_poses, points, infos = cl.joint_optimize(
+            arc_batch, lidar_batch, cam_poses0, lidar_poses0,
+            tracks["track_img"], tracks["track_feat"], tracks["track_mask"],
+            frames["bearings"], tracks["points"], tracks["point_ok"], jcfg,
+            lidar_valid=lidar_valid & pose_ok[:len(lidar_valid)])
+    with tr.phase("export"):
+        R_c, t_c = pose_util.params_to_world(np.asarray(cam_poses))
+        artifacts.export_pose_t(
+            os.path.join(cfg.joint_result_path, "camera_pose_joint.txt"),
+            R_c, t_c, names)
+        R_l, t_l = pose_util.params_to_world(np.asarray(lidar_poses))
+        artifacts.export_pose_t(
+            os.path.join(cfg.joint_result_path, "lidar_pose_joint.txt"),
+            R_l, t_l, lidar_names)
+        artifacts.export_point_tracks(
+            os.path.join(cfg.joint_result_path, "points.npz"),
+            tracks["track_img"], tracks["track_feat"], tracks["track_mask"],
+            np.asarray(points), tracks["point_ok"])
+    return np.asarray(cam_poses), np.asarray(lidar_poses)
+
+
+def colorize_lidar_map(cfg: Config, tr: TimeReport | None = None):
+    """ColorizeLidarMap (main.cpp:524-551)."""
+    import jax.numpy as jnp
+    from .models import texture
+    from .sensors import velodyne as vd
+
+    tr = tr or TimeReport()
+    os.makedirs(cfg.texture_result_path, exist_ok=True)
+    grays, _ = load_images(cfg)
+    scans, valid, _ = load_scans(cfg)
+    R_l, t_l, _, l_ok = artifacts.read_pose_t(
+        os.path.join(cfg.joint_result_path, "lidar_pose_joint.txt"))
+    R_c, t_c, _, c_ok = artifacts.read_pose_t(
+        os.path.join(cfg.joint_result_path, "camera_pose_joint.txt"))
+    lidar_params = pose_util.world_to_params(R_l, t_l)
+    cam_params = pose_util.world_to_params(R_c, t_c)
+    cap = 32768
+    pts = np.zeros((len(scans), cap, 3), np.float32)
+    msk = np.zeros((len(scans), cap), bool)
+    for i, s in enumerate(scans):
+        p, m = vd.pad_points(s, cap)
+        pts[i], msk[i] = p, m & valid[i] & l_ok[i]
+    with tr.phase("colorize"):
+        pw, col, ok = texture.colorize_lidar_map(
+            pts, msk, lidar_params, np.stack(grays), cam_params)
+        fused, fmask, fcol = texture.fuse_cloud(pw, col, ok)
+    with tr.phase("export"):
+        f = np.asarray(fmask)
+        pointcloud.write_pcd(
+            os.path.join(cfg.texture_result_path, "colorized_map.pcd"),
+            np.asarray(fused)[f], intensity=np.asarray(fcol)[f, 0])
+    return np.asarray(fused), np.asarray(fmask)
+
+
+def joint_mvs(cfg: Config, tr: TimeReport | None = None):
+    """Panoramic PatchMatch MVS (JointMVS, main.cpp:553-678)."""
+    import jax
+    import jax.numpy as jnp
+    from .models import mvs as mvs_mod
+    from .ops import spherical
+    from .utils.depth_completion import compute_depth_image
+    from .sensors import velodyne as vd
+
+    tr = tr or TimeReport()
+    for d in (cfg.mvs_result_path, cfg.mvs_depth_path, cfg.mvs_normal_path,
+              cfg.mvs_conf_path):
+        os.makedirs(d, exist_ok=True)
+    grays, names = load_images(cfg)
+    n = len(grays)
+    H, W = grays[0].shape
+    R_c, t_c, _, c_ok = artifacts.read_pose_t(
+        os.path.join(cfg.joint_result_path, "camera_pose_joint.txt"))
+    poses = pose_util.world_to_params(R_c, t_c)
+    mcfg = mvs_mod.MVSConfig(
+        pm=mvs_mod.PatchMatchConfig(
+            ncc_half_window=cfg.ncc_half_window, ncc_step=cfg.ncc_step,
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth),
+        keep_lidar_constant=cfg.keep_lidar_constant,
+        mvs_use_geometric=cfg.mvs_use_geometric,
+        depth_diff_threshold=cfg.depth_diff_threshold,
+        min_segment=cfg.min_segment)
+    rays = spherical.pixel_ray_grid(H, W)
+    nei_table = mvs_mod.select_neighbor_views(poses, mcfg.n_neighbors, c_ok)
+
+    with tr.phase("lidar depth init"):
+        lidar_depths = []
+        if cfg.mvs_use_lidar:
+            scans, _, _ = load_scans(cfg)
+            R_l, t_l, _, l_ok = artifacts.read_pose_t(
+                os.path.join(cfg.joint_result_path, "lidar_pose_joint.txt"))
+            for i in range(n):
+                # project the temporally nearest scan through joint poses
+                j = min(i, len(scans) - 1)
+                p, m = vd.pad_points(scans[j], 32768)
+                T_ci = np.eye(4)
+                T_wl = np.eye(4)
+                T_wl[:3, :3], T_wl[:3, 3] = R_l[j], t_l[j]
+                T_wc = np.eye(4)
+                T_wc[:3, :3], T_wc[:3, 3] = R_c[i], t_c[i]
+                T = np.linalg.inv(T_wc) @ T_wl
+                lidar_depths.append(np.asarray(compute_depth_image(
+                    jnp.asarray(p), jnp.asarray(m), jnp.asarray(T, jnp.float32),
+                    H, W, max_depth=cfg.max_depth)))
+        else:
+            lidar_depths = [None] * n
+
+    depths = np.zeros((n, H, W), np.float32)
+    normals = np.zeros((n, H, W, 3), np.float32)
+    confs = np.zeros((n, H, W), np.float32)
+    with tr.phase("photometric pass"):
+        for i in range(n):
+            d0, n0, fixed = mvs_mod.init_depth_normal(
+                jax.random.PRNGKey(i), rays,
+                None if lidar_depths[i] is None else jnp.asarray(lidar_depths[i]),
+                mcfg)
+            nei = nei_table[i]
+            d, nm, cf = mvs_mod.estimate_depth_map(
+                jnp.asarray(grays[i]), jnp.asarray(np.stack(grays)[nei]),
+                poses, i, nei, d0, n0, fixed, mcfg, seed=i)
+            depths[i], normals[i], confs[i] = (np.asarray(d), np.asarray(nm),
+                                               np.asarray(cf))
+    if cfg.mvs_use_geometric:
+        with tr.phase("geometric pass"):
+            depths_pho = depths.copy()
+            for i in range(n):
+                nei = nei_table[i]
+                d, nm, cf = mvs_mod.estimate_depth_map(
+                    jnp.asarray(grays[i]), jnp.asarray(np.stack(grays)[nei]),
+                    poses, i, nei, jnp.asarray(depths_pho[i]),
+                    jnp.asarray(normals[i]),
+                    jnp.zeros((H, W), bool), mcfg,
+                    nei_depths=jnp.asarray(depths_pho[nei]), seed=100 + i)
+                depths[i], normals[i], confs[i] = (np.asarray(d),
+                                                   np.asarray(nm), np.asarray(cf))
+    with tr.phase("post + filter"):
+        from .models.mvs import gap_interpolation, remove_small_segments
+        for i in range(n):
+            d = remove_small_segments(jnp.asarray(depths[i]),
+                                      cfg.depth_diff_threshold, cfg.min_segment)
+            depths[i] = np.asarray(gap_interpolation(d))
+        fd, fc = mvs_mod.filter_depth_maps(depths, confs, poses, nei_table, mcfg)
+    with tr.phase("fuse + export"):
+        pts, cols, msk = mvs_mod.fuse_depth_maps(fd, fc, np.stack(grays), poses,
+                                                 mcfg)
+        f = np.asarray(msk)
+        pointcloud.write_pcd(os.path.join(cfg.mvs_result_path, "mvs_fused.pcd"),
+                             np.asarray(pts)[f],
+                             intensity=np.asarray(cols)[f, 0])
+        for i in range(n):
+            artifacts.export_depth_u16(
+                os.path.join(cfg.mvs_depth_path, f"{i:06d}_geo.npy"), depths[i])
+            artifacts.export_conf_u16(
+                os.path.join(cfg.mvs_conf_path, f"{i:06d}_geo.npy"), confs[i])
+            np.save(os.path.join(cfg.mvs_normal_path, f"{i:06d}_geo.npy"),
+                    normals[i])
+    return depths, confs
+
+
+STAGES = {
+    "init_camera_pose": init_camera_pose,
+    "init_lidar_pose": init_lidar_pose,
+    "joint_optimization": joint_optimization,
+    "colorize_lidar_map": colorize_lidar_map,
+    "joint_mvs": joint_mvs,
+}

@@ -140,14 +140,22 @@ def depth_completion(sparse_depth, max_depth: float = 20.0):
     return jnp.where(s7 > 0.1, max_depth - s7, s7)
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "max_depth"))
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "max_depth", "splat"))
 def compute_depth_image(points_lidar, mask, T_cl, rows: int, cols: int,
-                        max_depth: float = 20.0):
+                        max_depth: float = 20.0, splat: int | None = None):
     """ComputeDepthImage for one scan (sfm/SfM.cpp:170-226): transform the
-    cloud by T_cl, splat to a sparse panorama depth, complete it."""
+    cloud by T_cl, splat to a sparse panorama depth, complete it.
+
+    The splat footprint scales with resolution: the reference's size=3 is
+    tuned for half-res 1440x2880 panoramas; a fixed footprint at lower
+    resolution covers several degrees and the scatter-min z-buffer then
+    biases sampled depths low (measured ~13% at 256 wide)."""
     from ..ops import spherical
+    if splat is None:
+        splat = max(1, 3 * cols // 2880)
     R = T_cl[:3, :3]
     t = T_cl[:3, 3]
     p_cam = points_lidar @ R.T + t
-    sparse = spherical.project_points_to_depth_pano(p_cam, mask, rows, cols)
+    sparse = spherical.project_points_to_depth_pano(p_cam, mask, rows, cols,
+                                                    size=splat)
     return depth_completion(sparse, max_depth=max_depth)

@@ -95,16 +95,96 @@ def pano_rays(H, W):
     return np.stack([x, y, z], -1)
 
 
+def _value_noise(p, cell=0.25, seed=12345):
+    """Deterministic 3D value noise (trilinear interp of hashed lattice
+    values) — gives SIFT blob structure that pure sinusoids lack."""
+    q = np.asarray(p) / cell
+    q0 = np.floor(q).astype(np.int64)
+    f = (q - q0).astype(np.float32)
+    f = f * f * (3 - 2 * f)  # smoothstep
+
+    def hash3(ix, iy, iz):
+        h = (ix * 374761393 + iy * 668265263 + iz * 2147483647 + seed) & 0x7fffffff
+        h = (h ^ (h >> 13)) * 1274126177 & 0x7fffffff
+        return ((h ^ (h >> 16)) % 10000).astype(np.float32) / 10000.0
+
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.abs(1 - dx - f[..., 0]) * np.abs(1 - dy - f[..., 1])
+                     * np.abs(1 - dz - f[..., 2]))
+                out = out + w * hash3(q0[..., 0] + dx, q0[..., 1] + dy,
+                                      q0[..., 2] + dz)
+    return out
+
+
 def _texture(p):
     """Procedural gray texture of a 3D point (gives NCC signal); includes
-    high-frequency components so matching localizes to sub-pixel."""
-    return (0.5
-            + 0.12 * np.sin(7.1 * p[..., 0]) * np.cos(5.3 * p[..., 1])
-            + 0.10 * np.sin(9.7 * p[..., 2] + 1.3)
-            + 0.08 * np.sin(3.1 * (p[..., 0] + p[..., 2]))
-            + 0.08 * np.sin(17.0 * p[..., 1] + 0.7)
-            + 0.07 * np.sin(41.0 * p[..., 0] + 2.1) * np.cos(37.0 * p[..., 2])
-            + 0.06 * np.sin(53.0 * p[..., 1] + 29.0 * p[..., 0])).astype(np.float32)
+    high-frequency components so matching localizes to sub-pixel, and value
+    noise at two scales so SIFT finds blobs."""
+    return (0.45
+            + 0.10 * np.sin(7.1 * p[..., 0]) * np.cos(5.3 * p[..., 1])
+            + 0.08 * np.sin(9.7 * p[..., 2] + 1.3)
+            + 0.07 * np.sin(17.0 * p[..., 1] + 0.7)
+            + 0.06 * np.sin(41.0 * p[..., 0] + 2.1) * np.cos(37.0 * p[..., 2])
+            + 0.25 * _value_noise(p, 0.35)
+            + 0.15 * _value_noise(p, 0.12, seed=777)).astype(np.float32)
+
+
+def make_dataset(root, n_frames=6, H=128, W=256, step=(0.22, 0.06, 0.0),
+                 yaw_step=0.03, origin=(0.0, 0.0, -1.0), noise=0.002,
+                 h_steps=1800, config_overrides=""):
+    """Write a synthetic Room-style dataset: images/ pcd/ config.txt.
+
+    T_cl = identity, time_offset = 0: frames and scans are colocated.
+    Returns (config_path, gt) where gt has camera poses in CAMERA-convention
+    world ([R_wc, t_wc]) and matching lidar z-up poses."""
+    import os
+    import cv2
+    from panovlm_tpu.io.pointcloud import write_pcd
+    os.makedirs(f"{root}/images", exist_ok=True)
+    os.makedirs(f"{root}/lidar", exist_ok=True)
+    os.makedirs(f"{root}/result", exist_ok=True)
+    S = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
+    scans, poses_l = make_trajectory_scans(
+        n_scans=n_frames, step=step, yaw_step=yaw_step, origin=origin,
+        noise=noise, h_steps=h_steps)
+    R_wc_all, C_all = [], []
+    for i, ((R_l, t_l), scan) in enumerate(zip(poses_l, scans)):
+        R_wc = S @ R_l @ S.T
+        C = S @ t_l
+        g, _ = render_panorama(C, H, W, R_wc=R_wc)
+        cv2.imwrite(f"{root}/images/{i:06d}.png",
+                    np.clip(g * 255, 0, 255).astype(np.uint8))
+        write_pcd(f"{root}/lidar/{i:06d}.pcd", scan,
+                  intensity=np.zeros(len(scan), np.float32))
+        R_wc_all.append(R_wc)
+        C_all.append(C)
+    cfg_path = f"{root}/config.txt"
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+image_path = {root}/images
+lidar_path = {root}/lidar
+result_path = {root}/result
+mvs_data_path = {root}/result/mvs_data
+depth_path = {root}/result/depth
+frame_path = {root}/result/frames
+match_pair_path = {root}/result/pairs
+image_line_path = {root}/result/lines
+lidar_path_undistort = {root}/result/undis
+data_gap_time = 0.1
+time_offset = 0
+T_cl = 1 0 0 0 0 1 0 0 0 0 1 0
+num_sift = 2048
+scale = 0
+ncc_half_window = 5
+ncc_step = 2
+max_depth = 10
+{config_overrides}
+""")
+    return cfg_path, dict(R_wc=np.stack(R_wc_all), C=np.stack(C_all),
+                          poses_lidar=poses_l)
 
 
 def render_panorama(origin_cam, H, W, R_wc=None, **room_kw):

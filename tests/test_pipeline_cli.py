@@ -1,0 +1,106 @@
+"""End-to-end five-stage pipeline test on a synthetic Room-style dataset,
+driven through the same entry points as the CLI (pipeline.STAGES)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from panovlm_tpu import pipeline
+from panovlm_tpu.config import load_config
+from panovlm_tpu.io import artifacts
+
+from synthetic import make_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("room"))
+    cfg_path, gt = make_dataset(root, n_frames=6, h_steps=900)
+    return load_config(cfg_path), gt
+
+
+@pytest.fixture(scope="module")
+def sfm_done(dataset):
+    cfg, gt = dataset
+    poses, frame_valid = pipeline.init_camera_pose(cfg)
+    return poses, frame_valid
+
+
+def test_stage1_init_camera_pose(dataset, sfm_done):
+    cfg, gt = dataset
+    poses, frame_valid = sfm_done
+    assert frame_valid.all()
+    R_wc, t_wc, names, ok = artifacts.read_pose_t(
+        os.path.join(cfg.sfm_result_path, "camera_pose_final.txt"))
+    assert ok.all() and len(names) == 6
+    # compare with GT up to the world gauge of frame 0
+    # estimated world: frame0 at origin; align GT the same way
+    R_gt = gt["R_wc"]
+    C_gt = gt["C"]
+    R0, C0 = R_gt[0], C_gt[0]
+    R_gt_al = np.einsum("ij,njk->nik", R0.T, R_gt)
+    C_gt_al = (C_gt - C0) @ R0
+    C_est = t_wc
+    rot_err = max(
+        np.degrees(np.arccos(np.clip((np.trace(R_wc[i].T @ R_gt_al[i]) - 1) / 2,
+                                     -1, 1)))
+        for i in range(6))
+    t_err = np.abs(C_est - C_gt_al).max()
+    assert rot_err < 1.0, rot_err
+    assert t_err < 0.08, t_err
+
+
+def test_stage2_init_lidar_pose(dataset, sfm_done):
+    cfg, gt = dataset
+    poses, valid = pipeline.init_lidar_pose(cfg)
+    R, t, names, ok = artifacts.read_pose_t(
+        os.path.join(cfg.odo_result_path, "lidar_pose_refined.txt"))
+    assert ok.all()
+    # relative motion between consecutive scans vs GT (gauge-free check)
+    S = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
+    for i in range(5):
+        R_gt_l, t_gt_l = gt["poses_lidar"][i]
+        R_gt_n, t_gt_n = gt["poses_lidar"][i + 1]
+        # camera-convention world relative motion
+        d_gt = np.linalg.norm(t_gt_n - t_gt_l)
+        d_est = np.linalg.norm(t[i + 1] - t[i])
+        assert abs(d_est - d_gt) < 0.05, (i, d_est, d_gt)
+
+
+@pytest.fixture(scope="module")
+def joint_done(dataset, sfm_done):
+    cfg, gt = dataset
+    pipeline.init_lidar_pose(cfg)
+    return pipeline.joint_optimization(cfg)
+
+
+def test_stage3_joint_optimization(dataset, joint_done):
+    cfg, gt = dataset
+    cam_poses, lidar_poses = joint_done
+    assert np.isfinite(cam_poses).all() and np.isfinite(lidar_poses).all()
+    assert os.path.exists(os.path.join(cfg.joint_result_path,
+                                       "camera_pose_joint.txt"))
+
+
+def test_stage4_colorize(dataset, joint_done):
+    cfg, gt = dataset
+    fused, fmask = pipeline.colorize_lidar_map(cfg)
+    assert int(fmask.sum()) > 5000
+    assert os.path.exists(os.path.join(cfg.texture_result_path,
+                                       "colorized_map.pcd"))
+
+
+def test_stage5_joint_mvs(dataset, joint_done):
+    cfg, gt = dataset
+    depths, confs = pipeline.joint_mvs(cfg)
+    assert os.path.exists(os.path.join(cfg.mvs_result_path, "mvs_fused.pcd"))
+    # depth quality vs GT render for frame 0
+    from synthetic import render_panorama
+    _, d_gt = render_panorama(gt["C"][0], depths.shape[1], depths.shape[2],
+                              R_wc=gt["R_wc"][0])
+    band = slice(depths.shape[1] // 4, 3 * depths.shape[1] // 4)
+    have = depths[0] > 0
+    rel = np.abs(depths[0] - d_gt)[have & np.isfinite(d_gt)] / \
+        d_gt[have & np.isfinite(d_gt)]
+    assert np.median(rel) < 0.08, np.median(rel)
