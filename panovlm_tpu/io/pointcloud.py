@@ -145,10 +145,16 @@ def read_ply(path: str) -> np.ndarray:
 
 
 def load_cloud(path: str) -> np.ndarray:
-    """Load .pcd or .ply -> (N, >=3) float32 (Velodyne::LoadLidar entry)."""
+    """Load .pcd or .ply -> (N, >=3) float32 (Velodyne::LoadLidar entry).
+    Uses the native C++ reader (panovlm_tpu/native) when built."""
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".pcd":
-        return read_pcd(path)
-    if ext == ".ply":
-        return read_ply(path)
-    raise ValueError(f"unknown point cloud format {ext}, only .ply or .pcd")
+    if ext not in (".pcd", ".ply"):
+        raise ValueError(f"unknown point cloud format {ext}, only .ply or .pcd")
+    try:
+        from ..native import read_cloud_native
+        arr = read_cloud_native(path)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
+    return read_pcd(path) if ext == ".pcd" else read_ply(path)
