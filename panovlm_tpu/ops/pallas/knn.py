@@ -1,0 +1,150 @@
+"""Fused masked brute-force KNN — Pallas TPU kernel.
+
+The KNN engine behind every association step (point->line 5-NN,
+point->plane 10-NN, descriptor matching top-2; SURVEY.md §2.8 maps the
+reference's pcl kd-trees / CUDA brute-force KNN to exactly this). The XLA
+path materializes the full (Q, T) distance matrix in HBM and then runs
+top_k over it; this kernel tiles both point sets through VMEM, forms each
+distance block on the MXU (-2 q.t^T plus the norm terms), and maintains the
+running per-query top-k in VMEM scratch across target tiles — the (Q, T)
+matrix never exists.
+
+Grid: (Q_tiles, T_tiles), T innermost; the top-k scratch persists across the
+inner dimension (standard Pallas reduction pattern: init at j == 0, emit at
+j == T_tiles-1). Top-k per tile is k rounds of (row-min, mask-out) on the
+(TQ, TT) block — k <= 16 keeps that cheap on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e30
+
+
+def _knn_kernel(q_ref, t_ref, qn_ref, tn_ref, dist_ref, idx_ref,
+                best_d, best_i, *, k: int, tile_t: int):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, BIG)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    q = q_ref[:]                                   # (TQ, 4) padded xyz
+    t = t_ref[:]                                   # (TT, 4)
+    qn = qn_ref[:, 0]                              # (TQ,)
+    tn = tn_ref[:, 0]                              # (TT,)
+    # d2 = |q|^2 + |t|^2 - 2 q.t  (masked entries carry |.|^2 = BIG)
+    d2 = (qn[:, None] + tn[None, :]
+          - 2.0 * jax.lax.dot_general(
+              q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST))
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(tn[None, :] >= BIG, BIG, d2)
+    d2 = jnp.where(qn[:, None] >= BIG, BIG, d2)
+
+    # top-k state as k separate column vectors: Mosaic cannot lower value
+    # scatters (x.at[:, c].set), but per-column where/select is free
+    bd = [best_d[:, c] for c in range(k)]
+    bi = [best_i[:, c] for c in range(k)]
+    d2_cur = d2
+    for _ in range(k):
+        vmin = jnp.min(d2_cur, axis=1)             # (TQ,)
+        cmin = jnp.argmin(d2_cur, axis=1)          # (TQ,)
+        gidx = cmin.astype(jnp.int32) + j * tile_t
+        # insert into the sorted row top-k (single bubble pass: the list is
+        # sorted and tile minima arrive in increasing order)
+        better = vmin < bd[k - 1]
+        bd[k - 1] = jnp.where(better, vmin, bd[k - 1])
+        bi[k - 1] = jnp.where(better, gidx, bi[k - 1])
+        for col in range(k - 1, 0, -1):
+            swap = bd[col] < bd[col - 1]
+            bd[col - 1], bd[col] = (jnp.where(swap, bd[col], bd[col - 1]),
+                                    jnp.where(swap, bd[col - 1], bd[col]))
+            bi[col - 1], bi[col] = (jnp.where(swap, bi[col], bi[col - 1]),
+                                    jnp.where(swap, bi[col - 1], bi[col]))
+        # mask the extracted entry out of the tile
+        onehot = jax.lax.broadcasted_iota(jnp.int32, d2_cur.shape, 1) == \
+            cmin[:, None]
+        d2_cur = jnp.where(onehot, BIG, d2_cur)
+    best_d[:] = jnp.stack(bd, axis=1)
+    best_i[:] = jnp.stack(bi, axis=1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        dist_ref[:] = best_d[:]
+        idx_ref[:] = best_i[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_q", "tile_t", "interpret"))
+def knn_pallas(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
+               tile_t: int = 512, interpret: bool = False):
+    """Masked k-nearest-neighbors: q (Q,3), t (T,3). Returns (d2 (Q,k),
+    idx (Q,k)); masked/overflow slots carry d2 >= 1e30."""
+    Q, T = q.shape[0], t.shape[0]
+    Qp = ((Q + tile_q - 1) // tile_q) * tile_q
+    Tp = ((T + tile_t - 1) // tile_t) * tile_t
+
+    def pad_to(x, n, fill=0.0):
+        return jnp.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    # pad xyz to 4 lanes for clean MXU tiles
+    q4 = pad_to(jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 1))), Qp)
+    t4 = pad_to(jnp.pad(t.astype(jnp.float32), ((0, 0), (0, 1))), Tp)
+    qn = pad_to(jnp.where(q_mask, jnp.sum(q * q, axis=1), BIG)[:, None], Qp, BIG)
+    tn = pad_to(jnp.where(t_mask, jnp.sum(t * t, axis=1), BIG)[:, None], Tp, BIG)
+
+    grid = (Qp // tile_q, Tp // tile_t)
+    dist, idx = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, tile_t=tile_t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, k), jnp.float32),
+            pltpu.VMEM((tile_q, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q4, t4, qn, tn)
+    return dist[:Q], idx[:Q]
+
+
+def knn_reference(q, q_mask, t, t_mask, k: int = 8):
+    """XLA reference implementation (materializes (Q,T))."""
+    d2 = (jnp.sum(q * q, axis=1)[:, None] + jnp.sum(t * t, axis=1)[None, :]
+          - 2.0 * jnp.einsum("qk,tk->qt", q, t,
+                             precision=jax.lax.Precision.HIGHEST))
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(q_mask[:, None] & t_mask[None, :], d2, BIG)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx
