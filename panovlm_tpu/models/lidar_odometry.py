@@ -116,6 +116,8 @@ class OdometryConfig(NamedTuple):
     lidar_weight: float = 1.0
     neighbors_k: int = 6
     max_lm_iters: int = 20            # SetOptionsLidar max_num_iterations
+    use_line_tracks: bool = True      # gate l2l by LineTracks (len >= 3),
+                                      # AddLidarLineToLineResidual2
 
 
 def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig()):
@@ -134,6 +136,17 @@ def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig())
         pr, pn = association.find_neighbors(poses, valid, k=cfg.neighbors_k)
         pair_r, pair_n, pair_valid = _pad_pairs(pr, pn)
         assoc = association.associate_all_pairs(batch, poses, pair_r, pair_n)
+        if cfg.line_to_line and cfg.use_line_tracks:
+            # track-gate line-to-line (LidarLineMatch::GenerateTracks +
+            # AddLidarLineToLineResidual2: only lines tracked across >= 3
+            # scans constrain rotations)
+            from .line_tracks import l2l_track_gate, lidar_line_tracks
+            n_scans = poses.shape[0]
+            n_lines = batch["line_mask"].shape[1]
+            tid = lidar_line_tracks(assoc["l2l"], pair_r, pair_n,
+                                    n_scans, n_lines)
+            gate = l2l_track_gate(assoc["l2l"], pair_r, pair_n, tid)
+            assoc["l2l"]["mask"] = assoc["l2l"]["mask"] & jnp.asarray(gate)
         blocks = build_blocks(
             assoc, pair_r, pair_n, pair_valid,
             angle_residual=cfg.angle_residual,

@@ -107,6 +107,10 @@ def translation_averaging_dlt(aa_global, pair_i, pair_j, rel_aa, rel_t,
         rs = rs_new
     t = np.asarray(x[0])
     s = np.asarray(x[1]) + 1.0
+    # the homogeneous solution's global sign is arbitrary; canonicalize so
+    # pair scales are positive (downstream methods clamp s > 0)
+    if np.median(s[np.asarray(mask)]) < 0:
+        t, s = -t, -s
     return t.astype(np.float32), s.astype(np.float32)
 
 
@@ -176,6 +180,65 @@ def _ta_solver(aa_global, pair_i, pair_j, rel_aa, rel_t, t0, s0, mask,
     return t_out, np.asarray(out["s"])[:, 0], info
 
 
+def translation_averaging_bata(aa_global, pair_i, pair_j, rel_aa, rel_t,
+                               t0, mask, iters: int = 20, delta: float = 0.05):
+    """BATA (Baseline-desensitized TA, CVPR'18; reference sfm/BATA.cpp):
+    alternate the per-edge projective scale theta_ij = (d . dC)/|dC|^2 with
+    a robustly-reweighted linear solve for the camera centers. The
+    reference's sparse KKT splice + Eigen SparseLU becomes a matrix-free CG
+    on device; robust weights are Geman-McClure as in its IRLS loop."""
+    from scipy.spatial.transform import Rotation as ScR
+    n = len(aa_global)
+    m = len(pair_i)
+    _, dir_w = _measurement_dirs(aa_global, pair_i, pair_j, rel_aa, rel_t)
+    R_fw = ScR.from_rotvec(np.asarray(aa_global)).as_matrix()
+    C = jnp.asarray(-np.einsum("nji,nj->ni", R_fw, np.asarray(t0)), jnp.float32)
+    d = jnp.asarray(dir_w)
+    pi_ = jnp.asarray(pair_i, jnp.int32)
+    pj_ = jnp.asarray(pair_j, jnp.int32)
+    msk = jnp.asarray(mask, jnp.float32)
+
+    @jax.jit
+    def iteration(C):
+        dC = C[pi_] - C[pj_]
+        nrm2 = jnp.sum(dC * dC, axis=1)
+        theta = jnp.maximum(jnp.sum(d * dC, axis=1), 1e-6) / jnp.maximum(nrm2, 1e-9)
+        e = d - theta[:, None] * dC
+        w = msk / (jnp.sum(e * e, axis=1) + delta * delta)  # Geman-McClure
+
+        def Ax(x):
+            r = (x[pi_] - x[pj_]) * (w * theta * theta)[:, None]
+            g = jnp.zeros((n, 3)).at[pi_].add(r).at[pj_].add(-r)
+            return g.at[0].set(0.0)
+
+        b = jnp.zeros((n, 3)).at[pi_].add((w * theta)[:, None] * d) \
+            .at[pj_].add(-(w * theta)[:, None] * d)
+        b = b.at[0].set(0.0)
+        x = C.at[0].set(0.0)
+        r = b - Ax(x)
+        p = r
+        rs = jnp.vdot(r, r)
+        for _ in range(50):
+            Ap = Ax(p)
+            alpha = rs / (jnp.vdot(p, Ap) + 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / (rs + 1e-30)) * p
+            rs = rs_new
+        # normalize mean baseline to 1 (BATA's scale constraint)
+        dC2 = x[pi_] - x[pj_]
+        scale = jnp.sum(msk * jnp.sum(d * dC2, axis=1)) / jnp.maximum(msk.sum(), 1)
+        return x / jnp.maximum(jnp.abs(scale), 1e-9)
+
+    for _ in range(iters):
+        C = iteration(C)
+    C_np = np.asarray(C, np.float64)
+    t = -np.einsum("nij,nj->ni", R_fw, C_np)
+    s = np.linalg.norm(C_np[np.asarray(pair_j)] - C_np[np.asarray(pair_i)], axis=1)
+    return t.astype(np.float32), s.astype(np.float32)
+
+
 def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
                           mask=None, method: str = "softl1",
                           upper_scale_ratio=1.3, lower_scale_ratio=0.9):
@@ -218,6 +281,18 @@ def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
         common["s0"] = np.maximum(np.abs(s0) / med, 1.0)
         t, s, _ = _ta_solver(loss="soft_l1", loss_scale=0.05, use_lud=True,
                              **common)
+    elif method == "bata":
+        t, s = translation_averaging_bata(aa_global, pair_i, pair_j, rel_aa,
+                                          rel_t, t0, mask)
+    elif method == "l1":
+        # the reference solves this family as an L-inf LP over triplets via
+        # COIN-Clp (TranslationAveraging.cpp:277-417); same robust objective
+        # here as IRLS (tiny-scale Huber == L1 weighting) on device
+        t, s = t0, s0
+        for scale in (0.1, 0.03, 0.01):
+            common["t0"], common["s0"] = t, s
+            t, s, _ = _ta_solver(loss="huber", loss_scale=scale,
+                                 max_iters=15, **common)
     else:
         raise ValueError(f"unknown method {method}")
     # Re-anchor the global scale gauge: direction noise exerts uniform

@@ -208,6 +208,44 @@ def find_essential_acransac(b1, b2, mask, n_hyp: int = 300, seed: int = 0,
             "err_threshold": err[best], "ok": ok[best] & jnp.isfinite(nfa[best])}
 
 
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def find_essential_ransac(b1, b2, mask, inlier_threshold_deg: float = 2.0,
+                          n_hyp: int = 200, seed: int = 0):
+    """Plain RANSAC with the reference's cosine scoring (FindEssentialRANSAC
+    + ScoreEssential, EssentialMatrix.cpp:43-154): symmetric test that both
+    bearings lie within (90 - thr) deg of the other view's epipolar plane;
+    score = sum of |cos| over inliers; best-score hypothesis wins, refit on
+    its inliers."""
+    M = b1.shape[0]
+    key = jax.random.PRNGKey(seed)
+    valid_idx = jnp.argsort(~mask)
+    n_valid = jnp.sum(mask)
+    draws = jax.random.randint(key, (n_hyp, MIN_SAMPLE), 0,
+                               jnp.maximum(n_valid, 1))
+    samples = valid_idx[draws]
+    E_h = eight_point(b1[samples], b2[samples])
+    cos_thr = jnp.cos(jnp.radians(90.0 - inlier_threshold_deg))
+
+    def cos_err(E, a, b):
+        ep = se3.einsum("hij,mj->hmi", E, a)
+        ep = ep / (jnp.linalg.norm(ep, axis=-1, keepdims=True) + 1e-12)
+        return jnp.abs(jnp.sum(ep * b[None], axis=-1))
+
+    e21 = cos_err(E_h, b1, b2)
+    e12 = cos_err(jnp.swapaxes(E_h, -1, -2), b2, b1)
+    inl = (e21 <= cos_thr) & (e12 <= cos_thr) & mask[None]
+    score = jnp.sum(jnp.where(inl, e21 + e12, 0.0), axis=1)
+    # NOTE: the reference accumulates the raw cosines as score
+    # (EssentialMatrix.cpp:131 — "would 1 - error be better?"); inlier COUNT
+    # is the robust choice and is what we rank by.
+    count = jnp.sum(inl, axis=1)
+    best = jnp.argmax(count)
+    inliers = inl[best]
+    E = eight_point_masked(b1, b2, inliers.astype(b1.dtype))
+    return {"E": E, "inliers": inliers, "n_inliers": count[best],
+            "ok": count[best] >= MIN_SAMPLE}
+
+
 def best_pose_from_essential(E, b1, b2, inliers):
     """DecomposeEssential + CheckRT best-of-4 (SfM.cpp:298-480 relative-pose
     step). Returns dict: R_21, t_21, n_good, good mask, points, parallax."""

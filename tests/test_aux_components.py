@@ -1,0 +1,125 @@
+"""Tests for VLAD, GPS utils, visualization, line tracks, extra TA methods,
+plain RANSAC."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as ScR
+
+from panovlm_tpu.models import line_tracks, vlad
+from panovlm_tpu.models import translation_averaging as ta
+from panovlm_tpu.ops import epipolar
+from panovlm_tpu.utils import gps as gps_util
+from panovlm_tpu.utils import visualization as viz
+
+
+def test_vlad_pairs_find_similar_frames(rng):
+    # frames 0/5 share descriptors (loop closure), others are random
+    N, F, D = 6, 64, 32
+    descs = rng.normal(size=(N, F, D)).astype(np.float32)
+    descs[5] = descs[0] + rng.normal(size=(F, D)).astype(np.float32) * 0.05
+    descs /= np.linalg.norm(descs, axis=2, keepdims=True)
+    fmask = np.ones((N, F), bool)
+    pi, pj, emb = vlad.vlad_pairs(descs, fmask, n_neighbors=1, n_centers=8,
+                                  sample=300)
+    assert (0, 5) in set(zip(pi.tolist(), pj.tolist()))
+
+
+def test_gps_scale_and_umeyama(rng):
+    g = rng.normal(size=(10, 3)) * 5
+    pi = np.array([0, 1, 2]); pj = np.array([1, 2, 3])
+    s = gps_util.scale_from_gps(g, pi, pj)
+    np.testing.assert_allclose(s[0], np.linalg.norm(g[1] - g[0]), rtol=1e-5)
+    # umeyama: known similarity
+    R = ScR.from_rotvec([0.1, -0.2, 0.3]).as_matrix()
+    dst = 2.5 * g @ R.T + np.array([1.0, -2.0, 3.0])
+    s_est, R_est, t_est = gps_util.umeyama(g, dst)
+    np.testing.assert_allclose(s_est, 2.5, rtol=1e-6)
+    np.testing.assert_allclose(R_est, R, atol=1e-8)
+
+
+def test_visualization_artifacts(tmp_path, rng):
+    d = (rng.random((32, 64)) * 10).astype(np.float32)
+    c = viz.depth_to_color(d, 10.0)
+    assert c.shape == (32, 64, 3) and c.dtype == np.uint8
+    poses = np.zeros((4, 6), np.float32)
+    poses[:, 3] = np.arange(4)
+    viz.camera_centers_pcd(str(tmp_path / "c.pcd"), poses)
+    viz.camera_pose_ply(str(tmp_path / "p.ply"), poses)
+    from panovlm_tpu.io.pointcloud import load_cloud
+    pc = load_cloud(str(tmp_path / "c.pcd"))
+    assert len(pc) == 4
+    gray = rng.random((32, 64)).astype(np.float32)
+    pts = rng.normal(size=(100, 3)).astype(np.float32) + [0, 0, 3]
+    img = viz.project_cloud_overlay(gray, pts, np.ones(100, bool))
+    assert img.shape == (32, 64, 3)
+    img2 = viz.draw_panorama_line(img.copy(), np.array([1.0, 0, 1]),
+                                  np.array([-0.3, 0.2, 1]))
+    assert (img2 != img).any()
+
+
+def test_ta_bata_and_l1(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_sfm_core import _translation_graph, align_translations
+    aa, t_gt, C, pi, pj, rel_aa, u, scale = _translation_graph(rng, noise=1e-4)
+    for method in ("bata", "l1"):
+        t_est, s = ta.translation_averaging(aa, pi, pj, rel_aa, u, scale,
+                                            method=method)
+        t_al = align_translations(t_est, t_gt)
+        err = np.abs(t_al - t_gt).max() / np.abs(t_gt).max()
+        assert err < 0.08, (method, err)
+
+
+def test_plain_ransac(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_epipolar import make_pair
+    b1, b2, R, t = make_pair(rng, n=200, outlier_frac=0.3, noise=1e-4)
+    out = epipolar.find_essential_ransac(b1, b2, jnp.ones(200, bool))
+    assert bool(out["ok"])
+    inl = np.asarray(out["inliers"])
+    assert inl[:60].sum() < 10 and inl[60:].sum() > 100
+    res = np.asarray(epipolar.epipolar_residuals(out["E"], b1, b2))
+    assert np.median(res[inl]) < 1e-5
+
+
+def test_lidar_line_tracks_and_gate():
+    # 3 scans, 4 line slots; lines 0 of each scan chain into one track
+    P = 2  # pairs: (0,1), (1,2)
+    L = 4
+    mask = np.zeros((P, L), bool)
+    seg_r = np.zeros((P, L), np.int32)
+    mask[0, 0] = True; seg_r[0, 0] = 0   # scan0 line0 <-> scan1 line0
+    mask[1, 0] = True; seg_r[1, 0] = 0   # scan1 line0 <-> scan2 line0
+    mask[1, 2] = True; seg_r[1, 2] = 3   # isolated 2-line track
+    assoc = {"mask": jnp.asarray(mask), "seg_r": jnp.asarray(seg_r)}
+    tid = line_tracks.lidar_line_tracks(assoc, np.array([0, 1]),
+                                        np.array([1, 2]), 3, L, min_length=3)
+    assert tid[0, 0] >= 0 and tid[0, 0] == tid[1, 0] == tid[2, 0]
+    assert tid[1, 3] == -1 and tid[2, 2] == -1  # short track filtered
+    gate = line_tracks.l2l_track_gate(assoc, np.array([0, 1]),
+                                      np.array([1, 2]), tid)
+    assert gate[0, 0] and gate[1, 0] and not gate[1, 2]
+
+
+def test_image_line_tracks(rng):
+    # two frames, same world lines, small rotation between
+    from test_camera_lidar import make_line_scene, arcs_from_world_lines
+    starts, ends = make_line_scene(rng, n_lines=8)
+    pose0 = np.zeros(6, np.float32)
+    pose1 = np.zeros(6, np.float32)
+    pose1[:3] = [0.02, -0.03, 0.01]
+    a0 = arcs_from_world_lines(starts, ends, pose0)
+    a1 = arcs_from_world_lines(starts, ends, pose1)
+    batch = {k: jnp.asarray(np.stack([a0[k], a1[k]])) for k in a0}
+    m = np.asarray(line_tracks.match_image_lines_pair(
+        {k: jnp.asarray(a0[k]) for k in a0},
+        {k: jnp.asarray(a1[k]) for k in a1},
+        jnp.asarray(pose0), jnp.asarray(pose1)))
+    L = len(starts)
+    assert (m[:L] == np.arange(L)).mean() > 0.8
+    tid = line_tracks.image_line_tracks(batch, np.stack([pose0, pose1]),
+                                        min_length=2)
+    assert (tid[0, :L] >= 0).mean() > 0.8
+    assert (tid[0, :L] == tid[1, :L])[tid[0, :L] >= 0].all()
