@@ -152,9 +152,14 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
             n, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
             weights=np.asarray(rel["n_inliers"])[keep])
     with tr.phase("translation averaging"):
+        # reference enum (sfm/SfM.h:70-77): 1 SOFTL1, 2 L1, 3 CHORDAL,
+        # 4 L2IRLS, 5 BATA, 6 LUD
+        ta_method = {1: "softl1", 2: "l1", 3: "chordal", 4: "l2irls",
+                     5: "bata", 6: "lud"}.get(cfg.translation_averaging_method,
+                                              "softl1")
         t_glob, s = ta.translation_averaging(
             aa_glob, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
-            np.asarray(rel["rel_t"])[keep], scales[keep], method="softl1",
+            np.asarray(rel["rel_t"])[keep], scales[keep], method=ta_method,
             upper_scale_ratio=cfg.upper_scale_ratio,
             lower_scale_ratio=cfg.lower_scale_ratio)
     with tr.phase("structure + BA"):
