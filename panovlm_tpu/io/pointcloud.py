@@ -20,6 +20,82 @@ _PCD_TYPE = {("F", 4): "f4", ("F", 8): "f8", ("I", 1): "i1", ("I", 2): "i2",
              ("I", 4): "i4", ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4"}
 
 
+def lzf_decompress(src: bytes, out_len: int) -> bytes:
+    """Decompress an LZF stream (the codec behind PCL's binary_compressed
+    PCD bodies). ctrl < 32 is a literal run of ctrl+1 bytes; otherwise a
+    back-reference of (ctrl>>5)+2 bytes (+1 extension byte when the 3-bit
+    length saturates) at distance ((ctrl&0x1f)<<8)+next+1."""
+    out = bytearray(out_len)
+    i, o, n = 0, 0, len(src)
+    while i < n:
+        ctrl = src[i]
+        i += 1
+        if ctrl < 32:
+            cnt = ctrl + 1
+            out[o:o + cnt] = src[i:i + cnt]
+            i += cnt
+            o += cnt
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                length += src[i]
+                i += 1
+            ref = o - (((ctrl & 0x1F) << 8) | src[i]) - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("corrupt LZF stream: reference before start")
+            for _ in range(length + 2):  # byte-wise: ranges may overlap
+                out[o] = out[ref]
+                o += 1
+                ref += 1
+    if o != out_len:
+        raise ValueError(f"corrupt LZF stream: produced {o}, expected {out_len}")
+    return bytes(out)
+
+
+def lzf_compress(src: bytes) -> bytes:
+    """Greedy LZF compressor (3-byte hash chaining, matching the output
+    format lzf_decompress accepts; used for binary_compressed writing)."""
+    n = len(src)
+    out = bytearray()
+    lit_start = 0
+    table: dict[bytes, int] = {}
+    i = 0
+
+    def flush_literals(end):
+        s = lit_start
+        while s < end:
+            cnt = min(32, end - s)
+            out.append(cnt - 1)
+            out.extend(src[s:s + cnt])
+            s += cnt
+
+    while i < n - 2:
+        key = src[i:i + 3]
+        ref = table.get(key, -1)
+        table[key] = i
+        dist = i - ref - 1
+        if ref >= 0 and 0 <= dist < 8192 and src[ref:ref + 3] == key:
+            length = 3
+            max_len = min(n - i, 264)
+            while length < max_len and src[ref + length] == src[i + length]:
+                length += 1
+            flush_literals(i)
+            ll = length - 2
+            if ll < 7:
+                out.append((ll << 5) | (dist >> 8))
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                out.append(ll - 7)
+            out.append(dist & 0xFF)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
+
+
 def read_pcd(path: str) -> np.ndarray:
     """Read a PCD file -> (N, C) float32 array (x,y,z[,intensity,...])."""
     with open(path, "rb") as f:
@@ -68,16 +144,30 @@ def read_pcd(path: str) -> np.ndarray:
                     for n in dtype.names if not n.startswith("pad")]
             out = np.concatenate(cols, axis=1)
         elif data_mode == "binary_compressed":
-            import lzf  # pragma: no cover - not in image; compressed rarely used
-            raise NotImplementedError("binary_compressed PCD not supported")
+            # PCL layout: u32 compressed size, u32 uncompressed size, LZF
+            # stream; decompressed body is field-major (SoA): field c is a
+            # contiguous block of points * itemsize(c) bytes.
+            comp_sz, uncomp_sz = struct.unpack("<II", f.read(8))
+            plain = lzf_decompress(f.read(comp_sz), uncomp_sz)
+            cols, off = [], 0
+            for name, s, t, c in zip(fields, sizes, types, counts):
+                fs = s * c
+                blk = np.frombuffer(plain, dtype=f"{_PCD_TYPE[(t, s)]}",
+                                    count=points * c, offset=off)
+                if name != "_":
+                    cols.append(np.asarray(blk, np.float32).reshape(points, c))
+                off += points * fs
+            out = np.concatenate(cols, axis=1)
         else:
             raise ValueError(f"unknown PCD DATA mode {data_mode}")
     return out
 
 
 def write_pcd(path: str, xyz: np.ndarray, intensity: np.ndarray | None = None,
-              rgb: np.ndarray | None = None, binary: bool = True):
-    """Write x,y,z[,intensity][,rgb packed float] PCD (pcl-compatible)."""
+              rgb: np.ndarray | None = None, binary: bool = True,
+              compressed: bool = False):
+    """Write x,y,z[,intensity][,rgb packed float] PCD (pcl-compatible).
+    compressed=True emits DATA binary_compressed (LZF over SoA body)."""
     n = len(xyz)
     fields = ["x", "y", "z"]
     cols = [np.asarray(xyz, np.float32)]
@@ -98,11 +188,16 @@ def write_pcd(path: str, xyz: np.ndarray, intensity: np.ndarray | None = None,
         f"TYPE {' '.join(['F'] * len(fields))}\n"
         f"COUNT {' '.join(['1'] * len(fields))}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {'binary_compressed' if compressed else 'binary' if binary else 'ascii'}\n"
     )
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            plain = np.ascontiguousarray(data.T).tobytes()  # SoA field blocks
+            comp = lzf_compress(plain)
+            f.write(struct.pack("<II", len(comp), len(plain)))
+            f.write(comp)
+        elif binary:
             f.write(data.tobytes())
         else:
             np.savetxt(f, data, fmt="%.6f")

@@ -27,6 +27,39 @@
 #include <thread>
 #include <vector>
 
+// LZF decompression (the codec PCL uses for DATA binary_compressed).
+// Stream of control bytes: ctrl < 32 -> literal run of ctrl+1 bytes;
+// otherwise a back-reference of (ctrl>>5)+2 bytes (+ extension byte when
+// the 3-bit length saturates at 7) at distance ((ctrl&0x1f)<<8)+next+1.
+static long lzf_decompress(const unsigned char* in, long in_len,
+                           unsigned char* out, long out_len) {
+  const unsigned char* ip = in;
+  const unsigned char* in_end = in + in_len;
+  unsigned char* op = out;
+  unsigned char* out_end = out + out_len;
+  while (ip < in_end) {
+    unsigned int ctrl = *ip++;
+    if (ctrl < 32) {
+      unsigned int cnt = ctrl + 1;
+      if (op + cnt > out_end || ip + cnt > in_end) return -1;
+      memcpy(op, ip, cnt);
+      op += cnt;
+      ip += cnt;
+    } else {
+      unsigned int len = ctrl >> 5;
+      if (len == 7) {
+        if (ip >= in_end) return -1;
+        len += *ip++;
+      }
+      if (ip >= in_end) return -1;
+      unsigned char* ref = op - (((ctrl & 0x1f) << 8) | *ip++) - 1;
+      if (ref < out || op + len + 2 > out_end) return -1;
+      for (unsigned int k = 0; k < len + 2; k++) *op++ = *ref++;  // may overlap
+    }
+  }
+  return (long)(op - out);
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -41,7 +74,7 @@ long pv_read_pcd(const char* path, float** out, int* out_cols) {
   char line[1024];
   long points = 0;
   int n_fields = 0;
-  bool binary = false;
+  int mode = -1;  // 0 ascii, 1 binary, 2 binary_compressed
   std::vector<int> sizes, counts;
   std::vector<char> types;
   std::vector<std::string> fields;
@@ -72,13 +105,15 @@ long pv_read_pcd(const char* path, float** out, int* out_cols) {
     } else if (k == "POINTS") {
       sscanf(line, "POINTS %ld", &points);
     } else if (k == "DATA") {
-      char mode[32];
-      sscanf(line, "DATA %31s", mode);
-      binary = (strcmp(mode, "binary") == 0);
+      char ms[32] = {0};
+      sscanf(line, "DATA %31s", ms);
+      if (strcmp(ms, "ascii") == 0) mode = 0;
+      else if (strcmp(ms, "binary") == 0) mode = 1;
+      else if (strcmp(ms, "binary_compressed") == 0) mode = 2;
       break;
     }
   }
-  if (points <= 0 || n_fields == 0) { fclose(f); return -1; }
+  if (points <= 0 || n_fields == 0 || mode < 0) { fclose(f); return -1; }
   if (counts.empty()) counts.assign(n_fields, 1);
   int stride = 0;
   std::vector<int> offs(n_fields);
@@ -88,7 +123,42 @@ long pv_read_pcd(const char* path, float** out, int* out_cols) {
   }
   int cols = n_fields < 4 ? n_fields : 4;
   float* data = (float*)malloc(sizeof(float) * points * cols);
-  if (binary) {
+  if (mode == 2) {
+    // PCL binary_compressed: u32 compressed size, u32 uncompressed size,
+    // LZF stream. Decompressed layout is field-major (SoA): for field c,
+    // a contiguous block of points * sizes[c]*counts[c] bytes.
+    uint32_t comp_sz = 0, uncomp_sz = 0;
+    if (fread(&comp_sz, 4, 1, f) != 1 || fread(&uncomp_sz, 4, 1, f) != 1 ||
+        uncomp_sz < (uint32_t)(points * stride)) {
+      fclose(f); free(data); return -1;
+    }
+    std::vector<unsigned char> comp(comp_sz), plain(uncomp_sz);
+    if (fread(comp.data(), 1, comp_sz, f) != comp_sz ||
+        lzf_decompress(comp.data(), comp_sz, plain.data(), uncomp_sz) !=
+            (long)uncomp_sz) {
+      fclose(f); free(data); return -1;
+    }
+    long blk = 0;
+    for (int c = 0; c < n_fields; c++) {
+      int fs = sizes[c] * counts[c];
+      if (c < cols) {
+        for (long r = 0; r < points; r++) {
+          const unsigned char* src = plain.data() + blk + r * fs;
+          float v = 0;
+          if (types[c] == 'F' && sizes[c] == 4) memcpy(&v, src, 4);
+          else if (types[c] == 'F' && sizes[c] == 8) {
+            double d; memcpy(&d, src, 8); v = (float)d;
+          } else if (types[c] == 'U') {
+            uint32_t u = 0; memcpy(&u, src, sizes[c]); v = (float)u;
+          } else if (types[c] == 'I') {
+            int32_t s = 0; memcpy(&s, src, sizes[c]); v = (float)s;
+          }
+          data[r * cols + c] = v;
+        }
+      }
+      blk += (long)points * fs;
+    }
+  } else if (mode == 1) {
     std::vector<unsigned char> buf(stride);
     for (long r = 0; r < points; r++) {
       if (fread(buf.data(), 1, stride, f) != (size_t)stride) { points = r; break; }

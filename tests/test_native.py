@@ -63,3 +63,42 @@ def test_depth_quantize(lib, rng):
                             out.ctypes.data_as(ctypes.c_void_p), 1000,
                             ctypes.c_float(256.0))
     np.testing.assert_allclose(out, d, atol=1 / 256)
+
+
+def test_lzf_roundtrip(rng):
+    from panovlm_tpu.io.pointcloud import lzf_compress, lzf_decompress
+    # repetitive data (back-references), random data (literal runs), short
+    for blob in (bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),
+                 bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),
+                 b"abcabcabcabcabcabcabc" * 50, b"x", b""):
+        comp = lzf_compress(blob)
+        assert lzf_decompress(comp, len(blob)) == blob
+
+
+def test_pcd_binary_compressed_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(700, 3)).astype(np.float32)
+    inten = rng.random(700).astype(np.float32)
+    p = str(tmp_path / "c.pcd")
+    pointcloud.write_pcd(p, pts, intensity=inten, compressed=True)
+    with open(p, "rb") as f:
+        assert b"DATA binary_compressed" in f.read()
+    a = pointcloud.read_pcd(p)
+    np.testing.assert_allclose(a[:, :3], pts, atol=1e-6)
+    np.testing.assert_allclose(a[:, 3], inten, atol=1e-6)
+
+
+def test_pcd_binary_compressed_native(tmp_path, lib, rng):
+    pts = rng.normal(size=(700, 3)).astype(np.float32)
+    p = str(tmp_path / "d.pcd")
+    pointcloud.write_pcd(p, pts, compressed=True)
+    a = native.read_cloud_native(p)
+    assert a is not None and a.shape == (700, 3)
+    np.testing.assert_allclose(a, pts, atol=1e-6)
+
+
+def test_native_rejects_unknown_data_mode(tmp_path, lib):
+    p = str(tmp_path / "bad.pcd")
+    with open(p, "w") as f:
+        f.write("FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+                "WIDTH 2\nHEIGHT 1\nPOINTS 2\nDATA rle\n1 2 3\n4 5 6\n")
+    assert native.read_cloud_native(p) is None
