@@ -66,6 +66,10 @@ class Config:
     # SfM (Config.h:97-111)
     rotation_averaging_method: int = 1
     translation_averaging_method: int = 1
+    # FrameMatchMethod bitmask (sfm/SfM.h:56-63): 1 EXHAUSTIVE, 2 CONTIGUOUS,
+    # 4 VLAD, 8 GPS, 16 GPS_VLAD. The reference hardcodes VLAD|CONTIGUOUS
+    # (main.cpp:202); exposed as a config key here.
+    frame_match_method: int = 6
     use_all_pairs_ra: bool = True
     use_all_pairs_ta: bool = True
     init_translation_DLT: bool = True

@@ -52,28 +52,66 @@ class SfMConfig(NamedTuple):
     min_track_length: int = 3                # Structure.cpp:8-85
 
 
-def init_image_pairs(n_frames: int, cfg: SfMConfig, embeddings=None):
+# FrameMatchMethod bitmask (sfm/SfM.h:56-63)
+MATCH_EXHAUSTIVE = 1
+MATCH_CONTIGUOUS = 2
+MATCH_VLAD = 4
+MATCH_GPS = 8
+MATCH_GPS_VLAD = 16
+
+
+def init_image_pairs(n_frames: int, cfg: SfMConfig, embeddings=None,
+                     gps_xyz=None, methods: int | None = None):
     """Pair proposal (InitImagePairs, sfm/SfM.cpp:49-168). Returns (pi, pj).
 
-    vlad: neighbors by embedding cosine similarity (embeddings (N,D));
-    always unioned with the temporal window like GPS_VLAD."""
-    pairs = set()
-    if cfg.pair_method == "exhaustive":
-        pairs |= {(i, j) for i in range(n_frames) for j in range(i + 1, n_frames)}
-    else:
+    `methods` is the combinable FrameMatchMethod bitmask; sources union with
+    dedup like the reference. EXHAUSTIVE short-circuits everything else
+    (SfM.cpp:52-59). VLAD uses `embeddings` (N,D) with the reference's
+    neighbor count max(N/40, 15); GPS uses `gps_xyz` with radius 7 m / 15
+    neighbors; GPS_VLAD takes the VLAD neighbors and drops pairs farther
+    than 20 m in GPS (SfM.cpp:135-167). Missing inputs degrade to the
+    temporal window."""
+    if methods is None:
+        methods = (MATCH_EXHAUSTIVE if cfg.pair_method == "exhaustive" else
+                   MATCH_CONTIGUOUS | (MATCH_VLAD if cfg.pair_method == "vlad"
+                                       else 0))
+    if methods & MATCH_EXHAUSTIVE:
+        pi, pj = np.triu_indices(n_frames, k=1)
+        return pi.astype(np.int32), pj.astype(np.int32)
+    def _contiguous():
         w = cfg.contiguous_window
-        pairs |= {(i, j) for i in range(n_frames)
-                  for j in range(i + 1, min(i + 1 + w, n_frames))}
-    if cfg.pair_method == "vlad" and embeddings is not None:
+        return {(i, j) for i in range(n_frames)
+                for j in range(i + 1, min(i + 1 + w, n_frames))}
+
+    pairs = _contiguous() if methods & MATCH_CONTIGUOUS else set()
+
+    def _vlad_neighbors(k):
         e = np.asarray(embeddings)
         e = e / (np.linalg.norm(e, axis=1, keepdims=True) + 1e-12)
         sim = e @ e.T
-        np.fill_diagonal(sim, -1)
-        for i in range(n_frames):
-            for j in np.argsort(-sim[i])[:10]:
-                a, b = min(i, int(j)), max(i, int(j))
-                if a != b:
-                    pairs.add((a, b))
+        np.fill_diagonal(sim, -np.inf)
+        return [np.argsort(-sim[i])[:k] for i in range(n_frames)]
+
+    if methods & MATCH_VLAD and embeddings is not None:
+        k = max(n_frames // 40, 15)
+        for i, nbrs in enumerate(_vlad_neighbors(k)):
+            for j in nbrs:
+                if i != j:
+                    pairs.add((min(i, int(j)), max(i, int(j))))
+    if methods & MATCH_GPS and gps_xyz is not None:
+        from ..utils.gps import gps_pairs
+        gi, gj = gps_pairs(gps_xyz, radius=7.0, max_per_frame=15)
+        pairs |= set(zip(gi.tolist(), gj.tolist()))
+    if methods & MATCH_GPS_VLAD and embeddings is not None \
+            and gps_xyz is not None:
+        g = np.asarray(gps_xyz)
+        k = max(n_frames // 40, 1)
+        for i, nbrs in enumerate(_vlad_neighbors(k)):
+            for j in nbrs:
+                if i != j and np.linalg.norm(g[i] - g[int(j)]) <= 20.0:
+                    pairs.add((min(i, int(j)), max(i, int(j))))
+    if not pairs:  # requested sources had no inputs: temporal fallback
+        pairs = _contiguous()
     ordered = sorted(pairs)
     return (np.array([p[0] for p in ordered], np.int32),
             np.array([p[1] for p in ordered], np.int32))

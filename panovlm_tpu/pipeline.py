@@ -134,7 +134,27 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         upper_scale_ratio=cfg.upper_scale_ratio,
         lower_scale_ratio=cfg.lower_scale_ratio)
     with tr.phase("match pairs"):
-        pi, pj = sfm_mod.init_image_pairs(n, scfg)
+        # FrameMatchMethod bitmask (sfm/SfM.h:56-63; main.cpp:202 uses
+        # VLAD|CONTIGUOUS). VLAD embeddings come from the SIFT descriptors
+        # already on device; GPS positions from cfg.gps_path when present.
+        fm = cfg.frame_match_method
+        embeddings = None
+        if fm & (sfm_mod.MATCH_VLAD | sfm_mod.MATCH_GPS_VLAD) and n > 2:
+            from .models import vlad
+            _, _, embeddings = vlad.vlad_pairs(
+                jnp.asarray(desc), jnp.asarray(fmask),
+                n_centers=min(64, cap))
+        gps_xyz = None
+        if fm & (sfm_mod.MATCH_GPS | sfm_mod.MATCH_GPS_VLAD) and \
+                cfg.gps_path and os.path.exists(cfg.gps_path):
+            from .utils.gps import read_gps
+            gps_xyz, _ = read_gps(cfg.gps_path)
+            if len(gps_xyz) != n:
+                log.error("GPS count %d != frames %d; skipping GPS pairs",
+                          len(gps_xyz), n)
+                gps_xyz = None
+        pi, pj = sfm_mod.init_image_pairs(n, scfg, embeddings=embeddings,
+                                          gps_xyz=gps_xyz, methods=fm)
         matches = sfm_mod.match_all_pairs(jnp.asarray(desc), jnp.asarray(fmask),
                                           pi, pj, scfg)
     with tr.phase("relative poses"):
@@ -233,11 +253,93 @@ def init_lidar_pose(cfg: Config, tr: TimeReport | None = None):
             point_to_plane=cfg.point_to_plane_residual)
         poses, infos = lidar_odometry.estimate_poses(batch, poses0, valid, ocfg)
     with tr.phase("export"):
+        from .utils import visualization as viz
         R, t = pose_util.params_to_world(np.asarray(poses))
         artifacts.export_pose_t(
             os.path.join(cfg.odo_result_path, "lidar_pose_refined.txt"),
             R, t, names)
+        viz.camera_centers_pcd(
+            os.path.join(cfg.odo_result_path, "lidar_center_refined.pcd"),
+            np.asarray(poses), valid)
+        viz.camera_pose_ply(
+            os.path.join(cfg.odo_result_path, "lidar_pose_refined.ply"),
+            np.asarray(poses), valid)
+
+    # undistort with the solved poses, re-estimate, export the undistorted
+    # clouds + poses (main.cpp:414-448, max_iter = 1)
+    if cfg.lidar_path_undistort:
+        with tr.phase("undistort + re-estimate"):
+            poses, valid = _undistort_round(cfg, tr, scans, valid, names,
+                                            np.asarray(poses))
     return np.asarray(poses), valid
+
+
+def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
+    """One undistort->re-estimate round (main.cpp:414-448 with max_iter=1):
+    slerp each point's pose between its scan's and the next valid scan's
+    (LidarOdometry::UndistortLidars, lidar_mapping/LidarOdometry.cpp:189-263),
+    write the undistorted clouds to cfg.lidar_path_undistort (original z-up
+    frame, intensity = sweep time like ColorizeCloudByTime), then rerun the
+    odometry on them."""
+    import jax.numpy as jnp
+    from .models import lidar_odometry
+    from .sensors import velodyne as vd
+    from .utils import visualization as viz
+
+    os.makedirs(cfg.lidar_path_undistort, exist_ok=True)
+    n = len(scans)
+    valid_ids = [i for i in range(n) if valid[i]]
+    undist = []
+    for i, pts in enumerate(scans):
+        frac = np.asarray(vd.sweep_fraction(
+            jnp.asarray(pts), jnp.ones(len(pts), bool)))
+        if valid[i] and len(valid_ids) > 1:
+            # next valid scan's pose; the last scan extrapolates backwards
+            # assuming constant relative motion (LidarOdometry.cpp:210-236).
+            # A gap of (j - i) scans scales the sweep: the scan-end pose sits
+            # at alpha = duration / ((j-i)*(duration+gap)) along the geodesic
+            # toward pose_j, so scaling frac by alpha is equivalent (slerp is
+            # a geodesic).
+            duration = 0.1
+            later = [j for j in valid_ids if j > i]
+            if later:
+                j = later[0]
+                pose_next = poses[j]
+                alpha = duration / ((j - i) * (duration + cfg.data_gap_time))
+            else:
+                prev = [j for j in valid_ids if j < i][-1]
+                p_prev, p_i = poses[prev], poses[i]
+                pose_next = p_i + (p_i - p_prev) / (i - prev)
+                alpha = duration / (duration + cfg.data_gap_time)
+            p = np.asarray(lidar_odometry.undistort_scan(
+                jnp.asarray(pts), jnp.asarray(frac * alpha),
+                jnp.asarray(poses[i]), jnp.asarray(pose_next)))
+        else:
+            p = pts
+        undist.append(p.astype(np.float32))
+        raw = p @ vd.AXIS_SWAP  # back to the sensor's z-up frame (S^-1 = S^T)
+        pointcloud.write_pcd(os.path.join(cfg.lidar_path_undistort, names[i]),
+                             raw if len(raw) else np.zeros((1, 3), np.float32),
+                             intensity=frac if len(raw) else
+                             np.zeros(1, np.float32), binary=False)
+
+    batch = extract_all_features(undist, cfg=cfg)
+    ocfg = lidar_odometry.OdometryConfig(
+        num_iteration_lidar=cfg.num_iteration_lidar,
+        angle_residual=cfg.angle_residual,
+        normalize_distance=cfg.normalize_distance,
+        point_to_line=cfg.point_to_line_residual,
+        line_to_line=cfg.line_to_line_residual,
+        point_to_plane=cfg.point_to_plane_residual)
+    poses2, _ = lidar_odometry.estimate_poses(batch, poses, valid, ocfg)
+    R, t = pose_util.params_to_world(np.asarray(poses2))
+    artifacts.export_pose_t(
+        os.path.join(cfg.odo_result_path, "lidar_pose_undis_refined.txt"),
+        R, t, names)
+    viz.camera_centers_pcd(
+        os.path.join(cfg.odo_result_path, "lidar_center_undis_refined.pcd"),
+        np.asarray(poses2), valid)
+    return np.asarray(poses2), valid
 
 
 def joint_optimization(cfg: Config, tr: TimeReport | None = None):

@@ -472,6 +472,18 @@ def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2):
 # ----------------------------------------------------------------------------
 
 @jax.jit
+def sweep_fraction(pts, mask):
+    """Per-point azimuth sweep fraction in [0,1) relative to the first valid
+    point (the reference's start_ori convention, Velodyne.cpp:398-400);
+    drives motion undistortion and time-colorized export."""
+    x, z = pts[:, 0], pts[:, 2]
+    ori = jnp.arctan2(x, z)
+    ori = jnp.where(ori < 0, ori + 2 * jnp.pi, ori)
+    start_ori = ori[jnp.argmax(mask)]
+    return jnp.mod(ori - start_ori, 2 * jnp.pi) / (2 * jnp.pi)
+
+
+@jax.jit
 def undistort_points(pts, frac, R_end, t_end):
     """Motion undistortion (UndistortCloud, Velodyne.cpp:1642-1674): each
     point is moved by the pose interpolated between identity (scan start)

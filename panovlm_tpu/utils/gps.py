@@ -11,6 +11,26 @@ from __future__ import annotations
 import numpy as np
 
 
+def read_gps(path: str):
+    """Read a GPS file (util/FileIO.cpp:134-166): per line `[name] x y z`
+    (last three tokens are xyz); non-finite rows become +inf. Returns
+    (xyz (N,3) float64, names list or None)."""
+    xyz, names = [], []
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if not toks:
+                continue
+            if len(toks) == 4:
+                names.append(toks[0])
+            try:
+                v = [float(t) for t in toks[-3:]]
+            except ValueError:
+                continue
+            xyz.append(v if all(np.isfinite(v)) else [np.inf] * 3)
+    return np.asarray(xyz, np.float64), (names if names else None)
+
+
 def gps_pairs(gps_xyz, radius: float = 5.0, max_per_frame: int = 10):
     """Propose pairs whose GPS positions are within radius."""
     g = np.asarray(gps_xyz)

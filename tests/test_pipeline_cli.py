@@ -51,9 +51,15 @@ def test_stage1_init_camera_pose(dataset, sfm_done):
     assert t_err < 0.08, t_err
 
 
-def test_stage2_init_lidar_pose(dataset, sfm_done):
+@pytest.fixture(scope="module")
+def odo_done(dataset, sfm_done):
     cfg, gt = dataset
-    poses, valid = pipeline.init_lidar_pose(cfg)
+    return pipeline.init_lidar_pose(cfg)
+
+
+def test_stage2_init_lidar_pose(dataset, odo_done):
+    cfg, gt = dataset
+    poses, valid = odo_done
     R, t, names, ok = artifacts.read_pose_t(
         os.path.join(cfg.odo_result_path, "lidar_pose_refined.txt"))
     assert ok.all()
@@ -68,10 +74,27 @@ def test_stage2_init_lidar_pose(dataset, sfm_done):
         assert abs(d_est - d_gt) < 0.05, (i, d_est, d_gt)
 
 
-@pytest.fixture(scope="module")
-def joint_done(dataset, sfm_done):
+def test_stage2_undistort_round(dataset, odo_done):
+    """The undistort->re-estimate round (main.cpp:414-448) ran: undistorted
+    clouds on disk and a second pose file, still close to GT motion."""
     cfg, gt = dataset
-    pipeline.init_lidar_pose(cfg)
+    import glob as g
+    undis = g.glob(os.path.join(cfg.lidar_path_undistort, "*.pcd"))
+    assert len(undis) == 6
+    R, t, names, ok = artifacts.read_pose_t(
+        os.path.join(cfg.odo_result_path, "lidar_pose_undis_refined.txt"))
+    assert ok.all()
+    for i in range(5):
+        _, t_gt_l = gt["poses_lidar"][i]
+        _, t_gt_n = gt["poses_lidar"][i + 1]
+        d_gt = np.linalg.norm(t_gt_n - t_gt_l)
+        d_est = np.linalg.norm(t[i + 1] - t[i])
+        assert abs(d_est - d_gt) < 0.07, (i, d_est, d_gt)
+
+
+@pytest.fixture(scope="module")
+def joint_done(dataset, odo_done):
+    cfg, gt = dataset
     return pipeline.joint_optimization(cfg)
 
 

@@ -151,3 +151,46 @@ def test_max_pairwise_angle():
     np.testing.assert_allclose(float(a_all), 90.0, atol=0.5)
     a_two = tri.max_pairwise_ray_angle(dirs, jnp.asarray([True, True, False]))
     assert float(a_two) < 2.0
+
+
+def test_init_image_pairs_bitmask(rng):
+    from panovlm_tpu.models import sfm
+    cfg = sfm.SfMConfig(contiguous_window=2)
+    # exhaustive short-circuits
+    pi, pj = sfm.init_image_pairs(6, cfg, methods=sfm.MATCH_EXHAUSTIVE)
+    assert len(pi) == 15 and (pi < pj).all()
+    # contiguous window
+    pi, pj = sfm.init_image_pairs(6, cfg, methods=sfm.MATCH_CONTIGUOUS)
+    assert (pj - pi).max() == 2
+    # vlad unioned with contiguous: frames 0 and 5 share an embedding
+    emb = np.eye(6, 8, dtype=np.float32)
+    emb[5] = emb[0]
+    pi, pj = sfm.init_image_pairs(
+        6, cfg, embeddings=emb,
+        methods=sfm.MATCH_CONTIGUOUS | sfm.MATCH_VLAD)
+    assert (0, 5) in set(zip(pi.tolist(), pj.tolist()))
+    # gps radius pairing
+    g = np.zeros((6, 3))
+    g[:, 0] = [0, 100, 200, 0.5, 300, 400]
+    pi, pj = sfm.init_image_pairs(6, cfg, gps_xyz=g, methods=sfm.MATCH_GPS)
+    s = set(zip(pi.tolist(), pj.tolist()))
+    assert (0, 3) in s and (0, 1) not in s
+    # gps_vlad: vlad neighbor (0,5) dropped when GPS says they are 400m apart
+    pi, pj = sfm.init_image_pairs(
+        6, cfg, embeddings=emb, gps_xyz=g, methods=sfm.MATCH_GPS_VLAD)
+    assert (0, 5) not in set(zip(pi.tolist(), pj.tolist()))
+    # requested source missing its input -> temporal fallback
+    pi, pj = sfm.init_image_pairs(6, cfg, methods=sfm.MATCH_VLAD)
+    assert len(pi) > 0
+
+
+def test_read_gps(tmp_path):
+    from panovlm_tpu.utils.gps import read_gps
+    p = tmp_path / "gps.txt"
+    p.write_text("a.jpg 1 2 3\nb.jpg 4 nan 6\n\n7 8 9\n")
+    xyz, names = read_gps(str(p))
+    assert xyz.shape == (3, 3)
+    np.testing.assert_allclose(xyz[0], [1, 2, 3])
+    assert np.isinf(xyz[1]).all()
+    np.testing.assert_allclose(xyz[2], [7, 8, 9])
+    assert names == ["a.jpg", "b.jpg"]
