@@ -40,6 +40,8 @@ class MVSConfig(NamedTuple):
     pm: PatchMatchConfig = PatchMatchConfig()
     n_iterations: int = 4
     n_neighbors: int = 4
+    propagate: int = 1                    # Propagate enum (mvs/MVS.h:38-42):
+                                          # 1 checkerboard, 2 sequential
     keep_lidar_constant: bool = False     # Config.h keep_lidar_constant
     mvs_use_geometric: bool = True
     depth_diff_threshold: float = 0.01
@@ -111,11 +113,17 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
     depth, normal = depth0, normal0
     key = jax.random.PRNGKey(seed)
     for it in range(cfg.n_iterations):
-        for parity in (0, 1):
+        if cfg.propagate == 2:      # SEQUENTIAL: alternate sweep direction
             key, sub = jax.random.split(key)
-            depth, normal, cost = patchmatch.checkerboard_step(
+            depth, normal, cost = patchmatch.sequential_step(
                 gray_ref, grays_nei, rays, depth, normal, cost,
-                R_nr, t_nr, sub, fixed, cfg.pm, parity, nei_depths)
+                R_nr, t_nr, sub, fixed, cfg.pm, it % 2, nei_depths)
+        else:                       # CHECKER_BOARD: red/black half-steps
+            for parity in (0, 1):
+                key, sub = jax.random.split(key)
+                depth, normal, cost = patchmatch.checkerboard_step(
+                    gray_ref, grays_nei, rays, depth, normal, cost,
+                    R_nr, t_nr, sub, fixed, cfg.pm, parity, nei_depths)
     conf = jnp.clip(1.0 - cost, -1.0, 1.0)   # NCC-like confidence in [-1,1]
     return depth, normal, conf
 

@@ -171,19 +171,15 @@ def plane_induced(rays, depth, normal, dv, du):
     return d_p, n_q
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "parity"))
-def checkerboard_step(gray_ref, grays_nei, rays, depth, normal, cost,
-                      R_nr_all, t_nr_all, key, fixed_depth, cfg: PatchMatchConfig,
-                      parity: int, nei_depths=None):
-    """One red/black half-iteration: active pixels test propagated +
-    perturbed + random candidates and keep the argmin-cost plane."""
-    H, W = depth.shape
-    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-    active = ((yy + xx) % 2) == parity
-
+def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
+             R_nr_all, t_nr_all, key, fixed_depth, cfg: PatchMatchConfig,
+             prop_offsets, active, nei_depths=None):
+    """Shared PatchMatch update: active pixels test propagated + perturbed +
+    random candidates and keep the argmin-cost plane (ProcessPixel,
+    MVS.cpp:719-772)."""
     cands_d = [depth]
     cands_n = [normal]
-    for dv, du in cfg.prop_offsets:
+    for dv, du in prop_offsets:
         d_p, n_p = plane_induced(rays, depth, normal, dv, du)
         cands_d.append(d_p)
         cands_n.append(n_p)
@@ -229,3 +225,46 @@ def checkerboard_step(gray_ref, grays_nei, rays, depth, normal, cost,
     # keep_lidar_constant: depth pinned, plane/normal/cost still update
     best_d = jnp.where(fixed_depth, depth, best_d)
     return best_d, best_n, best_c
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "parity"))
+def checkerboard_step(gray_ref, grays_nei, rays, depth, normal, cost,
+                      R_nr_all, t_nr_all, key, fixed_depth, cfg: PatchMatchConfig,
+                      parity: int, nei_depths=None):
+    """One red/black half-iteration (PropagateCheckerBoard, MVS.cpp:723-767)."""
+    H, W = depth.shape
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    active = ((yy + xx) % 2) == parity
+    return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
+                    R_nr_all, t_nr_all, key, fixed_depth, cfg,
+                    cfg.prop_offsets, active, nei_depths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "direction", "max_shift"))
+def sequential_step(gray_ref, grays_nei, rays, depth, normal, cost,
+                    R_nr_all, t_nr_all, key, fixed_depth,
+                    cfg: PatchMatchConfig, direction: int,
+                    nei_depths=None, max_shift: int = 32):
+    """Directional sweep (PropagateSequential, MVS.cpp:682-720) redesigned
+    for TPU. The reference walks pixels TL->BR (even iters, candidates from
+    left/up) or BR->TL (odd, right/down), letting one good plane sweep the
+    whole image in a single serial pass. A serial pixel loop cannot batch,
+    so this uses log-shift relaxation: candidates come from offsets
+    1, 2, 4, ..., max_shift along the sweep direction, every hop re-scored
+    and only kept when it lowers the pixel's cost — the same monotone
+    improvement, whole-image reach in O(log W) batched evaluations.
+
+    direction: 0 = TL->BR (left/up sources), 1 = BR->TL (right/down)."""
+    # _roll2 semantics: offset (dv,du) sources the plane from (v+dv, u+du),
+    # so TL->BR (left/up sources) needs negative offsets.
+    sign = -1 if direction == 0 else 1
+    offsets = []
+    k = 1
+    while k <= max_shift:
+        offsets.append((0, sign * k))   # along-row
+        offsets.append((sign * k, 0))   # along-column
+        k *= 2
+    active = jnp.ones(depth.shape, bool)
+    return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
+                    R_nr_all, t_nr_all, key, fixed_depth, cfg,
+                    tuple(offsets), active, nei_depths)

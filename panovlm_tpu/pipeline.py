@@ -457,6 +457,7 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         pm=mvs_mod.PatchMatchConfig(
             ncc_half_window=cfg.ncc_half_window, ncc_step=cfg.ncc_step,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth),
+        propagate=cfg.propagate_strategy,
         keep_lidar_constant=cfg.keep_lidar_constant,
         mvs_use_geometric=cfg.mvs_use_geometric,
         depth_diff_threshold=cfg.depth_diff_threshold,

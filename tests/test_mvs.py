@@ -151,3 +151,25 @@ def test_colorize_and_fuse(views):
     assert np.corrcoef(sampled, tex[ok])[0, 1] > 0.85
     fused, fmask, fcol = texture.fuse_cloud(pw, col, jnp.asarray(ok))
     assert int(np.asarray(fmask).sum()) > 1000
+
+
+def test_sequential_propagation_converges(views):
+    """Propagate::SEQUENTIAL (MVS.cpp:682-720) as TPU log-shift sweeps:
+    from a sparse LiDAR init it must reach checkerboard-level accuracy, and
+    a good plane must travel far (whole-image reach per sweep)."""
+    cfg = mvs.MVSConfig(
+        pm=PatchMatchConfig(ncc_half_window=6, ncc_step=2, max_depth=10.0),
+        n_iterations=6, n_neighbors=3, propagate=2)
+    rays = spherical.pixel_ray_grid(H, W)
+    key = jax.random.PRNGKey(0)
+    sparse = np.zeros((H, W), np.float32)
+    sparse[::16, ::16] = views["depths"][0][::16, ::16]  # sparser than the
+    d0, n0, fixed = mvs.init_depth_normal(key, rays, jnp.asarray(sparse), cfg)
+    nei = np.array([1, 2, 3], np.int32)
+    band = slice(H // 4, 3 * H // 4)
+    gt = views["depths"][0]
+    depth, normal, conf = mvs.estimate_depth_map(
+        jnp.asarray(views["grays"][0]), jnp.asarray(views["grays"][nei]),
+        views["poses"], 0, nei, d0, n0, fixed, cfg)
+    rel = np.abs(np.asarray(depth) - gt) / gt
+    assert np.median(rel[band]) < 0.08, np.median(rel[band])
