@@ -93,6 +93,11 @@ class Config:
     num_iteration_lidar: int = 5
     num_iteration_joint: int = 1
     neighbor_size_joint: int = 3
+    # line-track gating in joint optimization (AssociateLineMulti flags,
+    # joint_optimization/CameraLidarOptimizer.h:78-79; default false there)
+    use_image_track: bool = False
+    use_lidar_track: bool = False
+    min_track_length: int = 3
     camera_weight: float = 1.0
     lidar_weight: float = 1.0
     camera_lidar_weight: float = 1.0

@@ -132,6 +132,17 @@ class JointConfig(NamedTuple):
     normalize_distance: bool = True
     ba_huber_deg: float = 4.0
     max_lm_iters: int = 30
+    # restrict line association to lines on multi-view tracks
+    # (AssociateLineMulti use_lidar_track / use_image_track flags +
+    # LidarMaskByTrack / ImageMaskByTrack, CameraLidarOptimizer.cpp:331-671)
+    use_image_track: bool = False
+    use_lidar_track: bool = False
+    min_track_length: int = 3
+
+
+def _field(batch, name):
+    """Field access for either a ScanFeatures NamedTuple or a plain dict."""
+    return getattr(batch, name) if hasattr(batch, name) else batch[name]
 
 
 def _cl_pairs(n_frames, n_lidars, k):
@@ -246,15 +257,37 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
 
     infos = []
     for it in range(cfg.num_iteration_joint):
-        cl_assoc = associate_all_cl(arc_batch, lidar_batch, cam_poses,
-                                    lidar_poses, fi, li)
-        cl_blocks = build_cl_blocks(cl_assoc, arc_batch, fi, li,
-                                    cfg.camera_lidar_weight)
-        # lidar-lidar families
+        # lidar-lidar families (also feed the lidar line tracks)
         pr, pn = association.find_neighbors(lidar_poses, lidar_valid)
         pair_r, pair_n, pair_valid = lidar_odometry._pad_pairs(pr, pn)
         l_assoc = association.associate_all_pairs(
             lidar_batch, lidar_poses, pair_r, pair_n)
+
+        ab, lb = arc_batch, lidar_batch
+        if cfg.use_image_track:
+            from .line_tracks import image_line_tracks
+            tid_img = image_line_tracks(
+                {k: np.asarray(v) for k, v in arc_batch.items()},
+                cam_poses, window=cfg.neighbor_size_joint,
+                min_length=cfg.min_track_length)
+            ab = dict(arc_batch)
+            ab["mask"] = jnp.asarray(np.asarray(arc_batch["mask"])
+                                     & (tid_img >= 0))
+        if cfg.use_lidar_track:
+            from .line_tracks import lidar_line_tracks
+            n_lines = np.asarray(_field(lidar_batch, "line_mask")).shape[1]
+            tid_l = lidar_line_tracks(l_assoc["l2l"], pair_r, pair_n,
+                                      n_lidars, n_lines,
+                                      min_length=cfg.min_track_length)
+            lm = jnp.asarray(np.asarray(_field(lidar_batch, "line_mask"))
+                             & (tid_l >= 0))
+            lb = (lidar_batch._replace(line_mask=lm)
+                  if hasattr(lidar_batch, "_replace")
+                  else {**lidar_batch, "line_mask": lm})
+
+        cl_assoc = associate_all_cl(ab, lb, cam_poses, lidar_poses, fi, li)
+        cl_blocks = build_cl_blocks(cl_assoc, ab, fi, li,
+                                    cfg.camera_lidar_weight)
         l_blocks = lidar_odometry.build_blocks(
             l_assoc, pair_r, pair_n, pair_valid,
             angle_residual=cfg.angle_residual,

@@ -78,10 +78,14 @@ def l2l_track_gate(l2l_assoc, pair_r, pair_n, track_id):
 
 
 def match_image_lines_pair(arcs_i, arcs_j, pose_i, pose_j,
-                           angle_deg: float = 3.0):
-    """Geometric arc matching between two frames: rotate frame j's
-    great-circle normals into frame i, gate by normal angle and arc-midpoint
-    proximity, one-to-one by angle. Returns (match (Lj,) index into i or -1)."""
+                           angle_deg: float = 3.0, ratio: float = 0.9):
+    """Arc matching between two frames: rotate frame j's great-circle
+    normals into frame i, gate by normal angle and arc-midpoint proximity,
+    one-to-one. When the arc dicts carry "desc" (the LBD-equivalent band
+    descriptor, ops/lbd.py), candidates are scored by descriptor distance
+    with the reference's ratio test (MatchInitLine KNN mode, joint_
+    optimization/PanoramaLineMatch.cpp:37-46); otherwise by normal angle.
+    Returns (match (Lj,) index into i or -1)."""
     aa_i, aa_j = pose_i[:3], pose_j[:3]
     R_iw = se3.exp_so3(aa_i)
     R_jw = se3.exp_so3(aa_j)
@@ -95,9 +99,18 @@ def match_image_lines_pair(arcs_i, arcs_j, pose_i, pose_j,
     half_sum = 0.5 * (arcs_i["arc"][None, :] + arcs_j["arc"][:, None])
     ok = ((ang <= angle_deg) & (mid_ang <= half_sum * 1.5)
           & arcs_i["mask"][None, :] & arcs_j["mask"][:, None])
-    score = jnp.where(ok, ang, jnp.inf)
+    if "desc" in arcs_i and "desc" in arcs_j:
+        from ..ops import lbd
+        dist = lbd.lbd_distance_matrix(arcs_i["desc"], arcs_j["desc"])
+        score = jnp.where(ok, dist, jnp.inf)
+        # ratio test over the geometric candidates (best < ratio * second)
+        two = -jax.lax.top_k(-score, 2)[0] if score.shape[1] >= 2 else None
+        ratio_ok = (two[:, 0] < ratio * two[:, 1]) if two is not None else True
+    else:
+        score = jnp.where(ok, ang, jnp.inf)
+        ratio_ok = True
     best_i = jnp.argmin(score, axis=1)
-    valid = jnp.isfinite(jnp.min(score, axis=1))
+    valid = jnp.isfinite(jnp.min(score, axis=1)) & ratio_ok
     # one-to-one: j must win the column of its chosen i
     col_best = jnp.argmin(score, axis=0)
     valid = valid & (col_best[best_i] == jnp.arange(score.shape[0]))

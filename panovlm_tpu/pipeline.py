@@ -378,7 +378,10 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
             lidar_weight=cfg.lidar_weight,
             camera_lidar_weight=cfg.camera_lidar_weight,
             angle_residual=cfg.angle_residual,
-            normalize_distance=cfg.normalize_distance)
+            normalize_distance=cfg.normalize_distance,
+            use_image_track=cfg.use_image_track,
+            use_lidar_track=cfg.use_lidar_track,
+            min_track_length=cfg.min_track_length)
         cam_poses, lidar_poses, points, infos = cl.joint_optimize(
             arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             tracks["track_img"], tracks["track_feat"], tracks["track_mask"],

@@ -164,9 +164,12 @@ def pad_arcs(arcs: dict, cap: int):
 
 
 def extract_panorama_lines(gray: np.ndarray, cap: int = 128,
-                           mask: np.ndarray | None = None):
+                           mask: np.ndarray | None = None,
+                           with_descriptors: bool = True):
     """Full Detect+Fuse pipeline for one panorama (PanoramaLine::Detect/Fuse).
-    Returns padded arc dict."""
+    Returns padded arc dict; with_descriptors adds the LBD-equivalent band
+    descriptor per arc (ops/lbd.py, replacing the reference's OpenCV LBD,
+    util/PanoramaLine.cpp:39-74) under key "desc"."""
     H, W = gray.shape[:2]
     segs = detect_lsd(gray, mask=mask)
     arcs = segments_to_arcs(segs, H, W)
@@ -175,4 +178,14 @@ def extract_panorama_lines(gray: np.ndarray, cap: int = 128,
     # strongest (longest) first
     order = np.argsort(-arcs["arc"])
     arcs = {k: v[order] for k, v in arcs.items()}
-    return pad_arcs(arcs, cap)
+    out = pad_arcs(arcs, cap)
+    if with_descriptors:
+        import jax.numpy as jnp
+        from ..ops import lbd
+        gf = gray.astype(np.float32)
+        if gray.dtype == np.uint8:
+            gf /= 255.0
+        out["desc"] = np.asarray(lbd.line_band_descriptors(
+            jnp.asarray(gf), jnp.asarray(out["e1"]), jnp.asarray(out["e2"]),
+            jnp.asarray(out["mask"])))
+    return out

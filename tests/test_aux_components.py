@@ -123,3 +123,40 @@ def test_image_line_tracks(rng):
                                         min_length=2)
     assert (tid[0, :L] >= 0).mean() > 0.8
     assert (tid[0, :L] == tid[1, :L])[tid[0, :L] >= 0].all()
+
+
+def test_lbd_descriptor_discriminates(rng):
+    """The LBD-equivalent band descriptor (ops/lbd.py) must place the same
+    physical line closer across viewpoints than different lines."""
+    import jax.numpy as jnp
+    from synthetic import render_panorama
+    from panovlm_tpu.utils import panorama_line as pl
+    from panovlm_tpu.models.line_tracks import match_image_lines_pair
+
+    H, W = 256, 512
+    g1, _ = render_panorama(np.array([0.0, 0.4, 0.0]), H, W)
+    g2, _ = render_panorama(np.array([0.15, 0.4, 0.05]), H, W)
+    a1 = pl.extract_panorama_lines((g1 * 255).astype(np.uint8), cap=64)
+    a2 = pl.extract_panorama_lines((g2 * 255).astype(np.uint8), cap=64)
+    assert "desc" in a1 and a1["desc"].shape == (64, 72)
+    n1, n2 = int(a1["mask"].sum()), int(a2["mask"].sum())
+    assert n1 > 4 and n2 > 4, (n1, n2)
+    # valid descriptors are unit-norm, padded rows zero
+    norms = np.linalg.norm(a1["desc"], axis=1)
+    np.testing.assert_allclose(norms[a1["mask"]], 1.0, atol=1e-4)
+    assert (norms[~a1["mask"]] == 0).all()
+
+    poses = np.zeros((2, 6), np.float32)
+    poses[0, 3:] = [0.0, -0.4, 0.0]
+    poses[1, 3:] = [-0.15, -0.4, -0.05]
+    m_desc = np.asarray(match_image_lines_pair(
+        {k: jnp.asarray(v) for k, v in a1.items()},
+        {k: jnp.asarray(v) for k, v in a2.items()},
+        jnp.asarray(poses[0]), jnp.asarray(poses[1])))
+    matched = m_desc[m_desc >= 0]
+    assert len(matched) >= 3, len(matched)
+    # matches must agree geometrically: rotated normals within 4 deg (R=I here)
+    ni = a1["normal"][matched]
+    nj = a2["normal"][np.nonzero(m_desc >= 0)[0]]
+    cos = np.abs((ni * nj).sum(1))
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))).max() < 4.0

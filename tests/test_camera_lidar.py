@@ -196,3 +196,72 @@ def test_joint_optimize_improves_lidar_poses(rng):
     err0 = np.abs(lid0 - lid_gt).max()
     err1 = np.abs(lid_out - lid_gt).max()
     assert err1 < err0 * 0.5, (err0, err1)
+
+
+def test_joint_optimize_with_track_masks(rng):
+    """use_image_track / use_lidar_track (AssociateLineMulti flags +
+    Image/LidarMaskByTrack): gating must run end-to-end and still converge
+    on the synthetic line scene (tracked lines survive the masks here)."""
+    starts, ends = make_line_scene(rng, n_lines=14)
+    n_cam, n_lid = 3, 3
+    cam_gt = np.zeros((n_cam, 6), np.float32)
+    cam_gt[:, 3] = np.arange(n_cam) * 0.2
+    lid_gt = np.zeros((n_lid, 6), np.float32)
+    lid_gt[:, 3] = np.arange(n_lid) * 0.2 + 0.05
+
+    arc_list = [arcs_from_world_lines(starts, ends, cam_gt[i]) for i in range(n_cam)]
+    arc_batch = {k: jnp.asarray(np.stack([a[k] for a in arc_list]))
+                 for k in arc_list[0]}
+    feats_list = [lidar_feats_from_world_lines(starts, ends, lid_gt[i], rng)
+                  for i in range(n_lid)]
+    lidar_batch = {k: jnp.asarray(np.stack([f[k] for f in feats_list]))
+                   for k in feats_list[0]}
+    Z = np.zeros
+    for k, shape in [("flat", (n_lid, 64, 3)), ("flat_mask", (n_lid, 64)),
+                     ("flat_ground", (n_lid, 64)), ("flat_row", (n_lid, 64)),
+                     ("less_flat", (n_lid, 128, 3)), ("less_flat_mask", (n_lid, 128)),
+                     ("less_flat_ground", (n_lid, 128)), ("less_flat_row", (n_lid, 128)),
+                     ("less_sharp_row", (n_lid, P_CAP)),
+                     ("line_points", (n_lid, LS_CAP, 3)),
+                     ("line_dirs", (n_lid, LS_CAP, 3)),
+                     ("sharp", (n_lid, 16, 3)), ("sharp_mask", (n_lid, 16))]:
+        if k not in lidar_batch:
+            dt = bool if k.endswith("mask") or k.endswith("ground") else (
+                np.int32 if k.endswith("row") else np.float32)
+            lidar_batch[k] = jnp.asarray(Z(shape, dt))
+
+    pts3d = rng.uniform(-3, 3, (60, 3)).astype(np.float32)
+    pts3d[np.linalg.norm(pts3d, axis=1) < 1.0] += 2.0
+    bearings = np.zeros((n_cam, 60, 3), np.float32)
+    for i in range(n_cam):
+        R = ScR.from_rotvec(cam_gt[i, :3]).as_matrix()
+        pc = pts3d @ R.T + cam_gt[i, 3:]
+        bearings[i] = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    timg = np.tile(np.arange(n_cam), (60, 1)).astype(np.int32)
+    tfeat = np.tile(np.arange(60)[:, None], (1, n_cam)).astype(np.int32)
+    tmask = np.ones((60, n_cam), bool)
+
+    lid0 = lid_gt.copy()
+    lid0[:, :3] += rng.normal(size=(n_lid, 3)).astype(np.float32) * 0.01
+    lid0[:, 3:] += rng.normal(size=(n_lid, 3)).astype(np.float32) * 0.03
+
+    cfg = cl.JointConfig(num_iteration_joint=1, lidar_weight=0.01,
+                         camera_lidar_weight=5.0, use_image_track=True,
+                         min_track_length=2)
+    cam_out, lid_out, pts_out, infos = cl.joint_optimize(
+        arc_batch, lidar_batch, cam_gt, lid0, timg, tfeat, tmask,
+        bearings, pts3d, np.ones(60, bool), cfg)
+    lid_out = np.asarray(lid_out)
+    err0 = np.abs(lid0 - lid_gt).max()
+    err1 = np.abs(lid_out - lid_gt).max()
+    assert np.isfinite(lid_out).all()
+    # image tracks keep most lines (8/13 here): still converges
+    assert err1 < err0 * 0.7, (err0, err1)
+
+    # lidar line tracks: this scene yields no l2l associations, so the gate
+    # must mask ALL lidar lines -> no camera-lidar constraints -> no motion.
+    cfg2 = cfg._replace(use_lidar_track=True)
+    _, lid_out2, _, _ = cl.joint_optimize(
+        arc_batch, lidar_batch, cam_gt, lid0, timg, tfeat, tmask,
+        bearings, pts3d, np.ones(60, bool), cfg2)
+    np.testing.assert_allclose(np.asarray(lid_out2), lid0, atol=1e-6)
