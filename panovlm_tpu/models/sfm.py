@@ -329,9 +329,14 @@ def estimate_structure(poses_cw, bearings, track_img, track_feat, track_mask,
 def global_ba(poses_cw, points, track_img, track_feat, track_mask, bearings,
               point_ok, frame_valid, cfg: SfMConfig,
               refine_rotation=True, refine_translation=True,
-              refine_structure=True, max_iters: int = 50):
+              refine_structure=True, max_iters: int = 50,
+              residual: str = "chordal", uv=None, rows: int = 0,
+              cols: int = 0):
     """SfMGlobalBA (util/Optimization.cpp:10-82): one LM problem over all
-    camera poses + structure with Huber(4 deg) chordal reprojection."""
+    camera poses + structure with Huber(4 deg) chordal reprojection.
+    residual="pixel" uses the pixel functor at (rows, cols) resolution with
+    uv (N,F,2) observations and Huber(4 px) instead (PIXEL_RESIDUAL mode,
+    used by MVS::RefineCameraPose, mvs/MVS.cpp:383-428)."""
     T, L = track_img.shape
     obs_t = np.repeat(np.arange(T), L)
     obs_img = np.asarray(track_img).ravel()
@@ -355,13 +360,23 @@ def global_ba(poses_cw, points, track_img, track_feat, track_mask, bearings,
     if not refine_structure:
         fixed_x[:] = True
     fixed_x[~np.asarray(point_ok)] = True
-    block = ResidualBlock(
-        residuals.reproj_chordal, ("poses", "pts"),
-        (jnp.asarray(obs_img, jnp.int32), jnp.asarray(obs_t, jnp.int32)),
-        (jnp.asarray(b_obs),),
-        jnp.ones((len(obs_img),), jnp.float32), jnp.asarray(obs_mask),
-        loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg)),
-        name="reproj")
+    if residual == "pixel":
+        uv_obs = np.asarray(uv)[obs_img, obs_feat]
+        fn = functools.partial(residuals.reproj_pixel, rows=rows, cols=cols)
+        block = ResidualBlock(
+            fn, ("poses", "pts"),
+            (jnp.asarray(obs_img, jnp.int32), jnp.asarray(obs_t, jnp.int32)),
+            (jnp.asarray(uv_obs),),
+            jnp.ones((len(obs_img),), jnp.float32), jnp.asarray(obs_mask),
+            loss="huber", loss_scale=4.0, name="reproj_px")
+    else:
+        block = ResidualBlock(
+            residuals.reproj_chordal, ("poses", "pts"),
+            (jnp.asarray(obs_img, jnp.int32), jnp.asarray(obs_t, jnp.int32)),
+            (jnp.asarray(b_obs),),
+            jnp.ones((len(obs_img),), jnp.float32), jnp.asarray(obs_mask),
+            loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg)),
+            name="reproj")
     out, info = solve_lm(groups, (block,),
                          {"poses": jnp.asarray(fixed_p), "pts": jnp.asarray(fixed_x)},
                          LMOptions(max_iters=max_iters))

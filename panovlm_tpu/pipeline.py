@@ -456,6 +456,48 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
     R_c, t_c, _, c_ok = artifacts.read_pose_t(
         os.path.join(cfg.joint_result_path, "camera_pose_joint.txt"))
     poses = pose_util.world_to_params(R_c, t_c)
+
+    with tr.phase("refine camera pose"):
+        # MVS::RefineCameraPose (mvs/MVS.cpp:383-428): preserve each frame's
+        # T_cl, rerun global BA with PIXEL residuals at the working image
+        # resolution, then move the lidar poses rigidly with their frames.
+        frames_npz = os.path.join(cfg.sfm_result_path, "frames.npz")
+        points_npz = os.path.join(cfg.sfm_result_path, "points.npz")
+        joint_lidar = os.path.join(cfg.joint_result_path,
+                                   "lidar_pose_joint.txt")
+        R_l = t_l = l_ok = None
+        if os.path.exists(frames_npz) and os.path.exists(points_npz):
+            from .models import sfm as sfm_mod
+            frames = artifacts.load_npz(frames_npz)
+            tracks = artifacts.read_point_tracks(points_npz)
+            if os.path.exists(joint_lidar):
+                R_l, t_l, _, l_ok = artifacts.read_pose_t(joint_lidar)
+                n_cl = min(len(R_l), n)
+                T_cl_list = np.tile(np.eye(4), (len(R_l), 1, 1))
+                for i in range(n_cl):
+                    T_wc = np.eye(4)
+                    T_wc[:3, :3], T_wc[:3, 3] = R_c[i], t_c[i]
+                    T_wl = np.eye(4)
+                    T_wl[:3, :3], T_wl[:3, 3] = R_l[i], t_l[i]
+                    T_cl_list[i] = np.linalg.inv(T_wc) @ T_wl
+            poses, pts_ba, _ = sfm_mod.global_ba(
+                poses, tracks["points"], tracks["track_img"],
+                tracks["track_feat"], tracks["track_mask"],
+                frames["bearings"], tracks["point_ok"], c_ok,
+                sfm_mod.SfMConfig(), residual="pixel", uv=frames["uv"],
+                rows=H, cols=W)
+            R_c, t_c = pose_util.params_to_world(poses)
+            if R_l is not None:
+                for i in range(n_cl):
+                    T_wc = np.eye(4)
+                    T_wc[:3, :3], T_wc[:3, 3] = R_c[i], t_c[i]
+                    T_wl = T_wc @ T_cl_list[i]
+                    R_l[i], t_l[i] = T_wl[:3, :3], T_wl[:3, 3]
+            artifacts.export_pose_t(
+                os.path.join(cfg.mvs_result_path,
+                             "camera_pose_after_refine.txt"),
+                R_c, t_c, names)
+
     mcfg = mvs_mod.MVSConfig(
         pm=mvs_mod.PatchMatchConfig(
             ncc_half_window=cfg.ncc_half_window, ncc_step=cfg.ncc_step,
@@ -472,8 +514,10 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         lidar_depths = []
         if cfg.mvs_use_lidar:
             scans, _, _ = load_scans(cfg)
-            R_l, t_l, _, l_ok = artifacts.read_pose_t(
-                os.path.join(cfg.joint_result_path, "lidar_pose_joint.txt"))
+            if R_l is None:  # no refine round: read the joint lidar poses
+                R_l, t_l, _, l_ok = artifacts.read_pose_t(
+                    os.path.join(cfg.joint_result_path,
+                                 "lidar_pose_joint.txt"))
             for i in range(n):
                 # project the temporally nearest scan through joint poses
                 j = min(i, len(scans) - 1)

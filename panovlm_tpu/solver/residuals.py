@@ -141,7 +141,10 @@ def reproj_pixel(pose_cw, point_3d, obs_uv, rows, cols):
     lat = -jnp.arcsin(jnp.clip(p_c[1] / norm, -1.0, 1.0))
     u = cols * (0.5 + lon / (2 * jnp.pi))
     v = rows * (0.5 - lat / jnp.pi)
-    return jnp.stack([u - obs_uv[0], v - obs_uv[1]])
+    # wrap the u difference across the lon seam (the reference's Ceres
+    # functor does not, and mis-penalizes points near u=0/u=W)
+    du = jnp.mod(u - obs_uv[0] + cols / 2, cols) - cols / 2
+    return jnp.stack([du, v - obs_uv[1]])
 
 
 # ----------------------------------------------------------------------------
