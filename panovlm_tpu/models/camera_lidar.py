@@ -302,6 +302,76 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
     return cam_poses, lidar_poses, points, infos
 
 
+def perturb_calibration_search(arcs, lidar_feats, T_cl0,
+                               rot_step_deg: float = 0.5,
+                               trans_step: float = 0.05,
+                               max_iterations: int = 15):
+    """Extrinsic grid search (AssociateRandomDisturbance, joint_optimization/
+    CameraLidarLineAssociate.cpp:477-622): perturb T_cl over the 3^6 grid of
+    {-step, 0, +step} per dof, re-associate under every candidate, and keep
+    the one with (most pairs, then lowest mean plane-line misalignment).
+    The reference walks the 729 candidates serially; here ONE batched
+    program scores all of them (lax.map over candidate extrinsics). When the
+    center wins, the step halves; two stalls end the search.
+
+    Returns (T_cl (4,4), n_pairs)."""
+    import itertools
+
+    deltas = jnp.asarray(list(itertools.product((-1.0, 0.0, 1.0), repeat=6)),
+                         jnp.float32)                        # (729, 6)
+
+    @jax.jit
+    def score_all(pose, steps):
+        def one(d):
+            p = pose + d * steps
+            R = se3.exp_so3(p[:3])
+            assoc = associate_by_angle_pair(arcs, lidar_feats, R, p[3:])
+            n = jnp.sum(assoc["mask"])
+            # plane-line misalignment of accepted pairs: the lidar direction
+            # must lie in the image line's interpretation plane (angle to the
+            # plane normal == 90 deg)
+            n_img = jnp.take_along_axis(arcs["normal"],
+                                        assoc["img_line"][:, None], axis=0)
+            ends = assoc["endpoints_l"]
+            dir_l = ends[:, 1] - ends[:, 0]
+            dir_c = se3.einsum("ij,lj->li", R, dir_l)
+            dir_c = dir_c / (jnp.linalg.norm(dir_c, axis=-1, keepdims=True)
+                             + 1e-12)
+            mis = jnp.abs(jnp.sum(n_img * dir_c, axis=-1))   # |cos| to normal
+            mean_mis = jnp.sum(jnp.where(assoc["mask"], mis, 0.0)) / \
+                jnp.maximum(n, 1)
+            return n, mean_mis
+        return jax.lax.map(one, deltas, batch_size=81)
+
+    R0 = jnp.asarray(T_cl0[:3, :3], jnp.float32)
+    pose = np.asarray(jnp.concatenate(
+        [se3.log_so3(R0), jnp.asarray(T_cl0[:3, 3], jnp.float32)]))
+    steps = np.array([np.radians(rot_step_deg)] * 3 + [trans_step] * 3,
+                     np.float32)
+    scale = 1.0
+    best_n = -1
+    for _ in range(max_iterations):
+        ns, mis = score_all(jnp.asarray(pose), jnp.asarray(steps * scale))
+        ns, mis = np.asarray(ns), np.asarray(mis)
+        order = np.lexsort((mis, -ns))     # most pairs, then least misaligned
+        k = int(order[0])
+        center = int(np.nonzero((np.asarray(deltas) == 0).all(1))[0][0])
+        if ns[k] > best_n or (ns[k] == best_n and k != center):
+            improved = k != center and ns[k] >= best_n
+            best_n = max(best_n, int(ns[k]))
+            pose = pose + np.asarray(deltas)[k] * steps * scale
+        else:
+            improved = False
+        if not improved:
+            if scale < 1.0:
+                break
+            scale *= 0.5
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(se3.exp_so3(jnp.asarray(pose[:3])))
+    T[:3, 3] = pose[3:]
+    return T, best_n
+
+
 def calibrate(arcs, lidar_feats, T_cl0, max_iters: int = 30):
     """CALIBRATION mode (CameraLidarOptimizer.cpp:32-87 + :212-232): refine
     a single T_cl from one frame/scan pair's line associations."""

@@ -326,6 +326,45 @@ def estimate_structure(poses_cw, bearings, track_img, track_feat, track_mask,
     return X, ok
 
 
+def filter_tracks_too_far(poses_cw, track_img, track_mask, X, ok,
+                          threshold: float = 8.0):
+    """FilterTracksToFar (sfm/Structure.cpp:87-119): drop points whose mean
+    distance to their observing cameras exceeds threshold x the track's
+    baseline (furthest camera-center pair). Returns updated ok."""
+    poses_j = jnp.asarray(poses_cw)
+    R_cw = se3.exp_so3(poses_j[:, :3])
+    C = -se3.einsum("nji,nj->ni", R_cw, poses_j[:, 3:])     # camera centers
+    c_obs = jnp.asarray(C)[jnp.asarray(track_img)]          # (T, L, 3)
+    m = jnp.asarray(track_mask)
+    d2 = jnp.sum((c_obs[:, :, None] - c_obs[:, None]) ** 2, axis=-1)
+    pair_ok = m[:, :, None] & m[:, None, :]
+    baseline = jnp.sqrt(jnp.max(jnp.where(pair_ok, d2, 0.0), axis=(1, 2)))
+    dist = jnp.linalg.norm(jnp.asarray(X)[:, None] - c_obs, axis=-1)
+    mean_d = jnp.sum(jnp.where(m, dist, 0.0), axis=1) / \
+        jnp.maximum(jnp.sum(m, axis=1), 1)
+    return jnp.asarray(ok) & (mean_d <= threshold * baseline)
+
+
+def filter_tracks_pixel_residual(poses_cw, X, track_img, track_feat,
+                                 track_mask, uv, ok, threshold: float,
+                                 rows: int, cols: int):
+    """FilterTracksPixelResidual (sfm/Structure.cpp:121-157): drop points
+    whose projection misses ANY of their observations by > threshold px
+    (u wrapped across the lon seam). Returns updated ok."""
+    from ..ops import spherical
+    poses_j = jnp.asarray(poses_cw)
+    R_cw = se3.exp_so3(poses_j[:, :3])[jnp.asarray(track_img)]  # (T,L,3,3)
+    t_cw = poses_j[:, 3:][jnp.asarray(track_img)]
+    p_c = se3.einsum("tlij,tj->tli", R_cw, jnp.asarray(X)) + t_cw
+    uv_proj = spherical.cam_to_image(p_c, rows, cols)
+    uv_obs = jnp.asarray(uv)[jnp.asarray(track_img), jnp.asarray(track_feat)]
+    du = jnp.mod(uv_proj[..., 0] - uv_obs[..., 0] + cols / 2, cols) - cols / 2
+    dv = uv_proj[..., 1] - uv_obs[..., 1]
+    sq = du ** 2 + dv ** 2
+    worst = jnp.max(jnp.where(jnp.asarray(track_mask), sq, 0.0), axis=1)
+    return jnp.asarray(ok) & (worst <= threshold ** 2)
+
+
 def global_ba(poses_cw, points, track_img, track_feat, track_mask, bearings,
               point_ok, frame_valid, cfg: SfMConfig,
               refine_rotation=True, refine_translation=True,

@@ -47,6 +47,8 @@ class PatchMatchConfig(NamedTuple):
                            (0, 3), (0, -3), (3, 0), (-3, 0))
     geom_weight: float = 0.2         # geometric-consistency pass weight
     geom_max_angle_deg: float = 2.0
+    smooth_bonus: float = 0.95       # NCC smoothness bonus (MVS.h:82-86);
+                                     # 1 disables
 
 
 def _patch_offsets(cfg: PatchMatchConfig):
@@ -171,6 +173,37 @@ def plane_induced(rays, depth, normal, dv, du):
     return d_p, n_q
 
 
+def smoothness_factor(rays, depth, normal, cand_d, cand_n,
+                      cfg: PatchMatchConfig):
+    """Multiplicative NCC-cost bonus when the candidate plane agrees with
+    the CURRENT 4-neighbor depths/normals (ScorePixel close_neighbors,
+    MVS.cpp:844-856; constants MVS.h:82-86). Returns (H, W) factor <= 1."""
+    if cfg.smooth_bonus >= 1.0:
+        return jnp.ones_like(depth)
+    bonus_d = 1.0 - cfg.smooth_bonus
+    bonus_n = (1.0 - cfg.smooth_bonus) * 0.96
+    sigma_d = -1.0 / (2.0 * 0.02 ** 2)
+    sigma_n = -1.0 / (2.0 * 0.22 ** 2)
+    # candidate plane through X0 = d * ray with normal cand_n
+    rho = cand_d * jnp.sum(cand_n * rays, axis=-1)          # n . X0
+    factor = jnp.ones_like(depth)
+    safe_d = jnp.maximum(cand_d, 1e-6)
+    for dv, du in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        d_q = _roll2(depth, dv, du)
+        n_q = _roll2(normal, dv, du)
+        r_q = _roll2(rays, dv, du)
+        valid = d_q > 0
+        X_q = d_q[..., None] * r_q
+        dd = jnp.abs(jnp.sum(cand_n * X_q, axis=-1) - rho) / safe_d
+        f_d = jnp.exp(dd * dd * sigma_d)
+        cosn = jnp.clip(jnp.sum(cand_n * n_q, axis=-1), -1.0, 1.0)
+        da = jnp.arccos(cosn)
+        f_n = jnp.exp(da * da * sigma_n)
+        f = (1.0 - bonus_d * f_d) * (1.0 - bonus_n * f_n)
+        factor = factor * jnp.where(valid, f, 1.0)
+    return factor
+
+
 def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
              R_nr_all, t_nr_all, key, fixed_depth, cfg: PatchMatchConfig,
              prop_offsets, active, nei_depths=None):
@@ -210,8 +243,9 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
 
     def score(args):
         d_c, n_c = args
-        return multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
-                              R_nr_all, t_nr_all, cfg, nei_depths)
+        c = multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
+                           R_nr_all, t_nr_all, cfg, nei_depths)
+        return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
 
     costs = jax.lax.map(score, (cd, cn))                   # (C,H,W)
     best_idx = jnp.argmin(costs, axis=0)

@@ -60,3 +60,31 @@ def reprojection_angles(poses_cw, bearings, X, mask):
     cosv = jnp.clip(jnp.sum(p_n * bearings, axis=-1), -1.0, 1.0)
     ang = jnp.degrees(jnp.arccos(cosv))
     return jnp.where(mask, ang, 0.0)
+
+
+def triangulate_two_view_idwm(R_21, t_21, b1, b2):
+    """Inverse-depth-weighted midpoint two-view triangulation (Lee & Civera
+    BMVC'19; Triangulate2ViewIDWM, sfm/Triangulate.cpp:84-112). Batched over
+    leading axes of b1/b2 (..., 3); R_21 (3,3), t_21 (3,).
+
+    Returns (X1 (...,3) in camera-1 frame, ok (...)) where ok is the paper's
+    Eq.(9) cheirality/adequation test (failures are infinity in the
+    reference; here a boolean)."""
+    Rp1 = se3.einsum("ij,...j->...i", R_21, b1)
+    p_norm = jnp.linalg.norm(jnp.cross(Rp1, b2), axis=-1)
+    q_norm = jnp.linalg.norm(jnp.cross(Rp1, jnp.broadcast_to(t_21, Rp1.shape)),
+                             axis=-1)
+    r_norm = jnp.linalg.norm(jnp.cross(b2, jnp.broadcast_to(t_21, b2.shape)),
+                             axis=-1)
+    p_safe = jnp.where(p_norm < 1e-12, 1e-12, p_norm)
+    lam0 = (r_norm / p_safe)[..., None] * Rp1
+    lam1 = (q_norm / p_safe)[..., None] * b2
+    X2 = (q_norm / jnp.maximum(q_norm + r_norm, 1e-12))[..., None] * (
+        t_21 + (r_norm / p_safe)[..., None] * (Rp1 + b2))
+    best = jnp.sum((t_21 + lam0 - lam1) ** 2, axis=-1)
+    alts = jnp.stack([jnp.sum((t_21 + lam0 + lam1) ** 2, axis=-1),
+                      jnp.sum((t_21 - lam0 - lam1) ** 2, axis=-1),
+                      jnp.sum((t_21 - lam0 + lam1) ** 2, axis=-1)], axis=-1)
+    ok = (best < jnp.min(alts, axis=-1)) & (p_norm > 1e-12)
+    X1 = se3.einsum("ji,...j->...i", R_21, X2 - t_21)
+    return X1, ok

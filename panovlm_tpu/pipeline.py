@@ -196,10 +196,17 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         poses_ba, pts_ba, info = sfm_mod.global_ba(
             poses0, np.asarray(X), timg, tfeat, tmask, bearings,
             np.asarray(x_ok), frame_valid, scfg)
-        # second BA round after residual filtering (main.cpp:299-300)
+        # filter at 40 px, re-BA, then filter at 10 px (main.cpp:299-300 runs
+        # GlobalBundleAdjustment(PIXEL_RESIDUAL, 40) then (PIXEL_RESIDUAL, 10),
+        # each followed by FilterTracksPixelResidual, SfM.cpp:1362-1383)
+        x_ok = np.asarray(sfm_mod.filter_tracks_pixel_residual(
+            poses_ba, pts_ba, timg, tfeat, tmask, uv, np.asarray(x_ok),
+            40.0, H, W))
         poses_ba, pts_ba, info = sfm_mod.global_ba(
             poses_ba, pts_ba, timg, tfeat, tmask, bearings,
-            np.asarray(x_ok), frame_valid, scfg)
+            x_ok, frame_valid, scfg)
+        x_ok = np.asarray(sfm_mod.filter_tracks_pixel_residual(
+            poses_ba, pts_ba, timg, tfeat, tmask, uv, x_ok, 10.0, H, W))
         poses_fin = sfm_mod.set_to_origin(poses_ba, frame_valid)
 
     with tr.phase("export"):
@@ -382,10 +389,16 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
             use_image_track=cfg.use_image_track,
             use_lidar_track=cfg.use_lidar_track,
             min_track_length=cfg.min_track_length)
+        # baseline-ratio structure filter (EstimateStructure ->
+        # FilterTracksToFar(8), CameraLidarOptimizer.cpp:720-729)
+        from .models import sfm as sfm_mod
+        point_ok = np.asarray(sfm_mod.filter_tracks_too_far(
+            cam_poses0, tracks["track_img"], tracks["track_mask"],
+            tracks["points"], tracks["point_ok"], 8.0))
         cam_poses, lidar_poses, points, infos = cl.joint_optimize(
             arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             tracks["track_img"], tracks["track_feat"], tracks["track_mask"],
-            frames["bearings"], tracks["points"], tracks["point_ok"], jcfg,
+            frames["bearings"], tracks["points"], point_ok, jcfg,
             lidar_valid=lidar_valid & pose_ok[:len(lidar_valid)])
     with tr.phase("export"):
         R_c, t_c = pose_util.params_to_world(np.asarray(cam_poses))
@@ -399,7 +412,7 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
         artifacts.export_point_tracks(
             os.path.join(cfg.joint_result_path, "points.npz"),
             tracks["track_img"], tracks["track_feat"], tracks["track_mask"],
-            np.asarray(points), tracks["point_ok"])
+            np.asarray(points), point_ok)
     return np.asarray(cam_poses), np.asarray(lidar_poses)
 
 

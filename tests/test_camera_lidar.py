@@ -265,3 +265,30 @@ def test_joint_optimize_with_track_masks(rng):
         arc_batch, lidar_batch, cam_gt, lid0, timg, tfeat, tmask,
         bearings, pts3d, np.ones(60, bool), cfg2)
     np.testing.assert_allclose(np.asarray(lid_out2), lid0, atol=1e-6)
+
+
+def test_perturb_calibration_search(rng):
+    """AssociateRandomDisturbance grid search: starting from a rotated-off
+    extrinsic, the 3^6 sweep must move T_cl toward the truth (more pairs)."""
+    starts, ends = make_line_scene(rng, n_lines=14)
+    pose = np.zeros(6, np.float32)
+    arcs = arcs_from_world_lines(starts, ends, pose)
+    arcs = {k: jnp.asarray(v) for k, v in arcs.items()}
+    feats = lidar_feats_from_world_lines(starts, ends, pose, rng)
+    feats = {k: jnp.asarray(v) for k, v in feats.items()}
+
+    T0 = np.eye(4)
+    T0[:3, :3] = ScR.from_euler("xyz", [1.2, -0.9, 0.7], degrees=True).as_matrix()
+    T0[:3, 3] = [0.06, -0.04, 0.05]
+
+    from panovlm_tpu.models.camera_lidar import (associate_by_angle_pair,
+                                                 perturb_calibration_search)
+    n0 = int(np.asarray(associate_by_angle_pair(
+        arcs, feats, jnp.asarray(T0[:3, :3], jnp.float32),
+        jnp.asarray(T0[:3, 3], jnp.float32))["mask"]).sum())
+    T, n_best = perturb_calibration_search(arcs, feats, T0, max_iterations=8)
+    assert n_best >= n0, (n0, n_best)
+    # rotation must move toward identity (the truth)
+    ang0 = np.degrees(np.arccos(np.clip((np.trace(T0[:3, :3]) - 1) / 2, -1, 1)))
+    ang1 = np.degrees(np.arccos(np.clip((np.trace(T[:3, :3]) - 1) / 2, -1, 1)))
+    assert ang1 <= ang0 + 1e-6, (ang0, ang1)

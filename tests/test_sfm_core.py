@@ -194,3 +194,57 @@ def test_read_gps(tmp_path):
     assert np.isinf(xyz[1]).all()
     np.testing.assert_allclose(xyz[2], [7, 8, 9])
     assert names == ["a.jpg", "b.jpg"]
+
+
+def test_idwm_triangulation(rng):
+    """IDWM two-view triangulation (Triangulate2ViewIDWM) recovers points
+    and rejects behind-camera configurations via the Eq.(9) test."""
+    from panovlm_tpu.ops.triangulate import triangulate_two_view_idwm
+    from scipy.spatial.transform import Rotation as ScR
+    X = rng.uniform(-2, 2, (200, 3)).astype(np.float32)
+    X[:, 2] += 4.0                                 # in front of both cameras
+    R_21 = ScR.from_rotvec([0.02, 0.1, -0.03]).as_matrix().astype(np.float32)
+    t_21 = np.float32([0.4, 0.05, -0.1])
+    b1 = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X2 = X @ R_21.T + t_21
+    b2 = X2 / np.linalg.norm(X2, axis=1, keepdims=True)
+    Xt, ok = triangulate_two_view_idwm(jnp.asarray(R_21), jnp.asarray(t_21),
+                                       jnp.asarray(b1), jnp.asarray(b2))
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.95
+    err = np.linalg.norm(np.asarray(Xt)[ok] - X[ok], axis=1)
+    assert np.median(err) < 1e-3, np.median(err)
+    # behind-camera: flip one bearing -> adequation test must reject
+    _, bad = triangulate_two_view_idwm(jnp.asarray(R_21), jnp.asarray(t_21),
+                                       jnp.asarray(-b1), jnp.asarray(b2))
+    assert np.asarray(bad).mean() < 0.4
+
+
+def test_track_filters(rng):
+    from panovlm_tpu.models import sfm
+    from scipy.spatial.transform import Rotation as ScR
+    from panovlm_tpu.ops import spherical
+    H, W = 256, 512
+    n_cam, T = 4, 50
+    poses = np.zeros((n_cam, 6), np.float32)
+    poses[:, 3] = -np.arange(n_cam) * 0.5          # t_cw = -C, R = I
+    X = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    X[:, 2] += 5.0
+    X[0] *= 100.0                                   # far outlier point
+    timg = np.tile(np.arange(n_cam), (T, 1)).astype(np.int32)
+    tmask = np.ones((T, n_cam), bool)
+    ok0 = np.ones(T, bool)
+    ok = np.asarray(sfm.filter_tracks_too_far(poses, timg, tmask, X, ok0, 8.0))
+    assert not ok[0] and ok[1:].mean() > 0.9
+
+    # pixel-residual filter: project GT, perturb one observation by 60 px
+    uv = np.zeros((n_cam, T, 2), np.float32)
+    for i in range(n_cam):
+        p_c = X + poses[i, 3:]
+        uv[i] = np.asarray(spherical.cam_to_image(jnp.asarray(p_c), H, W))
+    tfeat = np.tile(np.arange(T)[:, None], (1, n_cam)).astype(np.int32)
+    uv_obs = np.transpose(uv, (0, 1, 2)).copy()
+    uv_obs[2, 5, 0] += 60.0
+    ok2 = np.asarray(sfm.filter_tracks_pixel_residual(
+        poses, X, timg, tfeat, tmask, uv_obs, ok0, 40.0, H, W))
+    assert not ok2[5] and ok2[np.arange(T) != 5].all()
