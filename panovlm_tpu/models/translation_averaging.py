@@ -23,6 +23,7 @@ fixes rotations after RA).
 from __future__ import annotations
 
 import functools
+import logging
 
 import numpy as np
 import jax
@@ -30,6 +31,8 @@ import jax.numpy as jnp
 
 from ..ops import se3
 from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
+
+log = logging.getLogger("panovlm")
 
 
 def _measurement_dirs(aa_global, pair_i, pair_j, rel_aa, rel_t):
@@ -92,12 +95,19 @@ def translation_averaging_dlt(aa_global, pair_i, pair_j, rel_aa, rel_t,
     def dot(a, c):
         return jnp.vdot(a[0], c[0]) + jnp.vdot(a[1], c[1])
 
+    # Tikhonov damping: a chain-shaped pair graph leaves (t, s) directions
+    # unconstrained (any scale works with translations following), and CG on
+    # the singular normal equations diverges; the damping pins the min-norm
+    # solution without measurably affecting well-posed graphs.
+    lam = 1e-6
     x = (jnp.zeros((n, 3)), jnp.zeros((m,)))
     r = b
     p = r
     rs = dot(r, r)
+    rs0 = rs
     for _ in range(cg_iters):
         Ap = ATA(p)
+        Ap = (Ap[0] + lam * p[0], Ap[1] + lam * p[1])
         alpha = rs / (dot(p, Ap) + 1e-30)
         x = (x[0] + alpha * p[0], x[1] + alpha * p[1])
         r = (r[0] - alpha * Ap[0], r[1] - alpha * Ap[1])
@@ -105,6 +115,8 @@ def translation_averaging_dlt(aa_global, pair_i, pair_j, rel_aa, rel_t,
         beta = rs_new / (rs + 1e-30)
         p = (r[0] + beta * p[0], r[1] + beta * p[1])
         rs = rs_new
+        if float(rs) < 1e-14 * float(rs0) + 1e-30:
+            break
     t = np.asarray(x[0])
     s = np.asarray(x[1]) + 1.0
     # the homogeneous solution's global sign is arbitrary; canonicalize so
@@ -239,6 +251,92 @@ def translation_averaging_bata(aa_global, pair_i, pair_j, rel_aa, rel_t,
     return t.astype(np.float32), s.astype(np.float32)
 
 
+def translation_averaging_linf_lp(aa_global, pair_i, pair_j, rel_aa, rel_t,
+                                  mask, origin_idx: int = 0,
+                                  max_triplets: int = 20000):
+    """Exact L-inf linear program over triplet-supported pairs
+    (TranslationAveragingL1, sfm/TranslationAveraging.cpp:277-417):
+    minimize gamma subject to |t_j - R_21 t_i - lambda t_21| <= gamma for
+    every pair that belongs to at least one triplet, lambda >= 1, origin
+    camera pinned at 0. The reference shares one lambda across a triplet's
+    three pairs (which cannot represent unequal pair baselines and pushes
+    the mismatch into gamma); this uses one lambda per pair — strictly more
+    expressive, exact on clean input — while keeping the triplet-support
+    robustness filter. Clp there, scipy HiGHS here.
+
+    Returns (t (N,3), ok) or (None, False) when no triplets exist."""
+    import networkx as nx
+    from scipy.optimize import linprog
+    from scipy.sparse import coo_matrix
+    from scipy.spatial.transform import Rotation as ScR
+
+    pi = np.asarray(pair_i)
+    pj = np.asarray(pair_j)
+    mask = np.asarray(mask)
+    n = len(np.asarray(aa_global))
+    g = nx.Graph()
+    edge_of = {}
+    for k in range(len(pi)):
+        if mask[k]:
+            a, b = int(pi[k]), int(pj[k])
+            g.add_edge(a, b)
+            edge_of[(a, b)] = k
+    R = ScR.from_rotvec(np.asarray(rel_aa, np.float64)).as_matrix()
+    t_u = np.asarray(rel_t, np.float64)
+    t_u = t_u / (np.linalg.norm(t_u, axis=1, keepdims=True) + 1e-12)
+
+    triplets = []
+    for a, b in g.edges:
+        for c in sorted(nx.common_neighbors(g, a, b)):
+            if c > max(a, b):           # count each triangle once
+                triplets.append(tuple(sorted((a, b, c))))
+    if not triplets:
+        return None, False
+    if len(triplets) > max_triplets:
+        sel = np.linspace(0, len(triplets) - 1, max_triplets).astype(int)
+        triplets = [triplets[s] for s in sel]
+        log.info("L-inf LP: sampled %d of %d triplets", max_triplets,
+                 len(sel))
+
+    # pairs with triplet support, each constrained once with its own lambda
+    supported = sorted({edge_of[(i, j) if (i, j) in edge_of else (j, i)]
+                        for (a, b, c) in triplets
+                        for (i, j) in ((a, b), (b, c), (a, c))})
+    n_lam = len(supported)
+    lam0 = 3 * n
+    gamma = lam0 + n_lam
+    rows, cols, vals = [], [], []
+    r = 0
+    for lidx, k in enumerate(supported):
+        i, j = int(pi[k]), int(pj[k])
+        R21, u21 = R[k], t_u[k]
+        for axis in range(3):
+            for sign in (1.0, -1.0):
+                rows += [r] * 6
+                cols += [3 * j + axis,
+                         3 * i + 0, 3 * i + 1, 3 * i + 2,
+                         lam0 + lidx, gamma]
+                vals += [sign,
+                         -sign * R21[axis, 0], -sign * R21[axis, 1],
+                         -sign * R21[axis, 2],
+                         -sign * u21[axis], -1.0]
+                r += 1
+    A = coo_matrix((vals, (rows, cols)), shape=(r, gamma + 1))
+    cost = np.zeros(gamma + 1)
+    cost[gamma] = 1.0
+    bounds = [(None, None)] * (3 * n)
+    for axis in range(3):
+        bounds[3 * origin_idx + axis] = (0.0, 0.0)
+    bounds += [(1.0, None)] * n_lam + [(0.0, None)]
+    res = linprog(cost, A_ub=A.tocsr(), b_ub=np.zeros(r), bounds=bounds,
+                  method="highs")
+    if not res.success:
+        log.warning("L-inf LP failed: %s", res.message)
+        return None, False
+    t = res.x[:3 * n].reshape(n, 3).astype(np.float32)
+    return t, True
+
+
 def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
                           mask=None, method: str = "softl1",
                           upper_scale_ratio=1.3, lower_scale_ratio=0.9):
@@ -285,10 +383,13 @@ def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
         t, s = translation_averaging_bata(aa_global, pair_i, pair_j, rel_aa,
                                           rel_t, t0, mask)
     elif method == "l1":
-        # the reference solves this family as an L-inf LP over triplets via
-        # COIN-Clp (TranslationAveraging.cpp:277-417); same robust objective
-        # here as IRLS (tiny-scale Huber == L1 weighting) on device
-        t, s = t0, s0
+        # exact L-inf LP over triplets (TranslationAveraging.cpp:277-417,
+        # Clp there, scipy HiGHS here), then an IRLS polish with the LP
+        # solution as init; falls back to pure IRLS when the pair graph has
+        # no triplets or the LP fails
+        t_lp, lp_ok = translation_averaging_linf_lp(
+            aa_global, pair_i, pair_j, rel_aa, rel_t, mask)
+        t, s = (t_lp, s0) if lp_ok else (t0, s0)
         for scale in (0.1, 0.03, 0.01):
             common["t0"], common["s0"] = t, s
             t, s, _ = _ta_solver(loss="huber", loss_scale=scale,

@@ -248,3 +248,37 @@ def test_track_filters(rng):
     ok2 = np.asarray(sfm.filter_tracks_pixel_residual(
         poses, X, timg, tfeat, tmask, uv_obs, ok0, 40.0, H, W))
     assert not ok2[5] and ok2[np.arange(T) != 5].all()
+
+
+def test_linf_lp_translation_averaging(rng):
+    """Exact L-inf LP over triplets recovers translations up to gauge+scale."""
+    from scipy.spatial.transform import Rotation as ScR
+    from panovlm_tpu.models.translation_averaging import (
+        translation_averaging_linf_lp)
+    n = 6
+    C = rng.uniform(-2, 2, (n, 3)).astype(np.float64)
+    C[0] = 0
+    aa = rng.normal(size=(n, 3)) * 0.1
+    R = ScR.from_rotvec(aa).as_matrix()
+    t_fw = -np.einsum("nij,nj->ni", R, C)
+    pi, pj = [], []
+    for i in range(n):
+        for j in range(i + 1, min(i + 4, n)):
+            pi.append(i); pj.append(j)
+    pi, pj = np.asarray(pi), np.asarray(pj)
+    R21 = np.einsum("mij,mkj->mik", R[pj], R[pi])     # R_j R_i^T
+    rel_aa = ScR.from_matrix(R21).as_rotvec()
+    rel_t = t_fw[pj] - np.einsum("mij,mj->mi", R21, t_fw[pi])
+    rel_t /= np.linalg.norm(rel_t, axis=1, keepdims=True)
+    t_lp, ok = translation_averaging_linf_lp(
+        aa, pi, pj, rel_aa, rel_t, np.ones(len(pi), bool))
+    assert ok
+    # compare up to global scale (lambda >= 1 sets an arbitrary gauge)
+    scale = np.linalg.norm(t_fw[1:]) / (np.linalg.norm(t_lp[1:]) + 1e-12)
+    err = np.abs(t_lp * scale - t_fw).max()
+    assert err < 1e-3, err
+    # no triplets (a chain) -> clean refusal
+    pi2 = np.arange(n - 1); pj2 = np.arange(1, n)
+    _, ok2 = translation_averaging_linf_lp(
+        aa, pi2, pj2, rel_aa[:n - 1], rel_t[:n - 1], np.ones(n - 1, bool))
+    assert not ok2
