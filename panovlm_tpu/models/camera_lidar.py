@@ -27,6 +27,7 @@ CameraLidarLineAssociate.{h,cpp} (reference):
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple
 
 import numpy as np
@@ -36,6 +37,8 @@ import jax.numpy as jnp
 from ..ops import se3
 from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
 from . import association, lidar_odometry
+
+log = logging.getLogger("panovlm")
 
 OFF_PLANE_DEG = 3.0        # point voting gate
 PLANE_PLANE_DEG = 3.0      # line-pair plane angle gate
@@ -271,16 +274,21 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
                 cam_poses, window=cfg.neighbor_size_joint,
                 min_length=cfg.min_track_length)
             ab = dict(arc_batch)
-            ab["mask"] = jnp.asarray(np.asarray(arc_batch["mask"])
-                                     & (tid_img >= 0))
+            gated = np.asarray(arc_batch["mask"]) & (tid_img >= 0)
+            log.info("image track gate: %d of %d lines survive",
+                     int(gated.sum()), int(np.asarray(arc_batch["mask"]).sum()))
+            ab["mask"] = jnp.asarray(gated)
         if cfg.use_lidar_track:
             from .line_tracks import lidar_line_tracks
             n_lines = np.asarray(_field(lidar_batch, "line_mask")).shape[1]
             tid_l = lidar_line_tracks(l_assoc["l2l"], pair_r, pair_n,
                                       n_lidars, n_lines,
                                       min_length=cfg.min_track_length)
-            lm = jnp.asarray(np.asarray(_field(lidar_batch, "line_mask"))
-                             & (tid_l >= 0))
+            lm_np = np.asarray(_field(lidar_batch, "line_mask")) & (tid_l >= 0)
+            log.info("lidar track gate: %d of %d lines survive",
+                     int(lm_np.sum()),
+                     int(np.asarray(_field(lidar_batch, "line_mask")).sum()))
+            lm = jnp.asarray(lm_np)
             lb = (lidar_batch._replace(line_mask=lm)
                   if hasattr(lidar_batch, "_replace")
                   else {**lidar_batch, "line_mask": lm})

@@ -110,6 +110,10 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
     cost = patchmatch.multiview_cost(
         gray_ref, grays_nei, rays, depth0, normal0, R_nr, t_nr, cfg.pm,
         nei_depths)
+    # same smoothness bonus the candidate scoring applies, so the incumbent
+    # and its challengers are compared in the same cost space
+    cost = cost * patchmatch.smoothness_factor(rays, depth0, normal0,
+                                               depth0, normal0, cfg.pm)
     depth, normal = depth0, normal0
     key = jax.random.PRNGKey(seed)
     for it in range(cfg.n_iterations):
