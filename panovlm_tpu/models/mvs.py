@@ -269,5 +269,26 @@ def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
     pts = jnp.concatenate(pts_w)
     cols = jnp.concatenate(cols)
     msk = jnp.concatenate(mask)
+    if cols.shape[-1] == 3:
+        msk = msk & ~_is_sky_color(cols)
     fused, fmask, caux = voxel_downsample(pts, msk, aux=cols, leaf=voxel)
     return fused, caux, fmask
+
+
+def _is_sky_color(rgb):
+    """Sky-blue rejection gate (FuseDepthImages, MVS.cpp:2311-2317): HSV in
+    H [100,124] (OpenCV 0-180 hue), S [43,200], V [150,255]. rgb (...,3) in
+    [0,1]."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = mx - mn
+    safe_c = jnp.where(c > 0, c, 1.0)
+    h = jnp.where(mx == r, jnp.mod((g - b) / safe_c, 6.0),
+                  jnp.where(mx == g, (b - r) / safe_c + 2.0,
+                            (r - g) / safe_c + 4.0))
+    h = jnp.where(c > 0, h * 30.0, 0.0)          # OpenCV hue: 0..180
+    s = jnp.where(mx > 0, c / jnp.where(mx > 0, mx, 1.0), 0.0) * 255.0
+    v = mx * 255.0
+    return ((h >= 100) & (h <= 124) & (s >= 43) & (s <= 200)
+            & (v >= 150) & (v <= 255))

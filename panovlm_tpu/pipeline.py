@@ -34,15 +34,19 @@ def _list_files(path, exts):
     return sorted(out)
 
 
-def load_images(cfg: Config, scale_override=None):
-    """Load panoramas as grayscale float [0,1] (+ names). Applies the
-    config 'scale' pyramid factor (Frame.cpp:18-44)."""
+def load_images(cfg: Config, scale_override=None, color: bool = False):
+    """Load panoramas as float [0,1] (+ names): grayscale (H,W) by default,
+    RGB (H,W,3) with color=True (Frame::GetImageColor). Applies the config
+    'scale' pyramid factor (Frame.cpp:18-44)."""
     import cv2
     files = _list_files(cfg.image_path, ("jpg", "jpeg", "png"))
     scale = cfg.scale if scale_override is None else scale_override
     grays = []
     for f in files:
-        g = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
+        if color:
+            g = cv2.cvtColor(cv2.imread(f, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        else:
+            g = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
         if scale < 0:
             for _ in range(-scale):
                 g = cv2.pyrDown(g)
@@ -424,7 +428,7 @@ def colorize_lidar_map(cfg: Config, tr: TimeReport | None = None):
 
     tr = tr or TimeReport()
     os.makedirs(cfg.texture_result_path, exist_ok=True)
-    grays, _ = load_images(cfg)
+    grays, _ = load_images(cfg, color=True)   # reference samples RGB
     scans, valid, _ = load_scans(cfg)
     R_l, t_l, _, l_ok = artifacts.read_pose_t(
         os.path.join(cfg.joint_result_path, "lidar_pose_joint.txt"))
@@ -444,9 +448,12 @@ def colorize_lidar_map(cfg: Config, tr: TimeReport | None = None):
         fused, fmask, fcol = texture.fuse_cloud(pw, col, ok)
     with tr.phase("export"):
         f = np.asarray(fmask)
+        rgb = np.clip(np.asarray(fcol)[f] * 255, 0, 255)
         pointcloud.write_pcd(
             os.path.join(cfg.texture_result_path, "colorized_map.pcd"),
-            np.asarray(fused)[f], intensity=np.asarray(fcol)[f, 0])
+            np.asarray(fused)[f],
+            rgb=rgb if rgb.shape[1] == 3 else None,
+            intensity=None if rgb.shape[1] == 3 else rgb[:, 0] / 255)
     return np.asarray(fused), np.asarray(fmask)
 
 
@@ -583,12 +590,16 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             depths[i] = np.asarray(gap_interpolation(d))
         fd, fc = mvs_mod.filter_depth_maps(depths, confs, poses, nei_table, mcfg)
     with tr.phase("fuse + export"):
-        pts, cols, msk = mvs_mod.fuse_depth_maps(fd, fc, np.stack(grays), poses,
-                                                 mcfg)
+        colors, _ = load_images(cfg, color=True)  # RGB for fusion + sky gate
+        pts, cols, msk = mvs_mod.fuse_depth_maps(fd, fc, np.stack(colors),
+                                                 poses, mcfg)
         f = np.asarray(msk)
+        rgb = np.clip(np.asarray(cols)[f] * 255, 0, 255)
         pointcloud.write_pcd(os.path.join(cfg.mvs_result_path, "mvs_fused.pcd"),
                              np.asarray(pts)[f],
-                             intensity=np.asarray(cols)[f, 0])
+                             rgb=rgb if rgb.shape[1] == 3 else None,
+                             intensity=None if rgb.shape[1] == 3
+                             else rgb[:, 0] / 255)
         for i in range(n):
             artifacts.export_depth_u16(
                 os.path.join(cfg.mvs_depth_path, f"{i:06d}_geo.npy"), depths[i])

@@ -173,3 +173,28 @@ def test_sequential_propagation_converges(views):
         views["poses"], 0, nei, d0, n0, fixed, cfg)
     rel = np.abs(np.asarray(depth) - gt) / gt
     assert np.median(rel[band]) < 0.08, np.median(rel[band])
+
+
+def test_sky_color_rejection():
+    """FuseDepthImages drops sky-blue points (MVS.cpp:2311-2317)."""
+    import cv2
+    from panovlm_tpu.models.mvs import _is_sky_color
+    # sky blue in HSV(OpenCV): H=110, S=120, V=220
+    hsv = np.uint8([[[110, 120, 220]]])
+    bgr = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0]
+    sky_rgb = np.float32([bgr[2], bgr[1], bgr[0]]) / 255.0
+    grey = np.float32([0.5, 0.5, 0.5])
+    red = np.float32([0.9, 0.1, 0.1])
+    out = np.asarray(_is_sky_color(jnp.asarray(np.stack([sky_rgb, grey, red]))))
+    assert out.tolist() == [True, False, False], out
+
+
+def test_fuse_rgb_colors(views):
+    """Fusion with (N,H,W,3) colors returns 3-channel colors."""
+    cfg = mvs.MVSConfig(n_neighbors=3)
+    depths = jnp.asarray(views["depths"])
+    rgb = np.repeat(views["grays"][..., None], 3, axis=-1)
+    pts, cols, msk = mvs.fuse_depth_maps(depths, jnp.ones_like(depths) * 0.8,
+                                         jnp.asarray(rgb), views["poses"], cfg)
+    assert cols.shape[-1] == 3
+    assert int(np.asarray(msk).sum()) > 3000
