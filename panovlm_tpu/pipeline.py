@@ -108,15 +108,33 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
     H, W = grays[0].shape
 
     with tr.phase("extract sift"):
+        # frame cache (main.cpp:138-163): reuse cfg.frame_path features when
+        # the cached frame count matches; recompute + re-export otherwise
         cap = min(cfg.num_sift, 4096)
-        uv = np.zeros((n, cap, 2), np.float32)
-        desc = np.zeros((n, cap, 128), np.float32)
-        fmask = np.zeros((n, cap), bool)
-        for i, g in enumerate(grays):
-            u, d, _ = sift_mod.extract_sift(
-                (g * 255).astype(np.uint8), num_features=cap,
-                root_sift=cfg.root_sift)
-            uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
+        cache = os.path.join(cfg.frame_path, "frames_sift.npz") \
+            if cfg.frame_path else ""
+        cached = None
+        if cache and os.path.exists(cache):
+            cached = artifacts.load_npz(cache)
+            if len(cached["uv"]) != n or cached["uv"].shape[1] != cap:
+                log.info("number of cached frames != images, re-extracting")
+                cached = None
+            else:
+                log.info("Use existing frame data in %s", cfg.frame_path)
+        if cached is not None:
+            uv, desc, fmask = cached["uv"], cached["desc"], cached["fmask"]
+        else:
+            uv = np.zeros((n, cap, 2), np.float32)
+            desc = np.zeros((n, cap, 128), np.float32)
+            fmask = np.zeros((n, cap), bool)
+            for i, g in enumerate(grays):
+                u, d, _ = sift_mod.extract_sift(
+                    (g * 255).astype(np.uint8), num_features=cap,
+                    root_sift=cfg.root_sift)
+                uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
+            if cache:
+                os.makedirs(cfg.frame_path, exist_ok=True)
+                artifacts.save_npz(cache, uv=uv, desc=desc, fmask=fmask)
         bearings = np.asarray(spherical.image_to_cam(jnp.asarray(uv), H, W))
 
     with tr.phase("compute depth images"):
@@ -159,8 +177,30 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                 gps_xyz = None
         pi, pj = sfm_mod.init_image_pairs(n, scfg, embeddings=embeddings,
                                           gps_xyz=gps_xyz, methods=fm)
-        matches = sfm_mod.match_all_pairs(jnp.asarray(desc), jnp.asarray(fmask),
-                                          pi, pj, scfg)
+        # match-pair cache (main.cpp:194-248): reuse cfg.match_pair_path
+        # when it holds the same pair set
+        mcache = os.path.join(cfg.match_pair_path, "match_pairs.npz") \
+            if cfg.match_pair_path else ""
+        matches = None
+        if mcache and os.path.exists(mcache):
+            mc = artifacts.load_npz(mcache)
+            if len(mc["pi"]) == len(pi) and (mc["pi"] == pi).all() \
+                    and (mc["pj"] == pj).all() \
+                    and int(mc["num_sift"]) == cap:
+                log.info("Use existing match pairs in %s",
+                         cfg.match_pair_path)
+                matches = {"idx": jnp.asarray(mc["idx"]),
+                           "mask": jnp.asarray(mc["mask"]),
+                           "pair_ok": jnp.asarray(mc["pair_ok"])}
+        if matches is None:
+            matches = sfm_mod.match_all_pairs(jnp.asarray(desc),
+                                              jnp.asarray(fmask), pi, pj, scfg)
+            if mcache:
+                os.makedirs(cfg.match_pair_path, exist_ok=True)
+                artifacts.save_npz(mcache, pi=pi, pj=pj, num_sift=cap,
+                                   idx=np.asarray(matches["idx"]),
+                                   mask=np.asarray(matches["mask"]),
+                                   pair_ok=np.asarray(matches["pair_ok"]))
     with tr.phase("relative poses"):
         rel = sfm_mod.relative_poses(jnp.asarray(bearings), matches["idx"],
                                      matches["mask"], pi, pj, scfg)
@@ -175,6 +215,12 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         aa_glob, valid_r, _ = ra.rotation_averaging_l1(
             n, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
             weights=np.asarray(rel["n_inliers"])[keep])
+        # rotation snapshot (RotationAveraging.cpp:399-405)
+        from .ops import se3
+        artifacts.export_pose_t(
+            os.path.join(cfg.sfm_result_path, "rotations_after_L1.txt"),
+            np.asarray(se3.exp_so3(jnp.asarray(aa_glob))),
+            np.zeros((n, 3)), names)
     with tr.phase("translation averaging"):
         # reference enum (sfm/SfM.h:70-77): 1 SOFTL1, 2 L1, 3 CHORDAL,
         # 4 L2IRLS, 5 BATA, 6 LUD
@@ -569,6 +615,11 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                 poses, i, nei, d0, n0, fixed, mcfg, seed=i)
             depths[i], normals[i], confs[i] = (np.asarray(d), np.asarray(nm),
                                                np.asarray(cf))
+            # per-pass artifacts, _pho suffix (MVS.cpp:185-189)
+            artifacts.export_depth_u16(
+                os.path.join(cfg.mvs_depth_path, f"{i:06d}_pho.npy"), depths[i])
+            artifacts.export_conf_u16(
+                os.path.join(cfg.mvs_conf_path, f"{i:06d}_pho.npy"), confs[i])
     if cfg.mvs_use_geometric:
         with tr.phase("geometric pass"):
             depths_pho = depths.copy()
@@ -589,6 +640,11 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                                       cfg.depth_diff_threshold, cfg.min_segment)
             depths[i] = np.asarray(gap_interpolation(d))
         fd, fc = mvs_mod.filter_depth_maps(depths, confs, poses, nei_table, mcfg)
+        for i in range(n):
+            # post-filter artifacts, _filter suffix (MVS.cpp:1890)
+            artifacts.export_depth_u16(
+                os.path.join(cfg.mvs_depth_path, f"{i:06d}_filter.npy"),
+                np.asarray(fd[i]))
     with tr.phase("fuse + export"):
         colors, _ = load_images(cfg, color=True)  # RGB for fusion + sky gate
         pts, cols, msk = mvs_mod.fuse_depth_maps(fd, fc, np.stack(colors),
