@@ -57,6 +57,21 @@ def load_images(cfg: Config, scale_override=None, color: bool = False):
     return grays, [os.path.basename(f) for f in files]
 
 
+def load_mask(cfg: Config, H: int, W: int):
+    """Static panorama mask (cfg.mask_path, main.cpp:102-104/610-612):
+    u8 image, >0 = usable pixel. Resized to (H, W); None when unset."""
+    import cv2
+    if not cfg.mask_path or not os.path.exists(cfg.mask_path):
+        return None
+    m = cv2.imread(cfg.mask_path, cv2.IMREAD_GRAYSCALE)
+    if m is None:
+        log.error("Fail to read mask %s", cfg.mask_path)
+        return None
+    if m.shape != (H, W):
+        m = cv2.resize(m, (W, H), interpolation=cv2.INTER_NEAREST)
+    return m > 0
+
+
 def load_scans(cfg: Config):
     from .sensors import velodyne as vd
     files = _list_files(cfg.lidar_path, ("pcd", "ply"))
@@ -127,10 +142,13 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
             uv = np.zeros((n, cap, 2), np.float32)
             desc = np.zeros((n, cap, 128), np.float32)
             fmask = np.zeros((n, cap), bool)
+            sift_mask = load_mask(cfg, H, W)
+            sift_mask = None if sift_mask is None else \
+                (sift_mask.astype(np.uint8) * 255)
             for i, g in enumerate(grays):
                 u, d, _ = sift_mod.extract_sift(
                     (g * 255).astype(np.uint8), num_features=cap,
-                    root_sift=cfg.root_sift)
+                    root_sift=cfg.root_sift, mask=sift_mask)
                 uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
             if cache:
                 os.makedirs(cfg.frame_path, exist_ok=True)
@@ -414,7 +432,9 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
         os.path.join(cfg.sfm_result_path, "points.npz"))
     scans, lidar_valid, lidar_names = load_scans(cfg)
     with tr.phase("extract image lines"):
-        arc_list = [pl.extract_panorama_lines((g * 255).astype(np.uint8))
+        line_mask = load_mask(cfg, *grays[0].shape[:2])
+        arc_list = [pl.extract_panorama_lines((g * 255).astype(np.uint8),
+                                              mask=line_mask)
                     for g in grays]
         arc_batch = {k: jnp.asarray(np.stack([a[k] for a in arc_list]))
                      for k in arc_list[0]}
@@ -635,6 +655,9 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                                                    np.asarray(nm), np.asarray(cf))
     with tr.phase("post + filter"):
         from .models.mvs import gap_interpolation, remove_small_segments
+        mvs_mask = load_mask(cfg, H, W)
+        if mvs_mask is not None:     # masked pixels get no depth (main.cpp:610)
+            depths *= mvs_mask[None].astype(np.float32)
         for i in range(n):
             d = remove_small_segments(jnp.asarray(depths[i]),
                                       cfg.depth_diff_threshold, cfg.min_segment)

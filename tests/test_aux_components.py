@@ -160,3 +160,35 @@ def test_lbd_descriptor_discriminates(rng):
     nj = a2["normal"][np.nonzero(m_desc >= 0)[0]]
     cos = np.abs((ni * nj).sum(1))
     assert np.degrees(np.arccos(np.clip(cos, -1, 1))).max() < 4.0
+
+
+def test_mask_path_restricts_sift(tmp_path, rng):
+    """cfg.mask_path (main.cpp:102-104): SIFT keypoints only inside the
+    mask; load_mask resizes and returns None when unset/unreadable."""
+    import cv2
+    from panovlm_tpu.pipeline import load_mask
+    from panovlm_tpu.config import Config
+    from panovlm_tpu.utils import sift as sift_mod
+    from synthetic import render_panorama
+
+    H, W = 128, 256
+    g, _ = render_panorama(np.array([0.0, 0.4, 0.0]), H, W)
+    img = (g * 255).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[:, : W // 2] = 255                  # left half only
+    mp = str(tmp_path / "mask.png")
+    cv2.imwrite(mp, mask)
+
+    cfg = Config(mask_path=mp)
+    m = load_mask(cfg, H, W)
+    assert m is not None and m[:, : W // 2].all() and not m[:, W // 2:].any()
+    # resize path
+    m2 = load_mask(cfg, H // 2, W // 2)
+    assert m2.shape == (H // 2, W // 2)
+    assert load_mask(Config(), H, W) is None
+    assert load_mask(Config(mask_path="/nonexistent.png"), H, W) is None
+
+    uv, desc, _ = sift_mod.extract_sift(img, num_features=512,
+                                        mask=(m.astype(np.uint8) * 255))
+    assert len(uv) > 10
+    assert (uv[:, 0] < W // 2 + 1).all(), uv[:, 0].max()
