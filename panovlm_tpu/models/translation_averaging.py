@@ -339,18 +339,28 @@ def translation_averaging_linf_lp(aa_global, pair_i, pair_j, rel_aa, rel_t,
 
 def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
                           mask=None, method: str = "softl1",
-                          upper_scale_ratio=1.3, lower_scale_ratio=0.9):
+                          upper_scale_ratio=1.3, lower_scale_ratio=0.9,
+                          t_init=None):
     """EstimateGlobalTranslation (sfm/SfM.cpp:1047-1344): DLT init + one of
     the averaging methods. scales: per-pair metric scale estimates (from the
     LiDAR depth maps); pairs without scale get the DLT estimate.
+
+    t_init: optional (N,3) t_fw initialization replacing the DLT init (the
+    init_translation_GPS path, SfM.cpp:1218-1240).
 
     Returns (t_fw (N,3), s (M,)).
     """
     m = len(pair_i)
     if mask is None:
         mask = np.ones(m, bool)
-    t0, s_dlt = translation_averaging_dlt(aa_global, pair_i, pair_j, rel_aa,
-                                          rel_t, mask)
+    if t_init is not None:
+        t0 = np.asarray(t_init, np.float32)
+        sc = np.asarray(scales)
+        fallback = float(np.median(sc[sc > 0])) if (sc > 0).any() else 1.0
+        s_dlt = np.where(sc > 0, sc, fallback).astype(np.float32)
+    else:
+        t0, s_dlt = translation_averaging_dlt(aa_global, pair_i, pair_j,
+                                              rel_aa, rel_t, mask)
     s0 = np.where(np.asarray(scales) > 0, np.asarray(scales), np.abs(s_dlt) + 1e-3)
     if method == "dlt":
         return t0, s_dlt

@@ -245,11 +245,23 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         ta_method = {1: "softl1", 2: "l1", 3: "chordal", 4: "l2irls",
                      5: "bata", 6: "lud"}.get(cfg.translation_averaging_method,
                                               "softl1")
+        # GPS hooks (SfM.cpp:1051-1052, 1218-1240): pair scales from GPS
+        # distances; optional GPS translation init replacing DLT
+        pair_scales = scales[keep]
+        t_init = None
+        if cfg.gps_path and os.path.exists(cfg.gps_path):
+            from .utils.gps import init_translation_gps, read_gps, \
+                scale_from_gps
+            g_xyz, _ = read_gps(cfg.gps_path)
+            if len(g_xyz) == n and np.isfinite(g_xyz).all():
+                pair_scales = scale_from_gps(g_xyz, pi[keep], pj[keep])
+                if cfg.init_translation_GPS and not cfg.init_translation_DLT:
+                    t_init = init_translation_gps(g_xyz, aa_glob)
         t_glob, s = ta.translation_averaging(
             aa_glob, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
-            np.asarray(rel["rel_t"])[keep], scales[keep], method=ta_method,
+            np.asarray(rel["rel_t"])[keep], pair_scales, method=ta_method,
             upper_scale_ratio=cfg.upper_scale_ratio,
-            lower_scale_ratio=cfg.lower_scale_ratio)
+            lower_scale_ratio=cfg.lower_scale_ratio, t_init=t_init)
     with tr.phase("structure + BA"):
         pair_matches = []
         midx = np.asarray(matches["idx"])

@@ -282,3 +282,30 @@ def test_linf_lp_translation_averaging(rng):
     _, ok2 = translation_averaging_linf_lp(
         aa, pi2, pj2, rel_aa[:n - 1], rel_t[:n - 1], np.ones(n - 1, bool))
     assert not ok2
+
+
+def test_translation_averaging_gps_init(rng):
+    """init_translation_GPS path (SfM.cpp:1218-1240): t_init replaces DLT."""
+    from scipy.spatial.transform import Rotation as ScR
+    from panovlm_tpu.models.translation_averaging import translation_averaging
+    from panovlm_tpu.utils.gps import init_translation_gps, scale_from_gps
+    n = 6
+    C = rng.uniform(-3, 3, (n, 3)); C[0] = 0
+    aa = rng.normal(size=(n, 3)) * 0.05
+    R = ScR.from_rotvec(aa).as_matrix()
+    t_fw = -np.einsum("nij,nj->ni", R, C)
+    pi, pj = [], []
+    for i in range(n):
+        for j in range(i + 1, min(i + 4, n)):
+            pi.append(i); pj.append(j)
+    pi, pj = np.asarray(pi), np.asarray(pj)
+    R21 = np.einsum("mij,mkj->mik", R[pj], R[pi])
+    rel_aa = ScR.from_matrix(R21).as_rotvec()
+    rel_t = t_fw[pj] - np.einsum("mij,mj->mi", R21, t_fw[pi])
+    scales = scale_from_gps(C, pi, pj)
+    rel_t = rel_t / np.linalg.norm(rel_t, axis=1, keepdims=True)
+    t_init = init_translation_gps(C, aa)
+    t, s = translation_averaging(aa, pi, pj, rel_aa, rel_t, scales,
+                                 method="softl1", t_init=t_init)
+    err = np.abs(t - t_fw).max()
+    assert err < 0.02, err
