@@ -166,6 +166,20 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         while len(depth_maps) < n:
             depth_maps.append(np.zeros((H, W), np.float32))
         depth_maps = np.stack(depth_maps)
+        # depth visualizations + u16 exports (SfM.cpp:210-221)
+        import cv2
+        from .utils.visualization import depth_to_color
+        viz_dir = os.path.join(cfg.sfm_result_path, "depth_visualize")
+        os.makedirs(viz_dir, exist_ok=True)
+        for i in range(n):
+            color = depth_to_color(depth_maps[i], cfg.max_depth_visual)
+            blend = (0.5 * color + 0.5 * (grays[i][..., None] * 255)) \
+                .astype(np.uint8)
+            cv2.imwrite(os.path.join(viz_dir, f"depth_{i}.jpg"), blend)
+            if cfg.depth_path:
+                os.makedirs(cfg.depth_path, exist_ok=True)
+                artifacts.export_depth_u16(
+                    os.path.join(cfg.depth_path, f"{i}.npy"), depth_maps[i])
 
     scfg = sfm_mod.SfMConfig(
         num_sift=cap, sift_match_dist_threshold=cfg.sift_match_dist_threshold,
@@ -219,10 +233,31 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                                    idx=np.asarray(matches["idx"]),
                                    mask=np.asarray(matches["mask"]),
                                    pair_ok=np.asarray(matches["pair_ok"]))
+        with open(os.path.join(cfg.sfm_result_path,
+                               "after_sift_match.txt"), "w") as f:
+            for k in range(len(pi)):
+                if bool(np.asarray(matches["pair_ok"])[k]):
+                    f.write(f"{int(pi[k])} {int(pj[k])}\n")
     with tr.phase("relative poses"):
         rel = sfm_mod.relative_poses(jnp.asarray(bearings), matches["idx"],
                                      matches["mask"], pi, pj, scfg)
         ok = np.asarray(rel["ok"]) & np.asarray(matches["pair_ok"])
+        # match_pair.txt (ExportMatchPairTXT, SfM.cpp:1568-1584)
+        R21 = np.asarray(rel["rel_aa"])
+        from scipy.spatial.transform import Rotation as _ScR
+        Rm = _ScR.from_rotvec(R21).as_matrix()
+        t21 = np.asarray(rel["rel_t"])
+        with open(os.path.join(cfg.sfm_result_path, "match_pair.txt"),
+                  "w") as f:
+            for k in range(len(pi)):
+                if not ok[k]:
+                    continue
+                f.write(f"{int(pi[k])} {int(pj[k])}\n")
+                f.write(" ".join(
+                    f"{Rm[k][r, c]:.9g}" if c < 3 else f"{t21[k][r]:.9g}"
+                    for r in range(3) for c in range(4)) + "\n")
+                f.write(f"points with depth: "
+                        f"{int(np.asarray(rel['n_inliers'])[k])}\n")
     with tr.phase("translation scale from depth"):
         scales = sfm_mod.translation_scale_from_depth(
             depth_maps, H, W, rel, np.asarray(matches["idx"]), uv, pi, scfg)
