@@ -344,6 +344,29 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                            uv=uv, fmask=fmask, bearings=bearings,
                            poses=poses_fin, frame_valid=frame_valid,
                            rows=np.asarray([H]), cols=np.asarray([W]))
+        # pose visualizations + colorized structure (main.cpp:301-312)
+        from .utils import visualization as viz
+        viz.camera_centers_pcd(
+            os.path.join(cfg.sfm_result_path, "camera_center_final.pcd"),
+            poses_fin, frame_valid)
+        viz.camera_pose_ply(
+            os.path.join(cfg.sfm_result_path, "camera_pose_final.ply"),
+            poses_fin, frame_valid)
+        ok_pts = np.asarray(x_ok)
+        if cfg.colorize_structure and ok_pts.any():
+            from .models import texture
+            import jax.numpy as _jnp
+            col, cok = texture.colorize_points(
+                _jnp.asarray(pts_ba), _jnp.asarray(ok_pts),
+                _jnp.asarray(grays[0]), _jnp.asarray(poses_fin[0]))
+            keep = ok_pts & np.asarray(cok)
+            pointcloud.write_pcd(
+                os.path.join(cfg.sfm_result_path, "structure.pcd"),
+                pts_ba[keep], intensity=np.asarray(col)[keep, 0])
+        else:
+            pointcloud.write_pcd(
+                os.path.join(cfg.sfm_result_path, "structure.pcd"),
+                pts_ba[ok_pts])
     return poses_fin, frame_valid
 
 
@@ -530,6 +553,21 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
             os.path.join(cfg.joint_result_path, "points.npz"),
             tracks["track_img"], tracks["track_feat"], tracks["track_mask"],
             np.asarray(points), point_ok)
+        # per-run center/pose visualizations (JointOptimize loop,
+        # CameraLidarOptimizer.cpp:265-270)
+        from .utils import visualization as viz
+        viz.camera_centers_pcd(
+            os.path.join(cfg.joint_result_path, "camera_center_joint.pcd"),
+            np.asarray(cam_poses))
+        viz.camera_centers_pcd(
+            os.path.join(cfg.joint_result_path, "lidar_center_joint.pcd"),
+            np.asarray(lidar_poses))
+        viz.camera_pose_ply(
+            os.path.join(cfg.joint_result_path, "camera_pose_joint.ply"),
+            np.asarray(cam_poses))
+        viz.camera_pose_ply(
+            os.path.join(cfg.joint_result_path, "lidar_pose_joint.ply"),
+            np.asarray(lidar_poses))
     return np.asarray(cam_poses), np.asarray(lidar_poses)
 
 
