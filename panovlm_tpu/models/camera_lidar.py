@@ -26,7 +26,6 @@ CameraLidarLineAssociate.{h,cpp} (reference):
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import NamedTuple
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import se3
-from ..sensors import velodyne
 from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
 from . import association
 

@@ -20,7 +20,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..ops import se3
 from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
 
 

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from ..ops import epipolar, se3, spherical, triangulate as tri_ops
 from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
-from ..utils import tracks as trk
 from ..utils.sift import match_descriptors
 
 

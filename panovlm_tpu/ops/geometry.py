@@ -12,7 +12,6 @@ discipline, SURVEY.md hard part #2).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .se3 import einsum

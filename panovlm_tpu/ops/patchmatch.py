@@ -5,10 +5,9 @@ Replaces the per-pixel loops of mvs/MVS.cpp (reference): ScorePixel
 (:774-923, homography warp + weighted NCC + best-2 neighbor mean),
 InterpolatePixel (:1923-1935, plane-induced depth), PerturbDepthNormal3
 (:1254-1317, confidence-tiered perturbation), PropagateCheckerBoard
-(:1098-1127). The reference's sequential TL->BR propagation
-(PropagateSequential, :1057-1096) is inherently serial; the checkerboard
-(red-black) scheme is the TPU-idiomatic choice and the reference itself
-supports both (mvs/MVS.h:38-42) — config propagate_strategy selects it.
+(:1098-1127), and PropagateSequential (:1057-1096) — the serial TL->BR /
+BR->TL walk re-expressed as directional log-shift sweeps (sequential_step);
+config propagate_strategy selects between them (mvs/MVS.h:38-42).
 
 Design notes (TPU):
   * hypotheses are per-pixel planes (depth d along the pixel ray + unit
@@ -30,7 +29,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import spherical
 

@@ -27,7 +27,7 @@ solve is a single device program — no host round-trips per iteration.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
