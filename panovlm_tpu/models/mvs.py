@@ -44,6 +44,9 @@ class MVSConfig(NamedTuple):
                                           # 1 checkerboard, 2 sequential
     keep_lidar_constant: bool = False     # Config.h keep_lidar_constant
     mvs_use_geometric: bool = True
+    packed_sampling: bool = True          # one-gather warps (u8 gray /
+                                          # u16 depth packing; see
+                                          # ops/spherical.pack_bilinear_u8)
     depth_diff_threshold: float = 0.01
     min_segment: int = 50
     conf_threshold: float = 0.3           # min NCC-score to keep a pixel
@@ -107,6 +110,15 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
     H, W = gray_ref.shape
     rays = spherical.pixel_ray_grid(H, W)
     R_nr, t_nr = relative_to_neighbors(poses_cw, ref, nei_idx)
+    if cfg.packed_sampling:
+        # one-gather bilinear warps: neighbor grays as packed u8 quads,
+        # neighbor depths as packed u16 quads (the reference's own on-disk
+        # depth quantization, util/FileIO.h:101-123)
+        grays_nei = patchmatch.pack_views(grays_nei)
+        if nei_depths is not None:
+            nei_depths = jax.vmap(
+                lambda d: spherical.pack_bilinear_u16(d)[0])(
+                    jnp.asarray(nei_depths))
     cost = patchmatch.multiview_cost(
         gray_ref, grays_nei, rays, depth0, normal0, R_nr, t_nr, cfg.pm,
         nei_depths)

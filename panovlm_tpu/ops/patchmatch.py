@@ -47,12 +47,63 @@ class PatchMatchConfig(NamedTuple):
     geom_max_angle_deg: float = 2.0
     smooth_bonus: float = 0.95       # NCC smoothness bonus (MVS.h:82-86);
                                      # 1 disables
+    prune_candidates: int = 2        # pre-rank candidates on a sparse texel
+                                     # set, full-NCC only the best k
+                                     # (0 = score everything, exact reference
+                                     # candidate handling)
 
 
 def _patch_offsets(cfg: PatchMatchConfig):
     hw, st = cfg.ncc_half_window, cfg.ncc_step
     return [(dv, du) for dv in range(-hw, hw + 1, st)
             for du in range(-hw, hw + 1, st)]
+
+
+def _cheap_offsets(cfg: PatchMatchConfig):
+    """Sparse texel subset for candidate pre-ranking: center + the window's
+    corner/edge extremes (9 texels)."""
+    hw = cfg.ncc_half_window
+    return [(0, 0), (-hw, -hw), (-hw, 0), (-hw, hw), (0, -hw), (0, hw),
+            (hw, -hw), (hw, 0), (hw, hw)]
+
+
+class PackedViews(NamedTuple):
+    """Neighbor panoramas packed for one-gather bilinear sampling
+    (spherical.pack_bilinear_u8): packed (V,H,W) int32, scales (V,)."""
+    packed: jax.Array
+    scales: jax.Array
+
+
+def pack_views(grays_nei):
+    """Pack (V,H,W) float neighbor panoramas for fast warping."""
+    packed, scales = jax.vmap(spherical.pack_bilinear_u8)(
+        jnp.asarray(grays_nei))
+    return PackedViews(packed, scales)
+
+
+def ref_tables(gray_ref, offsets, cfg: PatchMatchConfig):
+    """Per-texel tables that depend only on the reference image: rolled ref
+    gray i_t and bilateral weight w = exp(-(i_t-i_c)^2 / 2 sigma^2)
+    (ScorePixel weights, MVS.cpp:805-820). Computed once per image instead
+    of per candidate x view x texel. Returns (i_tab, w_tab), each (T,H,W)."""
+    i_tab = jnp.stack([_roll2(gray_ref, dv, du) for dv, du in offsets])
+    w_tab = jnp.exp(-((i_tab - gray_ref[None]) ** 2)
+                    / (2 * cfg.sigma_color ** 2))
+    return i_tab, w_tab
+
+
+def _sample_view(gray_nei, nei_scale, uv):
+    """Dtype dispatch: int32 = packed u8 panorama, float = legacy path."""
+    if gray_nei.dtype == jnp.int32:
+        return spherical.bilinear_sample_packed_u8(gray_nei, nei_scale, uv)
+    return spherical.bilinear_sample(gray_nei, uv)
+
+
+def _sample_depth(nei_depth, uv):
+    """Dtype dispatch: int32 (H,W,2) = packed u16 map, float = legacy."""
+    if nei_depth.dtype == jnp.int32:
+        return spherical.bilinear_sample_packed_u16(nei_depth, 256.0, uv)
+    return spherical.bilinear_sample(nei_depth, uv)
 
 
 def _roll2(img, dv, du):
@@ -68,41 +119,51 @@ def random_normals(key, rays):
 
 
 def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
-             cfg: PatchMatchConfig):
+             cfg: PatchMatchConfig, offsets=None, nei_scale=None,
+             rays_rot=None, tabs=None):
     """Weighted-NCC matching cost of per-pixel plane hypotheses against ONE
     neighbor view (ScorePixel core, MVS.cpp:774-923).
 
-    gray_ref/gray_nei: (H,W); rays: (H,W,3) ref pixel rays; depth (H,W);
-    normal (H,W,3); (R_nr, t_nr): ref->neighbor. Returns cost (H,W) in
-    [0,2] (1 - NCC), 2 where invalid.
+    gray_ref: (H,W); gray_nei: (H,W) float OR (H,W) int32 packed
+    (pack_bilinear_u8, pass nei_scale); rays: (H,W,3) ref pixel rays;
+    depth (H,W); normal (H,W,3); (R_nr, t_nr): ref->neighbor. Returns cost
+    (H,W) in [0,2] (1 - NCC), 2 where invalid.
 
     The texel loop is a lax.scan over the (T,2) offset table so the warp/
     sample body appears ONCE in the compiled program (a python unroll makes
-    XLA compile times explode at 100+ texels)."""
+    XLA compile times explode at 100+ texels). Optional precomputed values:
+    rays_rot = R_nr @ rays (hoists the per-texel einsum), tabs = ref_tables
+    output (hoists the per-texel roll + bilateral exp)."""
     rho = depth * jnp.sum(normal * rays, axis=-1)          # (H,W) plane offset
     H, W = gray_ref.shape
-    offsets = jnp.asarray(_patch_offsets(cfg), jnp.int32)  # (T,2) [dv,du]
+    if offsets is None:
+        offsets = _patch_offsets(cfg)
+    off_arr = jnp.asarray(offsets, jnp.int32)              # (T,2) [dv,du]
+    if rays_rot is None:
+        rays_rot = jnp.einsum("ij,hwj->hwi", R_nr, rays)   # R r, once
+    if tabs is None:
+        tabs = ref_tables(gray_ref, offsets, cfg)
+    i_tab, w_tab = tabs
 
-    def body(carry, off):
+    def body(carry, xs):
         sw, sx, sy, sxx, syy, sxy = carry
+        off, i_t, w0 = xs
         dv, du = off[0], off[1]
         r_t = jnp.roll(rays, (-dv, -du), axis=(0, 1))      # texel ray
-        i_t = jnp.roll(gray_ref, (-dv, -du), axis=(0, 1))  # ref texel gray
+        rr_t = jnp.roll(rays_rot, (-dv, -du), axis=(0, 1))  # R (texel ray)
         denom = jnp.sum(normal * r_t, axis=-1)
         lam = rho / jnp.where(jnp.abs(denom) < 1e-6,
                               jnp.sign(denom) * 1e-6 + 1e-12, denom)
-        X = lam[..., None] * r_t
-        x_n = jnp.einsum("ij,hwj->hwi", R_nr, X) + t_nr
+        x_n = lam[..., None] * rr_t + t_nr                 # R(lam r) + t
         uv = spherical.cam_to_image(x_n, H, W)
-        s = spherical.bilinear_sample(gray_nei, uv)
-        w = jnp.exp(-((i_t - gray_ref) ** 2) / (2 * cfg.sigma_color ** 2))
-        w = w * (lam > 0)                                  # behind-camera drop
+        s = _sample_view(gray_nei, nei_scale, uv)
+        w = w0 * (lam > 0)                                 # behind-camera drop
         return (sw + w, sx + w * i_t, sy + w * s, sxx + w * i_t * i_t,
                 syy + w * s * s, sxy + w * i_t * s), None
 
-    zero = jnp.zeros_like(gray_ref)
+    zero = jnp.zeros_like(depth)
     (sw, sx, sy, sxx, syy, sxy), _ = jax.lax.scan(
-        body, (zero,) * 6, offsets)
+        body, (zero,) * 6, (off_arr, i_tab, w_tab))
     eps = 1e-6
     mx = sx / (sw + eps)
     my = sy / (sw + eps)
@@ -117,13 +178,14 @@ def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
 
 def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig):
     """Geometric-consistency penalty (MVS.cpp:126-153, 858-896): project the
-    hypothesis point into the neighbor, read the neighbor's depth, backcast
-    and measure the angular reprojection error in the reference view."""
+    hypothesis point into the neighbor, read the neighbor's depth (float map
+    or pack_bilinear_u16 packed), backcast and measure the angular
+    reprojection error in the reference view."""
     H, W = depth.shape
     X = depth[..., None] * rays
     x_n = jnp.einsum("ij,hwj->hwi", R_nr, X) + t_nr
     uv = spherical.cam_to_image(x_n, H, W)
-    d_n = spherical.bilinear_sample(nei_depth, uv)
+    d_n = _sample_depth(nei_depth, uv)
     r_n = x_n / (jnp.linalg.norm(x_n, axis=-1, keepdims=True) + 1e-12)
     X_n = d_n[..., None] * r_n
     # back to ref frame
@@ -136,27 +198,50 @@ def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig):
 
 
 def multiview_cost(gray_ref, grays_nei, rays, depth, normal, R_nr_all,
-                   t_nr_all, cfg: PatchMatchConfig, nei_depths=None):
+                   t_nr_all, cfg: PatchMatchConfig, nei_depths=None,
+                   offsets=None, rays_rot_all=None, tabs=None):
     """Cost over all neighbors: mean of the best-2 per-pixel neighbor costs
-    (MVS.cpp:905-918). grays_nei (V,H,W); R_nr_all (V,3,3); t_nr_all (V,3)."""
-    V = grays_nei.shape[0]
+    (MVS.cpp:905-918). grays_nei: (V,H,W) float array OR PackedViews;
+    R_nr_all (V,3,3); t_nr_all (V,3)."""
+    if isinstance(grays_nei, PackedViews):
+        views = (grays_nei.packed, grays_nei.scales)
+    else:
+        views = (jnp.asarray(grays_nei),
+                 jnp.ones((grays_nei.shape[0],), jnp.float32))
+    V = views[0].shape[0]
+    if tabs is None:
+        tabs = ref_tables(gray_ref,
+                          _patch_offsets(cfg) if offsets is None else offsets,
+                          cfg)
 
     if nei_depths is not None:
         def per_view(args):
-            g_n, R, t, d_n = args
-            c = ncc_cost(gray_ref, g_n, rays, depth, normal, R, t, cfg)
+            g_n, sc, R, t, rr, d_n = args
+            c = ncc_cost(gray_ref, g_n, rays, depth, normal, R, t, cfg,
+                         offsets, sc, rr, tabs)
             return c + cfg.geom_weight * geometric_cost(
                 rays, depth, d_n, R, t, cfg)
-        costs = jax.lax.map(per_view, (grays_nei, R_nr_all, t_nr_all,
-                                       nei_depths))
+        xs = views + (R_nr_all, t_nr_all, _rot_rays(R_nr_all, rays,
+                                                    rays_rot_all), nei_depths)
+        costs = jax.lax.map(per_view, xs)
     else:
         def per_view(args):
-            g_n, R, t = args
-            return ncc_cost(gray_ref, g_n, rays, depth, normal, R, t, cfg)
-        costs = jax.lax.map(per_view, (grays_nei, R_nr_all, t_nr_all))
+            g_n, sc, R, t, rr = args
+            return ncc_cost(gray_ref, g_n, rays, depth, normal, R, t, cfg,
+                            offsets, sc, rr, tabs)
+        xs = views + (R_nr_all, t_nr_all, _rot_rays(R_nr_all, rays,
+                                                    rays_rot_all))
+        costs = jax.lax.map(per_view, xs)
     k = min(2, V)
     best = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]
     return jnp.mean(best, axis=-1)
+
+
+def _rot_rays(R_nr_all, rays, rays_rot_all=None):
+    """(V,H,W,3) rotated ray grids, computed once per view set."""
+    if rays_rot_all is not None:
+        return rays_rot_all
+    return jnp.einsum("vij,hwj->vhwi", R_nr_all, rays)
 
 
 def plane_induced(rays, depth, normal, dv, du):
@@ -239,13 +324,46 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
     cd = jnp.stack(cands_d)
     cn = jnp.stack(cands_n)
 
+    # hoist everything candidate-independent out of the per-candidate map
+    full_off = _patch_offsets(cfg)
+    tabs_full = ref_tables(gray_ref, full_off, cfg)
+    rr_all = _rot_rays(R_nr_all, rays)
+
+    if cfg.prune_candidates and cd.shape[0] > cfg.prune_candidates:
+        # pre-rank every candidate on the sparse texel set, then full-NCC
+        # only the per-pixel best k (candidate pruning; the exact path
+        # scores everything like the reference's ProcessPixel)
+        cheap_off = _cheap_offsets(cfg)
+        tabs_cheap = ref_tables(gray_ref, cheap_off, cfg)
+
+        def cheap_score(args):
+            d_c, n_c = args
+            c = multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
+                               R_nr_all, t_nr_all, cfg, nei_depths,
+                               offsets=cheap_off, rays_rot_all=rr_all,
+                               tabs=tabs_cheap)
+            return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
+
+        cheap = jax.lax.map(cheap_score, (cd, cn))         # (C,H,W)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, cheap.shape, 0)
+        sel_d, sel_n = [], []
+        for _ in range(cfg.prune_candidates):
+            idx = jnp.argmin(cheap, axis=0)                # (H,W)
+            sel_d.append(jnp.take_along_axis(cd, idx[None], axis=0)[0])
+            sel_n.append(jnp.take_along_axis(
+                cn, idx[None, ..., None], axis=0)[0])
+            cheap = jnp.where(c_iota == idx[None], jnp.inf, cheap)
+        cd = jnp.stack(sel_d)
+        cn = jnp.stack(sel_n)
+
     def score(args):
         d_c, n_c = args
         c = multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
-                           R_nr_all, t_nr_all, cfg, nei_depths)
+                           R_nr_all, t_nr_all, cfg, nei_depths,
+                           rays_rot_all=rr_all, tabs=tabs_full)
         return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
 
-    costs = jax.lax.map(score, (cd, cn))                   # (C,H,W)
+    costs = jax.lax.map(score, (cd, cn))                   # (C or k,H,W)
     best_idx = jnp.argmin(costs, axis=0)
     c_min = jnp.min(costs, axis=0)
     d_best = jnp.take_along_axis(cd, best_idx[None], axis=0)[0]

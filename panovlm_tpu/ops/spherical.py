@@ -170,6 +170,95 @@ def bilinear_sample(img, uv, mode_wrap_lon: bool = True):
     return top * (1 - fv) + bot * fv
 
 
+def _quad_taps(img):
+    """The 2x2 bilinear footprint of every pixel as 4 planes (self,
+    right-with-longitude-wrap, down-clamped, down-right): (H,W,4)."""
+    right = jnp.roll(img, -1, axis=1)                       # u+1 wraps the seam
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)     # v+1 clamps
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    return jnp.stack([img, right, down, down_right], axis=-1)
+
+
+def pack_bilinear_u8(img, scale=None):
+    """Pack a grayscale image so ONE int32 gather fetches a full 2x2 bilinear
+    footprint (the four u8-quantized taps live in one 32-bit word).
+
+    XLA TPU gathers cost ~the same per *index* regardless of payload, so the
+    4-tap bilinear sample of bilinear_sample (4 gathers) collapses to a
+    single gather — the decisive optimization for the PatchMatch warp
+    (ScorePixel, reference mvs/MVS.cpp:791-842, samples neighbor panoramas
+    per pixel x hypothesis x texel). u8 quantization matches the 8-bit
+    source images the reference itself samples.
+
+    Returns (packed (H,W) int32, scale float): tap = byte/255 * scale.
+    """
+    img = img.astype(jnp.float32)
+    if scale is None:
+        scale = jnp.maximum(jnp.max(img), 1e-6)
+    q = jnp.clip(jnp.round(img / scale * 255.0), 0, 255).astype(jnp.uint8)
+    taps = _quad_taps(q)                                    # (H,W,4) u8
+    packed = jax.lax.bitcast_convert_type(taps, jnp.int32)  # (H,W)
+    return packed, scale
+
+
+def bilinear_sample_packed_u8(packed, scale, uv):
+    """Bilinear sample from a pack_bilinear_u8 image at uv (...,2): one
+    gather per sample instead of four (longitude wraps, latitude clamps;
+    matches bilinear_sample semantics incl. pole clamping)."""
+    H, W = packed.shape[0], packed.shape[1]
+    u = uv[..., 0] - 0.5
+    v = jnp.clip(uv[..., 1] - 0.5, 0.0, float(H - 1))
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0w = jnp.mod(u0.astype(jnp.int32), W)
+    v0c = v0.astype(jnp.int32)
+    g = jnp.take(packed.reshape(-1), v0c * W + u0w)
+    b0 = (g & 0xFF).astype(jnp.float32)
+    b1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+    b2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+    b3 = ((g >> 24) & 0xFF).astype(jnp.float32)
+    top = b0 * (1 - fu) + b1 * fu
+    bot = b2 * (1 - fu) + b3 * fu
+    return (top * (1 - fv) + bot * fv) * (scale / 255.0)
+
+
+def pack_bilinear_u16(img, scale: float = 256.0):
+    """Pack a non-negative float map (e.g. depth, meters) as x256 u16 fixed
+    point — the reference's own on-disk depth quantization (util/FileIO.h:
+    101-123) — with the 2x2 footprint in TWO int32 words: one (...,2) gather
+    per bilinear sample. Returns ((H,W,2) int32, scale)."""
+    q = jnp.clip(jnp.round(img.astype(jnp.float32) * scale), 0, 65535) \
+        .astype(jnp.uint16)
+    taps = _quad_taps(q)                                    # (H,W,4) u16
+    packed = jax.lax.bitcast_convert_type(
+        taps.reshape(*taps.shape[:-1], 2, 2), jnp.int32)    # (H,W,2)
+    return packed, scale
+
+
+def bilinear_sample_packed_u16(packed, scale, uv):
+    """Bilinear sample from a pack_bilinear_u16 map at uv (...,2)."""
+    H, W = packed.shape[0], packed.shape[1]
+    u = uv[..., 0] - 0.5
+    v = jnp.clip(uv[..., 1] - 0.5, 0.0, float(H - 1))
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0w = jnp.mod(u0.astype(jnp.int32), W)
+    v0c = v0.astype(jnp.int32)
+    g = jnp.take(packed.reshape(-1, 2), v0c * W + u0w, axis=0)  # (...,2)
+    h0, h1 = g[..., 0], g[..., 1]
+    b0 = (h0 & 0xFFFF).astype(jnp.float32)
+    b1 = ((h0 >> 16) & 0xFFFF).astype(jnp.float32)
+    b2 = (h1 & 0xFFFF).astype(jnp.float32)
+    b3 = ((h1 >> 16) & 0xFFFF).astype(jnp.float32)
+    top = b0 * (1 - fu) + b1 * fu
+    bot = b2 * (1 - fu) + b3 * fu
+    return (top * (1 - fv) + bot * fv) / scale
+
+
 def break_to_segments_mask(start_uv, end_uv, rows, cols, n: int):
     """Sample n points along the geodesic between two panorama pixels.
 

@@ -198,3 +198,51 @@ def test_fuse_rgb_colors(views):
                                          jnp.asarray(rgb), views["poses"], cfg)
     assert cols.shape[-1] == 3
     assert int(np.asarray(msk).sum()) > 3000
+
+
+def test_packed_ncc_matches_float_path(views):
+    """ncc_cost with packed u8 neighbors tracks the float path (quantization
+    noise only)."""
+    rays = spherical.pixel_ray_grid(H, W)
+    cfg = PatchMatchConfig(ncc_half_window=4, ncc_step=2, max_depth=10.0)
+    R_nr, t_nr = mvs.relative_to_neighbors(views["poses"], 0,
+                                           np.array([1], np.int32))
+    d = jnp.asarray(views["depths"][0])
+    n0 = -spherical.pixel_ray_grid(H, W)
+    c_f32 = patchmatch.ncc_cost(jnp.asarray(views["grays"][0]),
+                                jnp.asarray(views["grays"][1]), rays,
+                                d, n0, R_nr[0], t_nr[0], cfg)
+    pk = patchmatch.pack_views(views["grays"][1][None])
+    c_pk = patchmatch.ncc_cost(jnp.asarray(views["grays"][0]),
+                               pk.packed[0], rays, d, n0, R_nr[0], t_nr[0],
+                               cfg, nei_scale=pk.scales[0])
+    band = slice(H // 4, 3 * H // 4)
+    diff = np.abs(np.asarray(c_f32 - c_pk))[band]
+    assert np.median(diff) < 0.01, np.median(diff)
+    assert np.mean(diff < 0.05) > 0.95
+
+
+def test_prune_candidates_matches_exact(views):
+    """Candidate pruning converges to the same depths as exact full scoring
+    (both from the same LiDAR-ish init)."""
+    rays = spherical.pixel_ray_grid(H, W)
+    gt = views["depths"][0]
+    sparse = np.zeros((H, W), np.float32)
+    sparse[::8, ::8] = gt[::8, ::8]
+    nei = np.array([1, 2, 3], np.int32)
+    band = slice(H // 4, 3 * H // 4)
+    meds = {}
+    for prune in (0, 2):
+        cfg = mvs.MVSConfig(
+            pm=PatchMatchConfig(ncc_half_window=6, ncc_step=2,
+                                max_depth=10.0, prune_candidates=prune),
+            n_iterations=4, n_neighbors=3)
+        d0, n0, fixed = mvs.init_depth_normal(
+            jax.random.PRNGKey(0), rays, jnp.asarray(sparse), cfg)
+        depth, _, _ = mvs.estimate_depth_map(
+            jnp.asarray(views["grays"][0]), jnp.asarray(views["grays"][nei]),
+            views["poses"], 0, nei, d0, n0, fixed, cfg)
+        rel = np.abs(np.asarray(depth) - gt) / gt
+        meds[prune] = np.median(rel[band])
+    assert meds[2] < 0.08, meds
+    assert abs(meds[2] - meds[0]) < 0.03, meds

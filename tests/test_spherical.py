@@ -104,3 +104,35 @@ def test_break_to_segments_seam():
         jnp.array([COLS - 2.0, ROWS / 2]), jnp.array([2.0, ROWS / 2]), ROWS, COLS, 16
     )
     assert bool(jnp.any(seam))
+
+
+def test_packed_u8_sampler_matches_bilinear():
+    """pack_bilinear_u8 + one-gather sampling == legacy 4-gather bilinear on
+    the u8-quantized image (incl. seam wrap and pole clamping)."""
+    rng = np.random.default_rng(3)
+    H, W = 37, 64
+    img = rng.uniform(0, 1.3, (H, W)).astype(np.float32)
+    uv = np.stack([rng.uniform(-3, W + 3, 4000),
+                   rng.uniform(-2, H + 2, 4000)], -1).astype(np.float32)
+    packed, scale = sph.pack_bilinear_u8(jnp.asarray(img))
+    fast = np.asarray(sph.bilinear_sample_packed_u8(packed, scale,
+                                                    jnp.asarray(uv)))
+    imgq = (np.round(img / float(scale) * 255) / 255 * float(scale))
+    ref = np.asarray(sph.bilinear_sample(jnp.asarray(imgq.astype(np.float32)),
+                                         jnp.asarray(uv)))
+    np.testing.assert_allclose(fast, ref, atol=1e-5)
+
+
+def test_packed_u16_sampler_matches_bilinear():
+    rng = np.random.default_rng(4)
+    H, W = 23, 48
+    d = rng.uniform(0, 25, (H, W)).astype(np.float32)
+    uv = np.stack([rng.uniform(-3, W + 3, 4000),
+                   rng.uniform(-2, H + 2, 4000)], -1).astype(np.float32)
+    packed, _ = sph.pack_bilinear_u16(jnp.asarray(d))
+    fast = np.asarray(sph.bilinear_sample_packed_u16(packed, 256.0,
+                                                     jnp.asarray(uv)))
+    dq = np.round(d * 256) / 256
+    ref = np.asarray(sph.bilinear_sample(jnp.asarray(dq.astype(np.float32)),
+                                         jnp.asarray(uv)))
+    np.testing.assert_allclose(fast, ref, atol=1e-4)
