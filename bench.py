@@ -33,14 +33,22 @@ sys.path.insert(0, "tests")
 N_BENCH_SCANS = 16
 
 
+def _sync(out):
+    """Force completion: device->host transfer of one result element.
+    (jax.block_until_ready is not a reliable barrier on the axon remote
+    backend — it can return before the dispatched program finishes.)"""
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
 def _median_time(fn, reps: int = 5, inner: int = 3):
     ts = []
     for _ in range(reps):
         t0 = time.time()
         for _ in range(inner):
             out = fn()
-        import jax
-        jax.block_until_ready(out)
+        _sync(out)  # device stream is in-order: last done => all done
         ts.append((time.time() - t0) / inner)
     return statistics.median(ts)
 
@@ -69,11 +77,11 @@ def tpu_pipeline(scans_np):
     # second big program is resident); the real pipeline runs each program
     # in long homogeneous phases, which this ordering reproduces.
     feats = extract(pts, msk)               # compile
-    jax.block_until_ready(feats)
+    _sync(feats)
     t_extract = _median_time(lambda: extract(pts, msk))
 
     out = assoc_j(feats, poses)
-    jax.block_until_ready(out)
+    _sync(out)
     t_assoc = _median_time(lambda: assoc_j(feats, poses))
     return n / (t_extract + t_assoc)
 

@@ -144,6 +144,73 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
     return depth, normal, conf
 
 
+def estimate_depth_maps_batched(grays, poses_cw, nei_table, depth0s,
+                                normal0s, fixeds, cfg: MVSConfig,
+                                nei_depths=None, seed: int = 0, mesh=None,
+                                ref_idx=None):
+    """Batched multi-image PatchMatch: a batch of reference images in ONE
+    jitted program (patchmatch.run_patchmatch_batched). Images are
+    embarrassingly parallel, so passing a data `mesh` shards the image axis
+    across chips with no collectives — the multi-chip execution of the
+    reference's per-image OpenMP loop (mvs/MVS.cpp:93-117).
+
+    grays (N,H,W) float: the FULL image set (neighbor views are gathered
+    from it). nei_table (B,V) int: global image indices per reference.
+    depth0s/normal0s/fixeds (B,H,W[,3]). ref_idx None (then B must equal N
+    and refs are 0..N-1) or (B,) global reference indices — chunking the
+    refs while neighbors still come from the full set. nei_depths None or
+    (N,H,W) per-image PHOTOMETRIC depths (indexed like grays). Seeds fold
+    in the GLOBAL ref index, so chunked == whole-batch results.
+    Returns (depths, normals, confs), each leading axis B.
+    """
+    grays = jnp.asarray(grays)
+    N, H, W = grays.shape
+    rays = spherical.pixel_ray_grid(H, W)
+    nei_table = np.asarray(nei_table)
+    B, V = nei_table.shape[0], nei_table.shape[1]
+    if ref_idx is None:
+        assert B == N
+        ref_idx = np.arange(N)
+    ref_idx = np.asarray(ref_idx)
+    R_nr = []
+    t_nr = []
+    for b in range(B):
+        R, t = relative_to_neighbors(poses_cw, int(ref_idx[b]), nei_table[b])
+        R_nr.append(R)
+        t_nr.append(t)
+    R_nr = jnp.stack(R_nr)
+    t_nr = jnp.stack(t_nr)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
+        jnp.asarray(ref_idx))
+    grays_ref = grays[jnp.asarray(ref_idx)]
+    nei_grays = grays[nei_table]                      # (B,V,H,W)
+    if cfg.packed_sampling:
+        packed, scales = jax.vmap(jax.vmap(spherical.pack_bilinear_u8))(
+            nei_grays)
+        nei_views = patchmatch.PackedViews(packed, scales)
+        nd = None
+        if nei_depths is not None:
+            nd = jax.vmap(jax.vmap(
+                lambda d: spherical.pack_bilinear_u16(d)[0]))(
+                    jnp.asarray(nei_depths)[nei_table])
+    else:
+        nei_views = nei_grays
+        nd = None if nei_depths is None else jnp.asarray(nei_depths)[nei_table]
+    args = (grays_ref, nei_views, rays, jnp.asarray(depth0s),
+            jnp.asarray(normal0s), jnp.asarray(fixeds), R_nr, t_nr, keys)
+    if mesh is not None:
+        from ..parallel import replicated, shard_leading_axis
+        shardable, rays_in = (args[:2] + args[3:], args[2])
+        shardable = shard_leading_axis(shardable, mesh)
+        rays_in = replicated(rays_in, mesh)
+        args = shardable[:2] + (rays_in,) + shardable[2:]
+        if nd is not None:
+            nd = shard_leading_axis(nd, mesh)
+    return patchmatch.run_patchmatch_batched(
+        *args, cfg=cfg.pm, n_iterations=cfg.n_iterations,
+        propagate=cfg.propagate, nei_depths=nd)
+
+
 @functools.partial(jax.jit, static_argnames=("min_segment", "iters"))
 def remove_small_segments(depth, depth_diff_threshold: float = 0.01,
                           min_segment: int = 50, iters: int = 48):
@@ -215,6 +282,14 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
     confs = jnp.asarray(confs)
     N, H, W = depths.shape
     rays = spherical.pixel_ray_grid(H, W)
+    if cfg.packed_sampling:
+        # one-gather bilinear reads of neighbor depth/conf (u16 quads — the
+        # same quantization the reference stores these maps with on disk)
+        depths_pk = jax.vmap(lambda d: spherical.pack_bilinear_u16(d)[0])(depths)
+        confs_pk = jax.vmap(
+            lambda c: spherical.pack_bilinear_u16(c + 1.0, 16384.0)[0])(confs)
+    else:
+        depths_pk = confs_pk = None
 
     @jax.jit
     def one(ref, depth_ref, conf_ref, nei_idx):
@@ -225,8 +300,14 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
             x_n = jnp.einsum("ij,hwj->hwi", R_nr[v], X) + t_nr[v]
             d_at_n = jnp.linalg.norm(x_n, axis=-1)
             uv = spherical.cam_to_image(x_n, H, W)
-            d_n = spherical.bilinear_sample(depths[nei_idx[v]], uv)
-            c_n = spherical.bilinear_sample(confs[nei_idx[v]], uv)
+            if cfg.packed_sampling:
+                d_n = spherical.bilinear_sample_packed_u16(
+                    depths_pk[nei_idx[v]], 256.0, uv)
+                c_n = spherical.bilinear_sample_packed_u16(
+                    confs_pk[nei_idx[v]], 16384.0, uv) - 1.0
+            else:
+                d_n = spherical.bilinear_sample(depths[nei_idx[v]], uv)
+                c_n = spherical.bilinear_sample(confs[nei_idx[v]], uv)
             rel = jnp.abs(d_n - d_at_n) / jnp.maximum(d_at_n, 1e-6)
             support = (d_n > 0) & (rel < cfg.depth_diff_threshold * 3)
             # occlusion: the neighbor sees a CLOSER surface along this ray

@@ -51,6 +51,11 @@ class PatchMatchConfig(NamedTuple):
                                      # set, full-NCC only the best k
                                      # (0 = score everything, exact reference
                                      # candidate handling)
+    prune_texels: int = 5            # texels in the pre-ranking patch (5 =
+                                     # center + corners, 9 = + edge midpoints)
+    prune_views: int = 2             # neighbor views used for pre-ranking
+                                     # (0 = all; the neighbor table is
+                                     # nearest-first, so a prefix works)
 
 
 def _patch_offsets(cfg: PatchMatchConfig):
@@ -61,10 +66,12 @@ def _patch_offsets(cfg: PatchMatchConfig):
 
 def _cheap_offsets(cfg: PatchMatchConfig):
     """Sparse texel subset for candidate pre-ranking: center + the window's
-    corner/edge extremes (9 texels)."""
+    corners (prune_texels=5) or + edge midpoints (9)."""
     hw = cfg.ncc_half_window
-    return [(0, 0), (-hw, -hw), (-hw, 0), (-hw, hw), (0, -hw), (0, hw),
-            (hw, -hw), (hw, 0), (hw, hw)]
+    five = [(0, 0), (-hw, -hw), (-hw, hw), (hw, -hw), (hw, hw)]
+    if cfg.prune_texels <= 5:
+        return five
+    return five + [(-hw, 0), (0, -hw), (0, hw), (hw, 0)]
 
 
 class PackedViews(NamedTuple):
@@ -335,12 +342,20 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
         # scores everything like the reference's ProcessPixel)
         cheap_off = _cheap_offsets(cfg)
         tabs_cheap = ref_tables(gray_ref, cheap_off, cfg)
+        # rank against a prefix of the (nearest-first) neighbor views only
+        V = rr_all.shape[0]
+        vk = V if not cfg.prune_views else min(cfg.prune_views, V)
+        if isinstance(grays_nei, PackedViews):
+            views_c = PackedViews(grays_nei.packed[:vk], grays_nei.scales[:vk])
+        else:
+            views_c = grays_nei[:vk]
+        neid_c = None if nei_depths is None else nei_depths[:vk]
 
         def cheap_score(args):
             d_c, n_c = args
-            c = multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
-                               R_nr_all, t_nr_all, cfg, nei_depths,
-                               offsets=cheap_off, rays_rot_all=rr_all,
+            c = multiview_cost(gray_ref, views_c, rays, d_c, n_c,
+                               R_nr_all[:vk], t_nr_all[:vk], cfg, neid_c,
+                               offsets=cheap_off, rays_rot_all=rr_all[:vk],
                                tabs=tabs_cheap)
             return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
 
@@ -418,3 +433,86 @@ def sequential_step(gray_ref, grays_nei, rays, depth, normal, cost,
     return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
                     R_nr_all, t_nr_all, key, fixed_depth, cfg,
                     tuple(offsets), active, nei_depths)
+
+
+def _sequential_offsets(direction: int, max_shift: int = 32):
+    sign = -1 if direction == 0 else 1
+    offsets = []
+    k = 1
+    while k <= max_shift:
+        offsets.append((0, sign * k))
+        offsets.append((sign * k, 0))
+        k *= 2
+    return tuple(offsets)
+
+
+def run_patchmatch(gray_ref, grays_nei, rays, depth0, normal0, fixed, R_nr,
+                   t_nr, key, cfg: PatchMatchConfig, n_iterations: int,
+                   propagate: int = 1, nei_depths=None):
+    """Full per-image PatchMatch as ONE traced program: initial scoring +
+    2*n_iterations half-steps in a lax.fori_loop (parity / sweep direction
+    from the loop index). vmap-able over an image batch — the basis of the
+    multi-chip MVS path (images are embarrassingly parallel, SURVEY §2.8).
+    Returns (depth, normal, conf)."""
+    H, W = depth0.shape
+    cost0 = multiview_cost(gray_ref, grays_nei, rays, depth0, normal0,
+                           R_nr, t_nr, cfg, nei_depths)
+    cost0 = cost0 * smoothness_factor(rays, depth0, normal0, depth0, normal0,
+                                      cfg)
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    cb = (yy + xx) % 2
+    all_on = jnp.ones((H, W), bool)
+
+    def half_step(i, carry):
+        depth, normal, cost = carry
+        sub = jax.random.fold_in(key, i)
+        if propagate == 2:
+            # one sweep per loop index, direction alternating
+            return jax.lax.cond(
+                i % 2 == 0,
+                lambda c: _pm_step(gray_ref, grays_nei, rays, *c, R_nr, t_nr,
+                                   sub, fixed, cfg, _sequential_offsets(0),
+                                   all_on, nei_depths),
+                lambda c: _pm_step(gray_ref, grays_nei, rays, *c, R_nr, t_nr,
+                                   sub, fixed, cfg, _sequential_offsets(1),
+                                   all_on, nei_depths),
+                (depth, normal, cost))
+        active = cb == (i % 2)
+        return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
+                        R_nr, t_nr, sub, fixed, cfg, cfg.prop_offsets,
+                        active, nei_depths)
+
+    depth, normal, cost = jax.lax.fori_loop(
+        0, 2 * n_iterations, half_step, (depth0, normal0, cost0))
+    conf = jnp.clip(1.0 - cost, -1.0, 1.0)
+    return depth, normal, conf
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_iterations", "propagate"))
+def run_patchmatch_batched(grays_ref, nei_views, rays, depth0, normal0,
+                           fixed, R_nr, t_nr, keys,
+                           cfg: PatchMatchConfig, n_iterations: int,
+                           propagate: int = 1, nei_depths=None):
+    """vmap of run_patchmatch over a leading image-batch axis. All array
+    args carry a leading B axis except rays (shared). Shard the B axis over
+    a data mesh (parallel.shard_leading_axis) to scale MVS across chips —
+    there is no cross-image communication, so XLA SPMD partitions it 1:1.
+
+    grays_ref (B,H,W); nei_views: PackedViews with (B,V,H,W)/(B,V) leaves
+    or float (B,V,H,W); nei_depths None or (B,V,H,W[,2])."""
+    def one(g, nv, ns, d0, n0, fx, R, t, k, nd):
+        views = PackedViews(nv, ns) if ns is not None else nv
+        return run_patchmatch(g, views, rays, d0, n0, fx, R, t, k, cfg,
+                              n_iterations, propagate, nd)
+
+    if isinstance(nei_views, PackedViews):
+        nv, ns = nei_views.packed, nei_views.scales
+        ax_ns = 0
+    else:
+        nv, ns = nei_views, None
+        ax_ns = None
+    ax_nd = None if nei_depths is None else 0
+    return jax.vmap(one, in_axes=(0, 0, ax_ns, 0, 0, 0, 0, 0, 0, ax_nd))(
+        grays_ref, nv, ns, depth0, normal0, fixed, R_nr, t_nr, keys,
+        nei_depths)

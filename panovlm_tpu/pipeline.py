@@ -708,18 +708,45 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
     depths = np.zeros((n, H, W), np.float32)
     normals = np.zeros((n, H, W, 3), np.float32)
     confs = np.zeros((n, H, W), np.float32)
+    # Batched MVS execution: a device-count-sized batch of reference images
+    # per jitted program (whole PatchMatch in one program each), sharded
+    # over the data mesh when >1 chip is attached — the multi-chip form of
+    # the reference's per-image OpenMP loop (mvs/MVS.cpp:93-117).
+    grays_all = np.stack(grays)
+    n_dev = len(jax.devices())
+    mvs_mesh = None
+    if n_dev > 1:
+        from .parallel import make_mesh
+        mvs_mesh = make_mesh(n_dev)
+    chunk = max(1, n_dev)
+
+    def batched_pass(d0s, n0s, fxs, nei_depths, seed):
+        for s in range(0, n, chunk):
+            live = list(range(s, min(s + chunk, n)))
+            idx = live + [live[-1]] * (chunk - len(live))  # pad last chunk
+            d, nm, cf = mvs_mod.estimate_depth_maps_batched(
+                grays_all, poses, nei_table[idx],
+                jnp.asarray(np.stack([d0s[i] for i in idx])),
+                jnp.asarray(np.stack([n0s[i] for i in idx])),
+                jnp.asarray(np.stack([fxs[i] for i in idx])),
+                mcfg, nei_depths=nei_depths, seed=seed, mesh=mvs_mesh,
+                ref_idx=np.asarray(idx))
+            d, nm, cf = np.asarray(d), np.asarray(nm), np.asarray(cf)
+            for b, i in enumerate(live):
+                depths[i], normals[i], confs[i] = d[b], nm[b], cf[b]
+
     with tr.phase("photometric pass"):
+        d0s, n0s, fxs = [], [], []
         for i in range(n):
             d0, n0, fixed = mvs_mod.init_depth_normal(
                 jax.random.PRNGKey(i), rays,
                 None if lidar_depths[i] is None else jnp.asarray(lidar_depths[i]),
                 mcfg)
-            nei = nei_table[i]
-            d, nm, cf = mvs_mod.estimate_depth_map(
-                jnp.asarray(grays[i]), jnp.asarray(np.stack(grays)[nei]),
-                poses, i, nei, d0, n0, fixed, mcfg, seed=i)
-            depths[i], normals[i], confs[i] = (np.asarray(d), np.asarray(nm),
-                                               np.asarray(cf))
+            d0s.append(np.asarray(d0))
+            n0s.append(np.asarray(n0))
+            fxs.append(np.asarray(fixed))
+        batched_pass(d0s, n0s, fxs, None, seed=0)
+        for i in range(n):
             # per-pass artifacts, _pho suffix (MVS.cpp:185-189)
             artifacts.export_depth_u16(
                 os.path.join(cfg.mvs_depth_path, f"{i:06d}_pho.npy"), depths[i])
@@ -728,16 +755,9 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
     if cfg.mvs_use_geometric:
         with tr.phase("geometric pass"):
             depths_pho = depths.copy()
-            for i in range(n):
-                nei = nei_table[i]
-                d, nm, cf = mvs_mod.estimate_depth_map(
-                    jnp.asarray(grays[i]), jnp.asarray(np.stack(grays)[nei]),
-                    poses, i, nei, jnp.asarray(depths_pho[i]),
-                    jnp.asarray(normals[i]),
-                    jnp.zeros((H, W), bool), mcfg,
-                    nei_depths=jnp.asarray(depths_pho[nei]), seed=100 + i)
-                depths[i], normals[i], confs[i] = (np.asarray(d),
-                                                   np.asarray(nm), np.asarray(cf))
+            zeros = np.zeros((H, W), bool)
+            batched_pass(list(depths_pho), list(normals.copy()),
+                         [zeros] * n, jnp.asarray(depths_pho), seed=100)
     with tr.phase("post + filter"):
         from .models.mvs import gap_interpolation, remove_small_segments
         mvs_mask = load_mask(cfg, H, W)

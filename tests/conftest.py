@@ -15,6 +15,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the XLA CPU compiler has segfaulted mid-suite
+# after ~100 tests' worth of compilations (cumulative process state); cached
+# executables skip those compiles on re-runs and cut suite wall-clock on the
+# single-core CI box.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/panovlm_jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -82,3 +82,64 @@ def test_fast_atan2(rng):
     x = jnp.asarray(rng.normal(size=1000).astype(np.float32))
     err = np.abs(np.asarray(fast_atan2(y, x)) - np.arctan2(y, x))
     assert err.max() < 0.006  # reference quotes ~0.3 deg
+
+
+def test_mvs_batched_sharded_matches_unsharded():
+    """The batched multi-image PatchMatch program must give identical
+    results with the image axis sharded over the 8-device mesh (no
+    cross-image communication) and must converge like the per-image path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import render_panorama
+    from panovlm_tpu.models import mvs
+    from panovlm_tpu.ops import spherical
+    from panovlm_tpu.ops.patchmatch import PatchMatchConfig
+
+    H, W = 64, 128
+    centers = [np.array([0.0, 0.4, 0.0]), np.array([0.7, 0.4, 0.2]),
+               np.array([-0.5, 0.2, -0.4]), np.array([0.2, 0.6, -0.7])]
+    grays, depths = zip(*[render_panorama(c, H, W) for c in centers])
+    poses = np.zeros((4, 6), np.float32)
+    for i, c in enumerate(centers):
+        poses[i, 3:] = -c
+    # 8 refs = each view twice (pads the batch to the mesh size)
+    refs = np.array([0, 1, 2, 3, 0, 1, 2, 3])
+    grays8 = np.stack([grays[r] for r in refs])
+    nei_all = mvs.select_neighbor_views(poses, 3)
+    nei8 = np.stack([nei_all[r] for r in refs])
+    cfg = mvs.MVSConfig(pm=PatchMatchConfig(ncc_half_window=4, ncc_step=2,
+                                            max_depth=10.0),
+                        n_iterations=3, n_neighbors=3)
+    rays = spherical.pixel_ray_grid(H, W)
+    d0s, n0s, fxs = [], [], []
+    for i, r in enumerate(refs):
+        sparse = np.zeros((H, W), np.float32)
+        sparse[::8, ::8] = depths[r][::8, ::8]
+        d0, n0, fx = mvs.init_depth_normal(jax.random.PRNGKey(i), rays,
+                                           jnp.asarray(sparse), cfg)
+        d0s.append(d0); n0s.append(n0); fxs.append(fx)
+    d0s, n0s, fxs = jnp.stack(d0s), jnp.stack(n0s), jnp.stack(fxs)
+    # pose row per REF slot (refs 4..7 duplicate views 0..3); neighbor
+    # indices stay 0..3 where grays8/poses8 coincide with the view set
+    poses8 = np.stack([poses[r] for r in refs])
+
+    out_plain = mvs.estimate_depth_maps_batched(
+        grays8, poses8, nei8, d0s, n0s, fxs, cfg, seed=5)
+    mesh = make_mesh()
+    out_shard = mvs.estimate_depth_maps_batched(
+        grays8, poses8, nei8, d0s, n0s, fxs, cfg, seed=5, mesh=mesh)
+    for a, b in zip(out_plain, out_shard):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    # chunked refs (ref_idx path, as the pipeline drives it) == whole batch
+    out_chunk = mvs.estimate_depth_maps_batched(
+        grays8, poses8, nei8[4:], d0s[4:], n0s[4:], fxs[4:], cfg, seed=5,
+        ref_idx=np.arange(4, 8))
+    for a, b in zip(out_chunk, out_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b)[4:],
+                                   atol=1e-5, rtol=1e-5)
+    # convergence sanity on ref 0 (interior band): loose bound — 3 iters on
+    # this wide-baseline scene lands ~0.13; unconverged random init is >0.5
+    band = slice(H // 4, 3 * H // 4)
+    rel = np.abs(np.asarray(out_plain[0][0]) - depths[0]) / depths[0]
+    assert np.median(rel[band]) < 0.2, np.median(rel[band])
