@@ -112,6 +112,10 @@ class Config:
     min_segment: int = 50
     mvs_use_geometric: bool = True
     keep_lidar_constant: bool = False
+    mvs_sweep_slices: int = 64      # TPU extension: plane-sweep sample
+                                    # volume slices for gather-free NCC
+                                    # scoring (0 = exact per-plane bilinear
+                                    # sampling, the reference's semantics)
 
     # derived (Config.h:249-257)
     sfm_result_path: str = ""

@@ -119,9 +119,15 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
             nei_depths = jax.vmap(
                 lambda d: spherical.pack_bilinear_u16(d)[0])(
                     jnp.asarray(nei_depths))
+    vols = dvols = None
+    if cfg.pm.sweep_slices:
+        vols = patchmatch.build_sweep_volume(grays_nei, rays, R_nr, t_nr,
+                                             cfg.pm, nei_depths)
+        if nei_depths is not None:
+            vols, dvols = vols
     cost = patchmatch.multiview_cost(
         gray_ref, grays_nei, rays, depth0, normal0, R_nr, t_nr, cfg.pm,
-        nei_depths)
+        nei_depths, vols=vols, dvols=dvols)
     # same smoothness bonus the candidate scoring applies, so the incumbent
     # and its challengers are compared in the same cost space
     cost = cost * patchmatch.smoothness_factor(rays, depth0, normal0,
@@ -133,13 +139,15 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
             key, sub = jax.random.split(key)
             depth, normal, cost = patchmatch.sequential_step(
                 gray_ref, grays_nei, rays, depth, normal, cost,
-                R_nr, t_nr, sub, fixed, cfg.pm, it % 2, nei_depths)
+                R_nr, t_nr, sub, fixed, cfg.pm, it % 2, nei_depths,
+                vols=vols, dvols=dvols)
         else:                       # CHECKER_BOARD: red/black half-steps
             for parity in (0, 1):
                 key, sub = jax.random.split(key)
                 depth, normal, cost = patchmatch.checkerboard_step(
                     gray_ref, grays_nei, rays, depth, normal, cost,
-                    R_nr, t_nr, sub, fixed, cfg.pm, parity, nei_depths)
+                    R_nr, t_nr, sub, fixed, cfg.pm, parity, nei_depths,
+                    vols=vols, dvols=dvols)
     conf = jnp.clip(1.0 - cost, -1.0, 1.0)   # NCC-like confidence in [-1,1]
     return depth, normal, conf
 

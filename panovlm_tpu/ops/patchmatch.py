@@ -56,6 +56,13 @@ class PatchMatchConfig(NamedTuple):
     prune_views: int = 2             # neighbor views used for pre-ranking
                                      # (0 = all; the neighbor table is
                                      # nearest-first, so a prefix works)
+    sweep_slices: int = 0            # plane-sweep sample volume: >0 = build
+                                     # D inverse-depth slices of each
+                                     # neighbor once per pass and score all
+                                     # candidates by static shifts + a hat-
+                                     # weighted sum over D — ZERO gathers in
+                                     # the hot loop (0 = exact per-plane
+                                     # bilinear sampling)
 
 
 def _patch_offsets(cfg: PatchMatchConfig):
@@ -117,6 +124,69 @@ def _roll2(img, dv, du):
     return jnp.roll(jnp.roll(img, -dv, axis=0), -du, axis=1)
 
 
+def sweep_inv_depths(cfg: PatchMatchConfig):
+    """The D inverse-depth slice positions (uniform in 1/d, far to near —
+    uniform inverse depth is uniform in warp displacement, the plane-sweep
+    discretization that bounds per-slice pixel error)."""
+    return jnp.linspace(1.0 / cfg.max_depth, 1.0 / cfg.min_depth,
+                        cfg.sweep_slices)
+
+
+def build_sweep_volume(grays_nei, rays, R_nr_all, t_nr_all,
+                       cfg: PatchMatchConfig, nei_depths=None):
+    """Plane-sweep sample volume: vol[v, s, y, x] = neighbor v's gray
+    sampled where the ray of REF pixel (y,x) at slice depth lambda_s lands.
+    All warp gathers for a whole PatchMatch pass happen HERE (V*D image
+    gathers); the per-candidate scoring then needs only static rolls of
+    this volume plus a 2-tap interpolation over the D axis — gather-free.
+    The classic plane-sweep reformulation of ScorePixel's homography warp
+    (mvs/MVS.cpp:791-842). Returns (V, D, H, W) bfloat16, or a pair of
+    them (gray, neighbor DEPTH sampled at the same warp positions — the
+    geometric pass's consistency reads) when nei_depths is given."""
+    H, W = rays.shape[:2]
+    lam = 1.0 / sweep_inv_depths(cfg)                       # (D,)
+    if isinstance(grays_nei, PackedViews):
+        views = (grays_nei.packed, grays_nei.scales)
+    else:
+        views = (jnp.asarray(grays_nei),
+                 jnp.ones((grays_nei.shape[0],), jnp.float32))
+    with_depth = nei_depths is not None
+    if not with_depth:
+        nei_depths = jnp.zeros((views[0].shape[0], 1, 1), jnp.float32)
+
+    def one_view(args):
+        g, sc, R, t, nd = args
+        rr = jnp.einsum("ij,hwj->hwi", R, rays)
+
+        def one_slice(l):
+            x_n = l[..., None] * rr + t
+            uv = spherical.cam_to_image(x_n, H, W)
+            s = _sample_view(g, sc, uv).astype(jnp.bfloat16)
+            if with_depth:
+                return s, _sample_depth(nd, uv).astype(jnp.bfloat16)
+            return s, jnp.zeros((), jnp.bfloat16)
+
+        return jax.lax.map(one_slice, lam)
+
+    out = jax.lax.map(one_view, views + (R_nr_all, t_nr_all, nei_depths))
+    return out if with_depth else out[0]
+
+
+def _vol_interp(vol_t, sigma, D: int):
+    """Hat-weighted (linear) interpolation over the slice axis, written as
+    an unrolled sum of D masked FMAs instead of a take-along-axis — on TPU
+    an axis gather with per-pixel indices lowers to the slow per-element
+    path, while D slice reads + FMAs run at VPU/HBM speed. The volume is
+    stored bfloat16 (8-bit source images — bf16's 8 mantissa bits are
+    lossless there) to halve the read traffic; weights/accumulation f32.
+    vol_t (D,H,W); sigma (H,W) in [0, D-1]. Returns (H,W) float32."""
+    val = jnp.zeros_like(sigma)
+    for d in range(D):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(sigma - d))
+        val += w * vol_t[d].astype(jnp.float32)
+    return val
+
+
 def random_normals(key, rays):
     """Random unit normals facing the camera (n . ray < 0)."""
     n = jax.random.normal(key, rays.shape)
@@ -127,7 +197,7 @@ def random_normals(key, rays):
 
 def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
              cfg: PatchMatchConfig, offsets=None, nei_scale=None,
-             rays_rot=None, tabs=None):
+             rays_rot=None, tabs=None, vol=None):
     """Weighted-NCC matching cost of per-pixel plane hypotheses against ONE
     neighbor view (ScorePixel core, MVS.cpp:774-923).
 
@@ -140,30 +210,48 @@ def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
     sample body appears ONCE in the compiled program (a python unroll makes
     XLA compile times explode at 100+ texels). Optional precomputed values:
     rays_rot = R_nr @ rays (hoists the per-texel einsum), tabs = ref_tables
-    output (hoists the per-texel roll + bilateral exp)."""
+    output (hoists the per-texel roll + bilateral exp), vol = this view's
+    (D,H,W) plane-sweep volume (build_sweep_volume) — texel samples then
+    come from slice interpolation instead of bilinear gathers, and the warp
+    trig drops out of the loop entirely."""
     rho = depth * jnp.sum(normal * rays, axis=-1)          # (H,W) plane offset
     H, W = gray_ref.shape
     if offsets is None:
         offsets = _patch_offsets(cfg)
     off_arr = jnp.asarray(offsets, jnp.int32)              # (T,2) [dv,du]
-    if rays_rot is None:
+    if rays_rot is None and vol is None:
         rays_rot = jnp.einsum("ij,hwj->hwi", R_nr, rays)   # R r, once
     if tabs is None:
         tabs = ref_tables(gray_ref, offsets, cfg)
     i_tab, w_tab = tabs
+    if vol is not None:
+        D = cfg.sweep_slices
+        inv0 = 1.0 / cfg.max_depth
+        inv_step = (1.0 / cfg.min_depth - inv0) / max(D - 1, 1)
 
     def body(carry, xs):
         sw, sx, sy, sxx, syy, sxy = carry
         off, i_t, w0 = xs
         dv, du = off[0], off[1]
         r_t = jnp.roll(rays, (-dv, -du), axis=(0, 1))      # texel ray
-        rr_t = jnp.roll(rays_rot, (-dv, -du), axis=(0, 1))  # R (texel ray)
         denom = jnp.sum(normal * r_t, axis=-1)
         lam = rho / jnp.where(jnp.abs(denom) < 1e-6,
                               jnp.sign(denom) * 1e-6 + 1e-12, denom)
-        x_n = lam[..., None] * rr_t + t_nr                 # R(lam r) + t
-        uv = spherical.cam_to_image(x_n, H, W)
-        s = _sample_view(gray_nei, nei_scale, uv)
+        if vol is not None:
+            # slice coordinate of the plane-induced texel depth
+            sigma = (1.0 / jnp.maximum(lam, 1e-6) - inv0) / inv_step
+            sigma = jnp.clip(sigma, 0.0, D - 1)
+            # read the volume IN PLACE: roll the (H,W) slice-coordinate map
+            # to the texel position, interpolate, roll the result back —
+            # two (H,W) rolls instead of one (D,H,W) roll per texel
+            sig_t = jnp.roll(sigma, (dv, du), axis=(0, 1))
+            s_t = _vol_interp(vol, sig_t, D)
+            s = jnp.roll(s_t, (-dv, -du), axis=(0, 1))
+        else:
+            rr_t = jnp.roll(rays_rot, (-dv, -du), axis=(0, 1))  # R (texel ray)
+            x_n = lam[..., None] * rr_t + t_nr             # R(lam r) + t
+            uv = spherical.cam_to_image(x_n, H, W)
+            s = _sample_view(gray_nei, nei_scale, uv)
         w = w0 * (lam > 0)                                 # behind-camera drop
         return (sw + w, sx + w * i_t, sy + w * s, sxx + w * i_t * i_t,
                 syy + w * s * s, sxy + w * i_t * s), None
@@ -183,16 +271,25 @@ def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
     return jnp.where(valid, 1.0 - ncc, 2.0)
 
 
-def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig):
+def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig,
+                   dvol=None):
     """Geometric-consistency penalty (MVS.cpp:126-153, 858-896): project the
     hypothesis point into the neighbor, read the neighbor's depth (float map
-    or pack_bilinear_u16 packed), backcast and measure the angular
-    reprojection error in the reference view."""
+    or pack_bilinear_u16 packed; or interpolated from this view's (D,H,W)
+    depth sweep volume `dvol` — gather-free), backcast and measure the
+    angular reprojection error in the reference view."""
     H, W = depth.shape
     X = depth[..., None] * rays
     x_n = jnp.einsum("ij,hwj->hwi", R_nr, X) + t_nr
-    uv = spherical.cam_to_image(x_n, H, W)
-    d_n = _sample_depth(nei_depth, uv)
+    if dvol is not None:
+        D = cfg.sweep_slices
+        inv0 = 1.0 / cfg.max_depth
+        inv_step = (1.0 / cfg.min_depth - inv0) / max(D - 1, 1)
+        sigma = (1.0 / jnp.maximum(depth, 1e-6) - inv0) / inv_step
+        d_n = _vol_interp(dvol, jnp.clip(sigma, 0.0, D - 1), D)
+    else:
+        uv = spherical.cam_to_image(x_n, H, W)
+        d_n = _sample_depth(nei_depth, uv)
     r_n = x_n / (jnp.linalg.norm(x_n, axis=-1, keepdims=True) + 1e-12)
     X_n = d_n[..., None] * r_n
     # back to ref frame
@@ -206,10 +303,13 @@ def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig):
 
 def multiview_cost(gray_ref, grays_nei, rays, depth, normal, R_nr_all,
                    t_nr_all, cfg: PatchMatchConfig, nei_depths=None,
-                   offsets=None, rays_rot_all=None, tabs=None):
+                   offsets=None, rays_rot_all=None, tabs=None, vols=None,
+                   dvols=None):
     """Cost over all neighbors: mean of the best-2 per-pixel neighbor costs
     (MVS.cpp:905-918). grays_nei: (V,H,W) float array OR PackedViews;
-    R_nr_all (V,3,3); t_nr_all (V,3)."""
+    R_nr_all (V,3,3); t_nr_all (V,3); vols None or (V,D,H,W) plane-sweep
+    volumes (build_sweep_volume) — gather-free NCC scoring; dvols None or
+    (V,D,H,W) neighbor-depth volumes — gather-free geometric term."""
     if isinstance(grays_nei, PackedViews):
         views = (grays_nei.packed, grays_nei.scales)
     else:
@@ -220,25 +320,50 @@ def multiview_cost(gray_ref, grays_nei, rays, depth, normal, R_nr_all,
         tabs = ref_tables(gray_ref,
                           _patch_offsets(cfg) if offsets is None else offsets,
                           cfg)
+    if vols is None:
+        rr_all = _rot_rays(R_nr_all, rays, rays_rot_all)
 
     if nei_depths is not None:
-        def per_view(args):
-            g_n, sc, R, t, rr, d_n = args
-            c = ncc_cost(gray_ref, g_n, rays, depth, normal, R, t, cfg,
-                         offsets, sc, rr, tabs)
-            return c + cfg.geom_weight * geometric_cost(
-                rays, depth, d_n, R, t, cfg)
-        xs = views + (R_nr_all, t_nr_all, _rot_rays(R_nr_all, rays,
-                                                    rays_rot_all), nei_depths)
-        costs = jax.lax.map(per_view, xs)
+        if vols is not None and dvols is not None:
+            def per_view(args):
+                vol_v, dvol_v, R, t = args
+                c = ncc_cost(gray_ref, None, rays, depth, normal, R, t, cfg,
+                             offsets, tabs=tabs, vol=vol_v)
+                return c + cfg.geom_weight * geometric_cost(
+                    rays, depth, None, R, t, cfg, dvol=dvol_v)
+            costs = jax.lax.map(per_view, (vols, dvols, R_nr_all, t_nr_all))
+        elif vols is not None:
+            def per_view(args):
+                vol_v, R, t, d_n = args
+                c = ncc_cost(gray_ref, None, rays, depth, normal, R, t, cfg,
+                             offsets, tabs=tabs, vol=vol_v)
+                return c + cfg.geom_weight * geometric_cost(
+                    rays, depth, d_n, R, t, cfg)
+            costs = jax.lax.map(per_view,
+                                (vols, R_nr_all, t_nr_all, nei_depths))
+        else:
+            def per_view(args):
+                g_n, sc, R, t, rr, d_n = args
+                c = ncc_cost(gray_ref, g_n, rays, depth, normal, R, t, cfg,
+                             offsets, sc, rr, tabs)
+                return c + cfg.geom_weight * geometric_cost(
+                    rays, depth, d_n, R, t, cfg)
+            xs = views + (R_nr_all, t_nr_all, rr_all, nei_depths)
+            costs = jax.lax.map(per_view, xs)
     else:
-        def per_view(args):
-            g_n, sc, R, t, rr = args
-            return ncc_cost(gray_ref, g_n, rays, depth, normal, R, t, cfg,
-                            offsets, sc, rr, tabs)
-        xs = views + (R_nr_all, t_nr_all, _rot_rays(R_nr_all, rays,
-                                                    rays_rot_all))
-        costs = jax.lax.map(per_view, xs)
+        if vols is not None:
+            def per_view(args):
+                vol_v, R, t = args
+                return ncc_cost(gray_ref, None, rays, depth, normal, R, t,
+                                cfg, offsets, tabs=tabs, vol=vol_v)
+            costs = jax.lax.map(per_view, (vols, R_nr_all, t_nr_all))
+        else:
+            def per_view(args):
+                g_n, sc, R, t, rr = args
+                return ncc_cost(gray_ref, g_n, rays, depth, normal, R, t,
+                                cfg, offsets, sc, rr, tabs)
+            xs = views + (R_nr_all, t_nr_all, rr_all)
+            costs = jax.lax.map(per_view, xs)
     k = min(2, V)
     best = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]
     return jnp.mean(best, axis=-1)
@@ -296,7 +421,7 @@ def smoothness_factor(rays, depth, normal, cand_d, cand_n,
 
 def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
              R_nr_all, t_nr_all, key, fixed_depth, cfg: PatchMatchConfig,
-             prop_offsets, active, nei_depths=None):
+             prop_offsets, active, nei_depths=None, vols=None, dvols=None):
     """Shared PatchMatch update: active pixels test propagated + perturbed +
     random candidates and keep the argmin-cost plane (ProcessPixel,
     MVS.cpp:719-772)."""
@@ -334,7 +459,7 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
     # hoist everything candidate-independent out of the per-candidate map
     full_off = _patch_offsets(cfg)
     tabs_full = ref_tables(gray_ref, full_off, cfg)
-    rr_all = _rot_rays(R_nr_all, rays)
+    rr_all = None if vols is not None else _rot_rays(R_nr_all, rays)
 
     if cfg.prune_candidates and cd.shape[0] > cfg.prune_candidates:
         # pre-rank every candidate on the sparse texel set, then full-NCC
@@ -343,20 +468,24 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
         cheap_off = _cheap_offsets(cfg)
         tabs_cheap = ref_tables(gray_ref, cheap_off, cfg)
         # rank against a prefix of the (nearest-first) neighbor views only
-        V = rr_all.shape[0]
+        V = R_nr_all.shape[0]
         vk = V if not cfg.prune_views else min(cfg.prune_views, V)
         if isinstance(grays_nei, PackedViews):
             views_c = PackedViews(grays_nei.packed[:vk], grays_nei.scales[:vk])
         else:
             views_c = grays_nei[:vk]
         neid_c = None if nei_depths is None else nei_depths[:vk]
+        vols_c = None if vols is None else vols[:vk]
+        dvols_c = None if dvols is None else dvols[:vk]
 
         def cheap_score(args):
             d_c, n_c = args
             c = multiview_cost(gray_ref, views_c, rays, d_c, n_c,
                                R_nr_all[:vk], t_nr_all[:vk], cfg, neid_c,
-                               offsets=cheap_off, rays_rot_all=rr_all[:vk],
-                               tabs=tabs_cheap)
+                               offsets=cheap_off,
+                               rays_rot_all=None if rr_all is None
+                               else rr_all[:vk],
+                               tabs=tabs_cheap, vols=vols_c, dvols=dvols_c)
             return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
 
         cheap = jax.lax.map(cheap_score, (cd, cn))         # (C,H,W)
@@ -375,7 +504,8 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
         d_c, n_c = args
         c = multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
                            R_nr_all, t_nr_all, cfg, nei_depths,
-                           rays_rot_all=rr_all, tabs=tabs_full)
+                           rays_rot_all=rr_all, tabs=tabs_full, vols=vols,
+                           dvols=dvols)
         return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
 
     costs = jax.lax.map(score, (cd, cn))                   # (C or k,H,W)
@@ -395,21 +525,22 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
 @functools.partial(jax.jit, static_argnames=("cfg", "parity"))
 def checkerboard_step(gray_ref, grays_nei, rays, depth, normal, cost,
                       R_nr_all, t_nr_all, key, fixed_depth, cfg: PatchMatchConfig,
-                      parity: int, nei_depths=None):
+                      parity: int, nei_depths=None, vols=None, dvols=None):
     """One red/black half-iteration (PropagateCheckerBoard, MVS.cpp:723-767)."""
     H, W = depth.shape
     yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
     active = ((yy + xx) % 2) == parity
     return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
                     R_nr_all, t_nr_all, key, fixed_depth, cfg,
-                    cfg.prop_offsets, active, nei_depths)
+                    cfg.prop_offsets, active, nei_depths, vols, dvols)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "direction", "max_shift"))
 def sequential_step(gray_ref, grays_nei, rays, depth, normal, cost,
                     R_nr_all, t_nr_all, key, fixed_depth,
                     cfg: PatchMatchConfig, direction: int,
-                    nei_depths=None, max_shift: int = 32):
+                    nei_depths=None, max_shift: int = 32, vols=None,
+                    dvols=None):
     """Directional sweep (PropagateSequential, MVS.cpp:682-720) redesigned
     for TPU. The reference walks pixels TL->BR (even iters, candidates from
     left/up) or BR->TL (odd, right/down), letting one good plane sweep the
@@ -432,7 +563,7 @@ def sequential_step(gray_ref, grays_nei, rays, depth, normal, cost,
     active = jnp.ones(depth.shape, bool)
     return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
                     R_nr_all, t_nr_all, key, fixed_depth, cfg,
-                    tuple(offsets), active, nei_depths)
+                    tuple(offsets), active, nei_depths, vols, dvols)
 
 
 def _sequential_offsets(direction: int, max_shift: int = 32):
@@ -455,8 +586,16 @@ def run_patchmatch(gray_ref, grays_nei, rays, depth0, normal0, fixed, R_nr,
     multi-chip MVS path (images are embarrassingly parallel, SURVEY §2.8).
     Returns (depth, normal, conf)."""
     H, W = depth0.shape
+    # plane-sweep mode: pay all warp gathers once, before the loop
+    vols = dvols = None
+    if cfg.sweep_slices:
+        vols = build_sweep_volume(grays_nei, rays, R_nr, t_nr, cfg,
+                                  nei_depths)
+        if nei_depths is not None:
+            vols, dvols = vols
     cost0 = multiview_cost(gray_ref, grays_nei, rays, depth0, normal0,
-                           R_nr, t_nr, cfg, nei_depths)
+                           R_nr, t_nr, cfg, nei_depths, vols=vols,
+                           dvols=dvols)
     cost0 = cost0 * smoothness_factor(rays, depth0, normal0, depth0, normal0,
                                       cfg)
     yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
@@ -472,15 +611,15 @@ def run_patchmatch(gray_ref, grays_nei, rays, depth0, normal0, fixed, R_nr,
                 i % 2 == 0,
                 lambda c: _pm_step(gray_ref, grays_nei, rays, *c, R_nr, t_nr,
                                    sub, fixed, cfg, _sequential_offsets(0),
-                                   all_on, nei_depths),
+                                   all_on, nei_depths, vols, dvols),
                 lambda c: _pm_step(gray_ref, grays_nei, rays, *c, R_nr, t_nr,
                                    sub, fixed, cfg, _sequential_offsets(1),
-                                   all_on, nei_depths),
+                                   all_on, nei_depths, vols, dvols),
                 (depth, normal, cost))
         active = cb == (i % 2)
         return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
                         R_nr, t_nr, sub, fixed, cfg, cfg.prop_offsets,
-                        active, nei_depths)
+                        active, nei_depths, vols, dvols)
 
     depth, normal, cost = jax.lax.fori_loop(
         0, 2 * n_iterations, half_step, (depth0, normal0, cost0))

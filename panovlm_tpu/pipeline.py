@@ -672,7 +672,8 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
     mcfg = mvs_mod.MVSConfig(
         pm=mvs_mod.PatchMatchConfig(
             ncc_half_window=cfg.ncc_half_window, ncc_step=cfg.ncc_step,
-            min_depth=cfg.min_depth, max_depth=cfg.max_depth),
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+            sweep_slices=cfg.mvs_sweep_slices),
         propagate=cfg.propagate_strategy,
         keep_lidar_constant=cfg.keep_lidar_constant,
         mvs_use_geometric=cfg.mvs_use_geometric,

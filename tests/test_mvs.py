@@ -246,3 +246,43 @@ def test_prune_candidates_matches_exact(views):
         meds[prune] = np.median(rel[band])
     assert meds[2] < 0.08, meds
     assert abs(meds[2] - meds[0]) < 0.03, meds
+
+
+def test_sweep_volume_matches_exact(views):
+    """Plane-sweep volume scoring (sweep_slices=64, gather-free hot loop)
+    converges like exact per-plane bilinear sampling, and the volume itself
+    reproduces direct sampling at on-slice depths."""
+    rays = spherical.pixel_ray_grid(H, W)
+    gt = views["depths"][0]
+    sparse = np.zeros((H, W), np.float32)
+    sparse[::8, ::8] = gt[::8, ::8]
+    nei = np.array([1, 2, 3], np.int32)
+    band = slice(H // 4, 3 * H // 4)
+    meds = {}
+    for sweep in (0, 64):
+        cfg = mvs.MVSConfig(
+            pm=PatchMatchConfig(ncc_half_window=6, ncc_step=2,
+                                min_depth=0.4, max_depth=10.0,
+                                sweep_slices=sweep),
+            n_iterations=4, n_neighbors=3)
+        d0, n0, fixed = mvs.init_depth_normal(
+            jax.random.PRNGKey(0), rays, jnp.asarray(sparse), cfg)
+        depth, _, _ = mvs.estimate_depth_map(
+            jnp.asarray(views["grays"][0]), jnp.asarray(views["grays"][nei]),
+            views["poses"], 0, nei, d0, n0, fixed, cfg)
+        rel = np.abs(np.asarray(depth) - gt) / gt
+        meds[sweep] = np.median(rel[band])
+    assert meds[64] < 0.08, meds
+    assert abs(meds[64] - meds[0]) < 0.03, meds
+    # volume slice s holds the neighbor sampled at exactly depth lambda_s
+    pm_cfg = PatchMatchConfig(min_depth=0.4, max_depth=10.0, sweep_slices=16)
+    R_nr, t_nr = mvs.relative_to_neighbors(views["poses"], 0, nei[:1])
+    vol = patchmatch.build_sweep_volume(
+        jnp.asarray(views["grays"][nei[:1]]), rays, R_nr, t_nr, pm_cfg)
+    lam = 1.0 / patchmatch.sweep_inv_depths(pm_cfg)
+    s = 7
+    x_n = float(lam[s]) * jnp.einsum("ij,hwj->hwi", R_nr[0], rays) + t_nr[0]
+    uv = spherical.cam_to_image(x_n, H, W)
+    direct = spherical.bilinear_sample(jnp.asarray(views["grays"][nei[0]]), uv)
+    diff = np.abs(np.asarray(vol[0, s], np.float32) - np.asarray(direct))
+    assert np.median(diff) < 0.01, np.median(diff)
