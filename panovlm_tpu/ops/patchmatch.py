@@ -63,6 +63,16 @@ class PatchMatchConfig(NamedTuple):
                                      # weighted sum over D — ZERO gathers in
                                      # the hot loop (0 = exact per-plane
                                      # bilinear sampling)
+    prune_slice_stride: int = 4      # pre-ranking reads every k-th slice
+                                     # of the sweep volume (ranking only
+                                     # needs coarse photoconsistency); 1 =
+                                     # full resolution
+    use_volscore_kernel: bool = False  # score candidates with the Pallas
+                                     # volume kernel (ops/pallas/volscore):
+                                     # volume tiles stay in VMEM across
+                                     # candidates/texels. TPU only, and
+                                     # only outside vmap — the pipeline
+                                     # enables it per backend
 
 
 def _patch_offsets(cfg: PatchMatchConfig):
@@ -197,7 +207,7 @@ def random_normals(key, rays):
 
 def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
              cfg: PatchMatchConfig, offsets=None, nei_scale=None,
-             rays_rot=None, tabs=None, vol=None):
+             rays_rot=None, tabs=None, vol=None, vol_stride: int = 1):
     """Weighted-NCC matching cost of per-pixel plane hypotheses against ONE
     neighbor view (ScorePixel core, MVS.cpp:774-923).
 
@@ -225,9 +235,10 @@ def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
         tabs = ref_tables(gray_ref, offsets, cfg)
     i_tab, w_tab = tabs
     if vol is not None:
-        D = cfg.sweep_slices
+        D = vol.shape[0]                  # may be a ::vol_stride subset
         inv0 = 1.0 / cfg.max_depth
-        inv_step = (1.0 / cfg.min_depth - inv0) / max(D - 1, 1)
+        inv_step = (1.0 / cfg.min_depth - inv0) \
+            / max(cfg.sweep_slices - 1, 1) * vol_stride
 
     def body(carry, xs):
         sw, sx, sy, sxx, syy, sxy = carry
@@ -272,7 +283,7 @@ def ncc_cost(gray_ref, gray_nei, rays, depth, normal, R_nr, t_nr,
 
 
 def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig,
-                   dvol=None):
+                   dvol=None, vol_stride: int = 1):
     """Geometric-consistency penalty (MVS.cpp:126-153, 858-896): project the
     hypothesis point into the neighbor, read the neighbor's depth (float map
     or pack_bilinear_u16 packed; or interpolated from this view's (D,H,W)
@@ -282,9 +293,10 @@ def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig,
     X = depth[..., None] * rays
     x_n = jnp.einsum("ij,hwj->hwi", R_nr, X) + t_nr
     if dvol is not None:
-        D = cfg.sweep_slices
+        D = dvol.shape[0]                 # may be a ::vol_stride subset
         inv0 = 1.0 / cfg.max_depth
-        inv_step = (1.0 / cfg.min_depth - inv0) / max(D - 1, 1)
+        inv_step = (1.0 / cfg.min_depth - inv0) \
+            / max(cfg.sweep_slices - 1, 1) * vol_stride
         sigma = (1.0 / jnp.maximum(depth, 1e-6) - inv0) / inv_step
         d_n = _vol_interp(dvol, jnp.clip(sigma, 0.0, D - 1), D)
     else:
@@ -304,7 +316,7 @@ def geometric_cost(rays, depth, nei_depth, R_nr, t_nr, cfg: PatchMatchConfig,
 def multiview_cost(gray_ref, grays_nei, rays, depth, normal, R_nr_all,
                    t_nr_all, cfg: PatchMatchConfig, nei_depths=None,
                    offsets=None, rays_rot_all=None, tabs=None, vols=None,
-                   dvols=None):
+                   dvols=None, vol_stride: int = 1):
     """Cost over all neighbors: mean of the best-2 per-pixel neighbor costs
     (MVS.cpp:905-918). grays_nei: (V,H,W) float array OR PackedViews;
     R_nr_all (V,3,3); t_nr_all (V,3); vols None or (V,D,H,W) plane-sweep
@@ -328,15 +340,18 @@ def multiview_cost(gray_ref, grays_nei, rays, depth, normal, R_nr_all,
             def per_view(args):
                 vol_v, dvol_v, R, t = args
                 c = ncc_cost(gray_ref, None, rays, depth, normal, R, t, cfg,
-                             offsets, tabs=tabs, vol=vol_v)
+                             offsets, tabs=tabs, vol=vol_v,
+                             vol_stride=vol_stride)
                 return c + cfg.geom_weight * geometric_cost(
-                    rays, depth, None, R, t, cfg, dvol=dvol_v)
+                    rays, depth, None, R, t, cfg, dvol=dvol_v,
+                    vol_stride=vol_stride)
             costs = jax.lax.map(per_view, (vols, dvols, R_nr_all, t_nr_all))
         elif vols is not None:
             def per_view(args):
                 vol_v, R, t, d_n = args
                 c = ncc_cost(gray_ref, None, rays, depth, normal, R, t, cfg,
-                             offsets, tabs=tabs, vol=vol_v)
+                             offsets, tabs=tabs, vol=vol_v,
+                             vol_stride=vol_stride)
                 return c + cfg.geom_weight * geometric_cost(
                     rays, depth, d_n, R, t, cfg)
             costs = jax.lax.map(per_view,
@@ -355,7 +370,8 @@ def multiview_cost(gray_ref, grays_nei, rays, depth, normal, R_nr_all,
             def per_view(args):
                 vol_v, R, t = args
                 return ncc_cost(gray_ref, None, rays, depth, normal, R, t,
-                                cfg, offsets, tabs=tabs, vol=vol_v)
+                                cfg, offsets, tabs=tabs, vol=vol_v,
+                                vol_stride=vol_stride)
             costs = jax.lax.map(per_view, (vols, R_nr_all, t_nr_all))
         else:
             def per_view(args):
@@ -419,6 +435,34 @@ def smoothness_factor(rays, depth, normal, cand_d, cand_n,
     return factor
 
 
+def _score_stack_kernel(cd, cn, rays, offsets, tabs, vols_sub, dvols_sub,
+                        stride: int, R_nr, t_nr, cfg: PatchMatchConfig):
+    """Score a (C,H,W) candidate stack against a view subset with the
+    Pallas volume kernel (NCC) + XLA geometric term, reduced to the best-2
+    per-pixel view mean (the multiview_cost tail). Returns (C,H,W)."""
+    from .pallas import volscore
+    rho = cd * jnp.sum(cn * rays[None], axis=-1)
+    nrm = jnp.moveaxis(cn, -1, 1)
+    rays_cf = jnp.moveaxis(rays, -1, 0)
+    inv0 = 1.0 / cfg.max_depth
+    inv_step = (1.0 / cfg.min_depth - inv0) \
+        / max(cfg.sweep_slices - 1, 1) * stride
+    costs = volscore.score_candidates(
+        vols_sub, rho, nrm, rays_cf, tabs[0], tabs[1], tuple(offsets),
+        inv0, inv_step, cfg.min_depth, cfg.max_depth)       # (V,C,H,W)
+    if dvols_sub is not None:
+        def per_view(args):
+            dvol_v, R, t = args
+            return jax.vmap(lambda d_c: geometric_cost(
+                rays, d_c, None, R, t, cfg, dvol=dvol_v,
+                vol_stride=stride))(cd)
+        geom = jax.lax.map(per_view, (dvols_sub, R_nr, t_nr))
+        costs = costs + cfg.geom_weight * geom
+    k = min(2, costs.shape[0])
+    best = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]
+    return jnp.mean(best, axis=-1)
+
+
 def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
              R_nr_all, t_nr_all, key, fixed_depth, cfg: PatchMatchConfig,
              prop_offsets, active, nei_depths=None, vols=None, dvols=None):
@@ -475,20 +519,33 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
         else:
             views_c = grays_nei[:vk]
         neid_c = None if nei_depths is None else nei_depths[:vk]
-        vols_c = None if vols is None else vols[:vk]
-        dvols_c = None if dvols is None else dvols[:vk]
+        # ranking only needs coarse photoconsistency: read every k-th slice
+        ps = max(cfg.prune_slice_stride, 1)
+        vols_c = None if vols is None else vols[:vk, ::ps]
+        dvols_c = None if dvols is None else dvols[:vk, ::ps]
 
-        def cheap_score(args):
-            d_c, n_c = args
-            c = multiview_cost(gray_ref, views_c, rays, d_c, n_c,
-                               R_nr_all[:vk], t_nr_all[:vk], cfg, neid_c,
-                               offsets=cheap_off,
-                               rays_rot_all=None if rr_all is None
-                               else rr_all[:vk],
-                               tabs=tabs_cheap, vols=vols_c, dvols=dvols_c)
-            return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
+        use_k = cfg.use_volscore_kernel and vols is not None
+        if use_k:
+            ncc_c = _score_stack_kernel(cd, cn, rays, cheap_off, tabs_cheap,
+                                        vols_c, dvols_c, ps,
+                                        R_nr_all[:vk], t_nr_all[:vk], cfg)
+            smooth = jax.vmap(lambda d_c, n_c: smoothness_factor(
+                rays, depth, normal, d_c, n_c, cfg))(cd, cn)
+            cheap = ncc_c * smooth
+        else:
+            def cheap_score(args):
+                d_c, n_c = args
+                c = multiview_cost(gray_ref, views_c, rays, d_c, n_c,
+                                   R_nr_all[:vk], t_nr_all[:vk], cfg, neid_c,
+                                   offsets=cheap_off,
+                                   rays_rot_all=None if rr_all is None
+                                   else rr_all[:vk],
+                                   tabs=tabs_cheap, vols=vols_c,
+                                   dvols=dvols_c, vol_stride=ps)
+                return c * smoothness_factor(rays, depth, normal, d_c, n_c,
+                                             cfg)
 
-        cheap = jax.lax.map(cheap_score, (cd, cn))         # (C,H,W)
+            cheap = jax.lax.map(cheap_score, (cd, cn))     # (C,H,W)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, cheap.shape, 0)
         sel_d, sel_n = [], []
         for _ in range(cfg.prune_candidates):
@@ -500,15 +557,22 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
         cd = jnp.stack(sel_d)
         cn = jnp.stack(sel_n)
 
-    def score(args):
-        d_c, n_c = args
-        c = multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
-                           R_nr_all, t_nr_all, cfg, nei_depths,
-                           rays_rot_all=rr_all, tabs=tabs_full, vols=vols,
-                           dvols=dvols)
-        return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
+    if cfg.use_volscore_kernel and vols is not None:
+        ncc_f = _score_stack_kernel(cd, cn, rays, full_off, tabs_full,
+                                    vols, dvols, 1, R_nr_all, t_nr_all, cfg)
+        smooth = jax.vmap(lambda d_c, n_c: smoothness_factor(
+            rays, depth, normal, d_c, n_c, cfg))(cd, cn)
+        costs = ncc_f * smooth
+    else:
+        def score(args):
+            d_c, n_c = args
+            c = multiview_cost(gray_ref, grays_nei, rays, d_c, n_c,
+                               R_nr_all, t_nr_all, cfg, nei_depths,
+                               rays_rot_all=rr_all, tabs=tabs_full,
+                               vols=vols, dvols=dvols)
+            return c * smoothness_factor(rays, depth, normal, d_c, n_c, cfg)
 
-    costs = jax.lax.map(score, (cd, cn))                   # (C or k,H,W)
+        costs = jax.lax.map(score, (cd, cn))               # (C or k,H,W)
     best_idx = jnp.argmin(costs, axis=0)
     c_min = jnp.min(costs, axis=0)
     d_best = jnp.take_along_axis(cd, best_idx[None], axis=0)[0]
@@ -651,6 +715,13 @@ def run_patchmatch_batched(grays_ref, nei_views, rays, depth0, normal0,
     else:
         nv, ns = nei_views, None
         ax_ns = None
+    if grays_ref.shape[0] == 1:
+        # B=1: skip vmap so pallas_call-based scoring (use_volscore_kernel)
+        # stays legal; same one-program structure
+        out = one(grays_ref[0], nv[0], None if ns is None else ns[0],
+                  depth0[0], normal0[0], fixed[0], R_nr[0], t_nr[0],
+                  keys[0], None if nei_depths is None else nei_depths[0])
+        return jax.tree_util.tree_map(lambda x: x[None], out)
     ax_nd = None if nei_depths is None else 0
     return jax.vmap(one, in_axes=(0, 0, ax_ns, 0, 0, 0, 0, 0, 0, ax_nd))(
         grays_ref, nv, ns, depth0, normal0, fixed, R_nr, t_nr, keys,

@@ -720,6 +720,12 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         from .parallel import make_mesh
         mvs_mesh = make_mesh(n_dev)
     chunk = max(1, n_dev)
+    if (chunk == 1 and mcfg.pm.sweep_slices
+            and jax.default_backend() == "tpu"):
+        # single-chip: score with the Pallas volume kernel (no vmap in the
+        # B=1 path, so pallas_call is legal inside the program)
+        mcfg = mcfg._replace(
+            pm=mcfg.pm._replace(use_volscore_kernel=True))
 
     def batched_pass(d0s, n0s, fxs, nei_depths, seed):
         for s in range(0, n, chunk):

@@ -286,3 +286,37 @@ def test_sweep_volume_matches_exact(views):
     direct = spherical.bilinear_sample(jnp.asarray(views["grays"][nei[0]]), uv)
     diff = np.abs(np.asarray(vol[0, s], np.float32) - np.asarray(direct))
     assert np.median(diff) < 0.01, np.median(diff)
+
+
+def test_volscore_kernel_matches_xla(views):
+    """The Pallas volume-scoring kernel (interpret mode on CPU) must match
+    the XLA hat-sum path bit-for-bit (same math, same wrap semantics)."""
+    from panovlm_tpu.ops.pallas import volscore
+    Hs, Ws, V, D, C = 32, 128, 2, 8, 3
+    rng = np.random.default_rng(3)
+    cfg = PatchMatchConfig(ncc_half_window=4, ncc_step=2, min_depth=0.5,
+                           max_depth=10.0, sweep_slices=D)
+    rays = spherical.pixel_ray_grid(Hs, Ws)
+    vols = jnp.asarray(rng.uniform(size=(V, D, Hs, Ws)).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    gray_ref = jnp.asarray(rng.uniform(size=(Hs, Ws)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1, 5, size=(C, Hs, Ws)).astype(np.float32))
+    normals = jnp.stack([patchmatch.random_normals(jax.random.PRNGKey(i), rays)
+                         for i in range(C)])
+    offsets = tuple(patchmatch._patch_offsets(cfg))
+    i_tab, w_tab = patchmatch.ref_tables(gray_ref, offsets, cfg)
+    inv0 = 1.0 / cfg.max_depth
+    inv_step = (1.0 / cfg.min_depth - inv0) / (D - 1)
+    ref = jnp.stack([
+        jnp.stack([patchmatch.ncc_cost(
+            gray_ref, None, rays, depths[c], normals[c], jnp.eye(3),
+            jnp.zeros(3), cfg, offsets=offsets, tabs=(i_tab, w_tab),
+            vol=vols[v]) for c in range(C)])
+        for v in range(V)])
+    rho = depths * jnp.sum(normals * rays[None], axis=-1)
+    nrm = jnp.moveaxis(normals, -1, 1)
+    rays_cf = jnp.moveaxis(rays, -1, 0)
+    out = volscore.score_candidates(vols, rho, nrm, rays_cf, i_tab, w_tab,
+                                    offsets, inv0, inv_step, cfg.min_depth,
+                                    cfg.max_depth, h_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
