@@ -43,6 +43,11 @@ class PatchMatchConfig(NamedTuple):
     perturb_frac: float = 0.15
     prop_offsets: tuple = ((0, 1), (0, -1), (1, 0), (-1, 0),
                            (0, 3), (0, -3), (3, 0), (-3, 0))
+    prop_pattern: int = 0            # 0 = prop_offsets above (compact);
+                                     # 1 = the reference's full 72-point
+                                     # checkerboard sampling pattern
+                                     # (checkerboard_pattern()), selection
+                                     # via candidate pre-ranking
     geom_weight: float = 0.2         # geometric-consistency pass weight
     geom_max_angle_deg: float = 2.0
     smooth_bonus: float = 0.95       # NCC smoothness bonus (MVS.h:82-86);
@@ -89,6 +94,28 @@ def _cheap_offsets(cfg: PatchMatchConfig):
     if cfg.prune_texels <= 5:
         return five
     return five + [(-hw, 0), (0, -hw), (0, hw), (hw, 0)]
+
+
+def checkerboard_pattern():
+    """The reference's checkerboard propagation sampling pattern
+    (CheckerBoardSampling, MVS.cpp:1319-1352): the 4 direct neighbors,
+    four V-shaped regions (distances 2-4), and four long strips (odd
+    offsets 3-23). The reference ranks these ~72 sources by confidence and
+    scores the best few; here ALL of them enter candidate pre-ranking
+    (prune_candidates). Measured on the synthetic scene this converges
+    WORSE than the compact default (sparse-texel ranking noise across 72
+    candidates displaces good local ones), so prop_pattern=1 is an
+    experiment knob, not the default. (dv, du) row/col offsets;
+    cv::Point2i is (col=x, row=y) in the reference."""
+    offs = [(0, -1), (0, 1), (-1, 0), (1, 0)]
+    for i in range(2, 5):
+        offs += [(i - 1, -i), (-i + 1, -i),      # left V
+                 (i - 1, i), (-i + 1, i),        # right V
+                 (-i, i - 1), (-i, -i + 1),      # top V
+                 (i, i - 1), (i, -i + 1)]        # bottom V
+    for i in range(3, 25, 2):
+        offs += [(-i, 0), (i, 0), (0, -i), (0, i)]
+    return tuple(offs)
 
 
 class PackedViews(NamedTuple):
@@ -475,26 +502,34 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
         d_p, n_p = plane_induced(rays, depth, normal, dv, du)
         cands_d.append(d_p)
         cands_n.append(n_p)
-    # perturbations around the current plane
+    # conf-tiered perturbations around the current plane
+    # (PerturbDepthNormal3, MVS.cpp:1254-1317 + scaleRanges MVS.h:70):
+    # confident pixels polish with a small scale, uncertain ones search
+    # wider; the scale map is per-pixel from the CURRENT cost
     keys = jax.random.split(key, cfg.n_perturb + 2)
+    tier = jnp.where(cost <= 0.11, 0.25, jnp.where(cost <= 0.22, 0.5, 1.0))
     for i in range(cfg.n_perturb):
-        scale = 1.0 + cfg.perturb_frac * (0.5 ** i) * (
+        sc = tier * (0.5 ** i)
+        scale = 1.0 + cfg.perturb_frac * sc * (
             jax.random.uniform(keys[i], depth.shape) * 2 - 1)
         d_pert = jnp.clip(depth * scale, cfg.min_depth, cfg.max_depth)
         dn = jax.random.normal(jax.random.fold_in(keys[i], 7), normal.shape) \
-            * 0.2 * (0.5 ** i)
+            * 0.5 * sc[..., None]                  # ~30 deg * scale
         n_pert = normal + dn
         n_pert = n_pert / (jnp.linalg.norm(n_pert, axis=-1, keepdims=True) + 1e-12)
         flip = jnp.sum(n_pert * rays, axis=-1, keepdims=True) > 0
         n_pert = jnp.where(flip, -n_pert, n_pert)
         cands_d.append(d_pert)
         cands_n.append(n_pert)
-    # one fully random candidate
+    # random restart where the current estimate is bad (thConfRand tier);
+    # elsewhere the candidate degenerates to the incumbent (no-op)
+    bad = cost >= 0.495
     d_rand = jnp.exp(jax.random.uniform(
         keys[-1], depth.shape,
         minval=jnp.log(cfg.min_depth), maxval=jnp.log(cfg.max_depth)))
-    cands_d.append(d_rand)
-    cands_n.append(random_normals(keys[-2], rays))
+    cands_d.append(jnp.where(bad, d_rand, depth))
+    cands_n.append(jnp.where(bad[..., None],
+                             random_normals(keys[-2], rays), normal))
 
     # score all candidates with ONE program copy (lax.map over the C axis)
     cd = jnp.stack(cands_d)
@@ -594,9 +629,11 @@ def checkerboard_step(gray_ref, grays_nei, rays, depth, normal, cost,
     H, W = depth.shape
     yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
     active = ((yy + xx) % 2) == parity
+    offs = checkerboard_pattern() if cfg.prop_pattern == 1 \
+        else cfg.prop_offsets
     return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
                     R_nr_all, t_nr_all, key, fixed_depth, cfg,
-                    cfg.prop_offsets, active, nei_depths, vols, dvols)
+                    offs, active, nei_depths, vols, dvols)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "direction", "max_shift"))
@@ -681,8 +718,10 @@ def run_patchmatch(gray_ref, grays_nei, rays, depth0, normal0, fixed, R_nr,
                                    all_on, nei_depths, vols, dvols),
                 (depth, normal, cost))
         active = cb == (i % 2)
+        offs = checkerboard_pattern() if cfg.prop_pattern == 1 \
+            else cfg.prop_offsets
         return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
-                        R_nr, t_nr, sub, fixed, cfg, cfg.prop_offsets,
+                        R_nr, t_nr, sub, fixed, cfg, offs,
                         active, nei_depths, vols, dvols)
 
     depth, normal, cost = jax.lax.fori_loop(
