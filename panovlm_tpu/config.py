@@ -129,6 +129,10 @@ class Config:
     mvs_conf_path: str = ""
 
     def __post_init__(self):
+        if self.image_path.endswith(".txt") and os.path.isfile(self.image_path):
+            raise TypeError(
+                f"Config({self.image_path!r}): got a config-file path as the "
+                "first field; use load_config(path) to parse a file")
         self._derive()
 
     def _derive(self):

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se3
-from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
+from ..solver import (LMOptions, ResidualBlock, residuals, solve_lm,
+                      solve_lm_chunked)
 from . import association, lidar_odometry
 
 log = logging.getLogger("panovlm")
@@ -302,8 +303,9 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             weight=cfg.lidar_weight, group="lidar")
 
         groups = {"cam": cam_poses, "lidar": lidar_poses, "pts": points}
-        out, info = solve_lm(groups, cl_blocks + (cam_block,) + l_blocks,
-                             fixed, LMOptions(max_iters=cfg.max_lm_iters))
+        out, info = solve_lm_chunked(
+            groups, cl_blocks + (cam_block,) + l_blocks, fixed,
+            LMOptions(max_iters=cfg.max_lm_iters), chunk=5)
         cam_poses, lidar_poses, points = out["cam"], out["lidar"], out["pts"]
         infos.append({k: float(v) for k, v in info.items()})
     return cam_poses, lidar_poses, points, infos

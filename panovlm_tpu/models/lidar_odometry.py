@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import se3
-from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
+from ..solver import (LMOptions, ResidualBlock, residuals,
+                      solve_lm_chunked)
 from . import association
 
 
@@ -154,8 +155,12 @@ def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig())
             point_to_line=cfg.point_to_line,
             line_to_line=cfg.line_to_line,
             point_to_plane=cfg.point_to_plane)
-        out, info = solve_lm({"poses": poses}, blocks, fixed,
-                             LMOptions(max_iters=cfg.max_lm_iters))
+        # chunked: several short device programs instead of one long one
+        # (identical LM trajectory; long single programs can trip the
+        # remote worker's watchdog)
+        out, info = solve_lm_chunked({"poses": poses}, blocks, fixed,
+                                     LMOptions(max_iters=cfg.max_lm_iters),
+                                     chunk=5)
         poses = out["poses"]
         cost = float(info["final_cost"])
         infos.append({k: float(v) for k, v in info.items()})

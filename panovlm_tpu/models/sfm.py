@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import epipolar, se3, spherical, triangulate as tri_ops
-from ..solver import LMOptions, ResidualBlock, residuals, solve_lm
+from ..solver import (LMOptions, ResidualBlock, residuals, solve_lm,
+                      solve_lm_chunked)
 from ..utils.sift import match_descriptors
 
 
@@ -415,9 +416,10 @@ def global_ba(poses_cw, points, track_img, track_feat, track_mask, bearings,
             jnp.ones((len(obs_img),), jnp.float32), jnp.asarray(obs_mask),
             loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg)),
             name="reproj")
-    out, info = solve_lm(groups, (block,),
-                         {"poses": jnp.asarray(fixed_p), "pts": jnp.asarray(fixed_x)},
-                         LMOptions(max_iters=max_iters))
+    out, info = solve_lm_chunked(
+        groups, (block,),
+        {"poses": jnp.asarray(fixed_p), "pts": jnp.asarray(fixed_x)},
+        LMOptions(max_iters=max_iters), chunk=10)
     return np.asarray(out["poses"]), np.asarray(out["pts"]), info
 
 

@@ -8,5 +8,5 @@ entirely on device: matrix-free JtJ products via jvp/vjp, block-Jacobi
 preconditioned CG, IRLS robust-loss weighting.
 """
 
-from .lm import ResidualBlock, LMOptions, solve_lm  # noqa: F401
+from .lm import ResidualBlock, LMOptions, solve_lm, solve_lm_chunked  # noqa: F401
 from . import residuals, robust  # noqa: F401

@@ -202,9 +202,10 @@ def _pcg(Hv, b, Minv, iters: int, tol: float):
 
 @functools.partial(jax.jit, static_argnames=("options",))
 def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
-             options: LMOptions = LMOptions()):
+             options: LMOptions = LMOptions(), lam0=None, nu0=None):
     """Run LM. groups: {name: (N, W) array}. fixed: {name: (N, W) bool}
-    marking frozen coordinates (gauge fixing). Returns (groups, info)."""
+    marking frozen coordinates (gauge fixing). lam0/nu0 optionally resume
+    the damping state (solve_lm_chunked). Returns (groups, info)."""
     if fixed is None:
         fixed = {g: jnp.zeros(v.shape, bool) for g, v in groups.items()}
     free = {g: ~fixed[g] for g in groups}
@@ -282,10 +283,47 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
         return (x, lam, it + 1, done, nu)
 
     init_cost = _total_cost(groups, blocks)
-    lam0 = jnp.asarray(options.init_lambda, init_cost.dtype)
-    state = (groups, lam0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(2.0, init_cost.dtype))
-    x, lam, iters, _, _ = jax.lax.while_loop(cond, body, state)
+    lam_init = jnp.asarray(options.init_lambda, init_cost.dtype) \
+        if lam0 is None else jnp.asarray(lam0, init_cost.dtype)
+    nu_init = jnp.asarray(2.0, init_cost.dtype) \
+        if nu0 is None else jnp.asarray(nu0, init_cost.dtype)
+    state = (groups, lam_init, jnp.asarray(0), jnp.asarray(False), nu_init)
+    x, lam, iters, done, nu = jax.lax.while_loop(cond, body, state)
     final_cost = _total_cost(x, blocks)
     info = {"initial_cost": init_cost, "final_cost": final_cost,
-            "iterations": iters, "lambda": lam}
+            "iterations": iters, "lambda": lam, "nu": nu, "done": done}
+    return x, info
+
+
+def solve_lm_chunked(groups: dict, blocks: tuple, fixed: dict | None = None,
+                     options: LMOptions = LMOptions(), chunk: int = 5):
+    """solve_lm split into several shorter device programs (chunk LM
+    iterations each), carrying the damping state (lambda, nu) across so
+    the LM trajectory is identical to one long program. Bounds
+    per-dispatch runtime — long single programs can trip remote-worker
+    watchdogs — at the cost of one host sync per chunk."""
+    x = groups
+    done_iters = 0
+    lam = nu = None
+    info = None
+    first = True
+    while done_iters < options.max_iters:
+        it_chunk = min(chunk, options.max_iters - done_iters)
+        opts = options._replace(max_iters=it_chunk)
+        if first:
+            x, info_c = solve_lm(x, blocks, fixed, opts)
+        else:
+            x, info_c = solve_lm(x, blocks, fixed, opts, lam0=lam, nu0=nu)
+        lam, nu = info_c["lambda"], info_c["nu"]
+        done_iters += int(info_c["iterations"])
+        if info is None:
+            info = dict(info_c)
+        info["final_cost"] = info_c["final_cost"]
+        info["lambda"] = lam
+        info["nu"] = nu
+        info["done"] = info_c["done"]
+        info["iterations"] = jnp.asarray(done_iters)
+        first = False
+        if bool(info_c["done"]) or int(info_c["iterations"]) < it_chunk:
+            break
     return x, info

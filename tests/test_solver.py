@@ -235,3 +235,42 @@ def test_scale_group_soft_bounds():
     out, _ = solve_lm(groups, (b1, b2), None, LMOptions(max_iters=20))
     s = float(out["s"][0, 0])
     assert 1.9 < s < 2.2  # pulled to upper bound, slightly above by weak anchor
+
+
+def test_solve_lm_chunked_matches_single(rng):
+    """solve_lm_chunked carries (lambda, nu) across chunks, so its LM
+    trajectory — and result — must equal one long solve_lm program."""
+    from panovlm_tpu.solver import (LMOptions, ResidualBlock, residuals,
+                                    solve_lm, solve_lm_chunked)
+    n_obs = 256
+    gt = np.zeros((3, 6), np.float32)
+    gt[:, 3] = [0.0, 0.1, 0.2]
+    pl = np.array([[1, 0, 0, -2.0], [0, 1, 0, -1.5], [0, 0, 1, -3.0]],
+                  np.float32)
+    pair_r = rng.integers(0, 3, n_obs).astype(np.int32)
+    pair_n = (pair_r + 1) % 3
+    pidx = rng.integers(0, 3, n_obs)
+    p = pl[pidx]
+    pts_w = rng.uniform(-2, 2, (n_obs, 3)).astype(np.float32)
+    pts_w -= ((pts_w * p[:, :3]).sum(1) + p[:, 3])[:, None] * p[:, :3]
+    pts_n = pts_w + gt[pair_n][:, 3:]
+    pl_r = p.copy()
+    pl_r[:, 3] = p[:, 3] - (p[:, :3] * gt[pair_r][:, 3:]).sum(1)
+    poses0 = gt + rng.normal(size=gt.shape).astype(np.float32) * 0.05
+    poses0[0] = gt[0]
+    fixed = {"poses": jnp.asarray(
+        np.array([[True] * 6, [False] * 6, [False] * 6]))}
+    block = ResidualBlock(
+        residuals.point2plane_meter, ("poses", "poses"),
+        (jnp.asarray(pair_r), jnp.asarray(pair_n)),
+        (jnp.asarray(pts_n), jnp.asarray(pl_r)),
+        jnp.ones((n_obs,), jnp.float32), jnp.ones((n_obs,), bool),
+        loss="huber", loss_scale=0.2)
+    opts = LMOptions(max_iters=12, cg_iters=25)
+    out1, info1 = solve_lm({"poses": jnp.asarray(poses0)}, (block,),
+                           fixed, opts)
+    out2, info2 = solve_lm_chunked({"poses": jnp.asarray(poses0)}, (block,),
+                                   fixed, opts, chunk=4)
+    np.testing.assert_allclose(np.asarray(out1["poses"]),
+                               np.asarray(out2["poses"]), atol=1e-6)
+    assert abs(float(info1["final_cost"]) - float(info2["final_cost"])) < 1e-6
