@@ -59,7 +59,8 @@ def colorize_lidar_map(scans_pts, scans_mask, lidar_poses, images, cam_poses,
         p_w = to_world(lidar_poses[i], jnp.asarray(scans_pts[i]))
         m = jnp.asarray(scans_mask[i])
         if d[j] > nearest_dist:
-            col = jnp.zeros((p_w.shape[0], 1))
+            n_ch = 1 if images.ndim == 3 else images.shape[-1]
+            col = jnp.zeros((p_w.shape[0], n_ch))
             ok = jnp.zeros((p_w.shape[0],), bool)
         else:
             col, ok = colorize_points(p_w, m, images[j], cam_poses[j],

@@ -320,3 +320,22 @@ def test_volscore_kernel_matches_xla(views):
                                     offsets, inv0, inv_step, cfg.min_depth,
                                     cfg.max_depth, h_tile=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_colorize_channel_consistency_far_scan():
+    """A scan with no camera within nearest_dist must still produce colors
+    with the same channel count as the colorized scans (RGB images)."""
+    from panovlm_tpu.models import texture
+    rng = np.random.default_rng(0)
+    P = 64
+    scans = rng.uniform(-1, 1, (2, P, 3)).astype(np.float32)
+    masks = np.ones((2, P), bool)
+    lidar_poses = np.zeros((2, 6), np.float32)
+    lidar_poses[1, 3] = 50.0            # scan 1 far from every camera
+    cam_poses = np.zeros((1, 6), np.float32)
+    images = rng.uniform(size=(1, 16, 32, 3)).astype(np.float32)
+    pts, cols, msk = texture.colorize_lidar_map(
+        scans, masks, lidar_poses, images, cam_poses, nearest_dist=1.5)
+    assert cols.shape == (2 * P, 3)
+    assert not np.asarray(msk[P:]).any()        # far scan masked out
+    assert np.asarray(msk[:P]).any()
