@@ -1,0 +1,41 @@
+#!/bin/bash
+cd /root/repo
+python - <<'PYEOF'
+import sys, os, shutil, time
+sys.path.insert(0, "tests")
+from synthetic import make_dataset
+root = "/tmp/e2e_room2"
+shutil.rmtree(root, ignore_errors=True)
+os.makedirs(root)
+make_dataset(root, n_frames=24, H=256, W=512, h_steps=1800,
+             step=(0.1, 0.025, 0.0), yaw_step=0.02)
+print("dataset ok", flush=True)
+PYEOF
+for stage in init_camera_pose init_lidar_pose joint_optimization colorize_lidar_map joint_mvs; do
+  t0=$SECONDS
+  timeout 4000 python -m panovlm_tpu $stage /tmp/e2e_room2/config.txt > /tmp/e2e2_$stage.log 2>&1
+  echo "STAGE $stage: rc=$? $((SECONDS-t0))s"
+done
+python - <<'PYEOF'
+import sys, numpy as np
+sys.path.insert(0, "tests")
+from synthetic import make_dataset
+_, gt = make_dataset("/tmp/e2e_room2_gt", n_frames=24, H=64, W=128,
+                     h_steps=1800, step=(0.1, 0.025, 0.0), yaw_step=0.02)
+from panovlm_tpu.io import artifacts
+from panovlm_tpu.utils.gps import umeyama
+Cg = np.asarray(gt["C"])
+S = np.array([[1.,0,0],[0,0,-1],[0,1,0]])
+for name, path, is_lidar in (
+    ("joint cam", "/tmp/e2e_room2/result/joint/camera_pose_joint.txt", False),
+    ("joint lidar", "/tmp/e2e_room2/result/joint/lidar_pose_joint.txt", True)):
+    R, t, names, ok = artifacts.read_pose_t(path)
+    C = np.stack([-R[i].T @ t[i] for i in range(len(R))])
+    if is_lidar: C = (S @ C.T).T
+    n = min(len(C), len(Cg))
+    s, Ra, ta = umeyama(C[:n], Cg[:n])
+    err = np.linalg.norm((s*(Ra@C[:n].T).T + ta) - Cg[:n], axis=1)
+    s1, R1, t1 = umeyama(C[:n], Cg[:n], with_scale=False)
+    err1 = np.linalg.norm((R1@C[:n].T).T + t1 - Cg[:n], axis=1)
+    print(f"{name}: sim3 RMSE {np.sqrt((err**2).mean()):.4f} m (scale {s:.3f}); se3 RMSE {np.sqrt((err1**2).mean()):.4f} m", flush=True)
+PYEOF

@@ -549,11 +549,6 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
         # rank against a prefix of the (nearest-first) neighbor views only
         V = R_nr_all.shape[0]
         vk = V if not cfg.prune_views else min(cfg.prune_views, V)
-        if isinstance(grays_nei, PackedViews):
-            views_c = PackedViews(grays_nei.packed[:vk], grays_nei.scales[:vk])
-        else:
-            views_c = grays_nei[:vk]
-        neid_c = None if nei_depths is None else nei_depths[:vk]
         # ranking only needs coarse photoconsistency: read every k-th slice
         ps = max(cfg.prune_slice_stride, 1)
         vols_c = None if vols is None else vols[:vk, ::ps]
@@ -568,6 +563,13 @@ def _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
                 rays, depth, normal, d_c, n_c, cfg))(cd, cn)
             cheap = ncc_c * smooth
         else:
+            if isinstance(grays_nei, PackedViews):
+                views_c = PackedViews(grays_nei.packed[:vk],
+                                      grays_nei.scales[:vk])
+            else:
+                views_c = grays_nei[:vk]
+            neid_c = None if nei_depths is None else nei_depths[:vk]
+
             def cheap_score(args):
                 d_c, n_c = args
                 c = multiview_cost(gray_ref, views_c, rays, d_c, n_c,
@@ -652,28 +654,23 @@ def sequential_step(gray_ref, grays_nei, rays, depth, normal, cost,
     improvement, whole-image reach in O(log W) batched evaluations.
 
     direction: 0 = TL->BR (left/up sources), 1 = BR->TL (right/down)."""
-    # _roll2 semantics: offset (dv,du) sources the plane from (v+dv, u+du),
-    # so TL->BR (left/up sources) needs negative offsets.
+    active = jnp.ones(depth.shape, bool)
+    return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
+                    R_nr_all, t_nr_all, key, fixed_depth, cfg,
+                    _sequential_offsets(direction, max_shift), active,
+                    nei_depths, vols, dvols)
+
+
+def _sequential_offsets(direction: int, max_shift: int = 32):
+    """Log-shift sweep sources. _roll2 semantics: offset (dv,du) sources
+    the plane from (v+dv, u+du), so TL->BR (left/up sources) needs
+    negative offsets."""
     sign = -1 if direction == 0 else 1
     offsets = []
     k = 1
     while k <= max_shift:
         offsets.append((0, sign * k))   # along-row
         offsets.append((sign * k, 0))   # along-column
-        k *= 2
-    active = jnp.ones(depth.shape, bool)
-    return _pm_step(gray_ref, grays_nei, rays, depth, normal, cost,
-                    R_nr_all, t_nr_all, key, fixed_depth, cfg,
-                    tuple(offsets), active, nei_depths, vols, dvols)
-
-
-def _sequential_offsets(direction: int, max_shift: int = 32):
-    sign = -1 if direction == 0 else 1
-    offsets = []
-    k = 1
-    while k <= max_shift:
-        offsets.append((0, sign * k))
-        offsets.append((sign * k, 0))
         k *= 2
     return tuple(offsets)
 
