@@ -131,7 +131,24 @@ def match_all_pairs(desc, fmask, pi, pj, cfg: SfMConfig):
                                      max_matches=cfg.max_matches)
         return jax.lax.map(one, (pi, pj), batch_size=4)
 
-    out = run(desc, fmask, jnp.asarray(pi), jnp.asarray(pj))
+    # host-level pair chunking (bounded program duration, see relative_poses)
+    P = len(pi)
+    chunk = 128
+    if P <= chunk:
+        out = run(desc, fmask, jnp.asarray(pi), jnp.asarray(pj))
+        out = dict(out)
+    else:
+        outs = []
+        for s in range(0, P, chunk):
+            sl = np.arange(s, min(s + chunk, P))
+            pad = chunk - len(sl)
+            sl = np.concatenate([sl, np.zeros(pad, int)]) if pad else sl
+            o = run(desc, fmask, jnp.asarray(np.asarray(pi)[sl]),
+                    jnp.asarray(np.asarray(pj)[sl]))
+            outs.append({k: np.asarray(v)[:chunk - pad]
+                         for k, v in o.items()})
+        out = {k: jnp.asarray(np.concatenate([o[k] for o in outs]))
+               for k in outs[0]}
     # pair acceptance: enough matches (sift_match_num_threshold)
     n_m = np.asarray(out["mask"].sum(axis=1))
     out["pair_ok"] = jnp.asarray(n_m >= cfg.sift_match_num_threshold)
@@ -193,10 +210,28 @@ def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig):
         return jax.lax.map(one, (pi, pj, matches_idx, matches_mask, keys),
                            batch_size=2)
 
+    # host-level pair chunking: one bounded device program per chunk (one
+    # long program over hundreds of pairs can trip the remote worker's
+    # watchdog); identical results, one compile (last chunk padded)
     P = len(pi)
+    chunk = 32
     keys = jnp.arange(P, dtype=jnp.int32)
-    return run(bearings, jnp.asarray(matches_idx), jnp.asarray(matches_mask),
-               jnp.asarray(pi), jnp.asarray(pj), keys)
+    if P <= chunk:
+        return run(bearings, jnp.asarray(matches_idx),
+                   jnp.asarray(matches_mask), jnp.asarray(pi),
+                   jnp.asarray(pj), keys)
+    outs = []
+    for s in range(0, P, chunk):
+        sl = np.arange(s, min(s + chunk, P))
+        pad = chunk - len(sl)
+        sl = np.concatenate([sl, np.zeros(pad, int)]) if pad else sl
+        o = run(bearings, jnp.asarray(matches_idx)[sl],
+                jnp.asarray(matches_mask)[sl],
+                jnp.asarray(np.asarray(pi)[sl]),
+                jnp.asarray(np.asarray(pj)[sl]), keys[sl])
+        outs.append({k: np.asarray(v)[:chunk - pad] for k, v in o.items()})
+    return {k: jnp.asarray(np.concatenate([o[k] for o in outs]))
+            for k in outs[0]}
 
 
 def translation_scale_from_depth(depth_maps, frame_rows, frame_cols,
