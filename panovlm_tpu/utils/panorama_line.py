@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops import spherical
-
 
 def detect_lsd(gray: np.ndarray, lat_band_deg: float = 70.0,
                mask: np.ndarray | None = None, min_pixel_len: float = 20.0):
@@ -47,20 +45,31 @@ def detect_lsd(gray: np.ndarray, lat_band_deg: float = 70.0,
     return segs[keep]
 
 
+def _image_to_cam_np(uv, rows, cols):
+    """Numpy mirror of ops.spherical.image_to_cam (exactness tested by
+    test_segments_to_arcs_matches_spherical)."""
+    u, v = uv[..., 0], uv[..., 1]
+    lon = (2.0 * u / cols - 1.0) * np.pi
+    lat = (0.5 - v / rows) * np.pi
+    cy = np.cos(lat)
+    return np.stack([cy * np.sin(lon), -np.sin(lat), cy * np.cos(lon)],
+                    axis=-1)
+
+
 def segments_to_arcs(segs: np.ndarray, rows: int, cols: int):
     """2D segments -> great-circle arcs.
 
     Returns dict of numpy arrays: normal (L,3) unit plane normals, e1/e2
     (L,3) endpoint rays, mid (L,3) midpoint rays, arc (L,) arc angle rad."""
-    import jax.numpy as jnp
     if len(segs) == 0:
         z = np.zeros((0, 3), np.float32)
         return {"normal": z, "e1": z, "e2": z, "mid": z,
                 "arc": np.zeros((0,), np.float32)}
-    uv1 = jnp.asarray(segs[:, :2])
-    uv2 = jnp.asarray(segs[:, 2:])
-    e1 = np.asarray(spherical.image_to_cam(uv1, rows, cols))
-    e2 = np.asarray(spherical.image_to_cam(uv2, rows, cols))
+    # host numpy mirror of spherical.image_to_cam (a jnp call here would
+    # recompile per image: the segment count varies per panorama, and a
+    # tiny compile per distinct shape dominated the whole joint stage)
+    e1 = _image_to_cam_np(segs[:, :2], rows, cols)
+    e2 = _image_to_cam_np(segs[:, 2:], rows, cols)
     n = np.cross(e1, e2)
     nn = np.linalg.norm(n, axis=1, keepdims=True)
     ok = nn[:, 0] > 1e-9

@@ -292,3 +292,17 @@ def test_perturb_calibration_search(rng):
     ang0 = np.degrees(np.arccos(np.clip((np.trace(T0[:3, :3]) - 1) / 2, -1, 1)))
     ang1 = np.degrees(np.arccos(np.clip((np.trace(T[:3, :3]) - 1) / 2, -1, 1)))
     assert ang1 <= ang0 + 1e-6, (ang0, ang1)
+
+
+def test_segments_to_arcs_matches_spherical():
+    """The host numpy mirror of image_to_cam inside segments_to_arcs must
+    match ops.spherical exactly (it exists to avoid per-image recompiles
+    from varying segment counts)."""
+    import jax.numpy as jnp
+    from panovlm_tpu.ops import spherical
+    from panovlm_tpu.utils import panorama_line as pl
+    rng = np.random.default_rng(7)
+    uv = rng.uniform(0, 255, (200, 2)).astype(np.float32)
+    a = pl._image_to_cam_np(uv, 256, 512)
+    b = np.asarray(spherical.image_to_cam(jnp.asarray(uv), 256, 512))
+    np.testing.assert_allclose(a, b, atol=1e-6)
