@@ -171,6 +171,7 @@ def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig())
     return poses, infos
 
 
+@jax.jit
 def undistort_scan(pts, frac, pose_i, pose_next):
     """Per-point slerp undistortion (UndistortLidars, LidarOdometry.cpp:
     189-263): interpolate the scan's world pose between its own and the next

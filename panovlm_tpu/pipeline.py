@@ -435,9 +435,15 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
     n = len(scans)
     valid_ids = [i for i in range(n) if valid[i]]
     undist = []
+    CAP = 32768
     for i, pts in enumerate(scans):
-        frac = np.asarray(vd.sweep_fraction(
-            jnp.asarray(pts), jnp.ones(len(pts), bool)))
+        # fixed-shape device calls: raw scan lengths vary per scan, and
+        # unpadded jnp calls would re-specialize (recompile) per scan
+        P = min(len(pts), CAP)
+        pts = pts[:P]
+        pp, mm = vd.pad_points(pts, CAP)
+        pp_j = jnp.asarray(pp)
+        frac = np.asarray(vd.sweep_fraction(pp_j, jnp.asarray(mm)))[:P]
         if valid[i] and len(valid_ids) > 1:
             # next valid scan's pose; the last scan extrapolates backwards
             # assuming constant relative motion (LidarOdometry.cpp:210-236).
@@ -456,9 +462,11 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
                 p_prev, p_i = poses[prev], poses[i]
                 pose_next = p_i + (p_i - p_prev) / (i - prev)
                 alpha = duration / (duration + cfg.data_gap_time)
+            frac_pad = np.zeros((CAP,), np.float32)
+            frac_pad[:P] = frac * alpha
             p = np.asarray(lidar_odometry.undistort_scan(
-                jnp.asarray(pts), jnp.asarray(frac * alpha),
-                jnp.asarray(poses[i]), jnp.asarray(pose_next)))
+                pp_j, jnp.asarray(frac_pad),
+                jnp.asarray(poses[i]), jnp.asarray(pose_next)))[:P]
         else:
             p = pts
         undist.append(p.astype(np.float32))

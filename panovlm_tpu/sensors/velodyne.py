@@ -472,6 +472,7 @@ def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2):
 # ----------------------------------------------------------------------------
 
 @jax.jit
+@jax.jit
 def sweep_fraction(pts, mask):
     """Per-point azimuth sweep fraction in [0,1) relative to the first valid
     point (the reference's start_ori convention, Velodyne.cpp:398-400);
