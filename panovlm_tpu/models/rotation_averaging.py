@@ -126,3 +126,26 @@ def rotation_averaging_l1(n_frames, pair_i, pair_j, rel_aa, weights=None,
                        "huber", float(np.radians(2.0)), 30,
                        fixed_idx=int(np.argmax(valid)))
     return aa2, valid, mask
+
+
+def rotation_averaging_l2(n_frames, pair_i, pair_j, rel_aa, weights=None,
+                          x84: bool = True):
+    """ROTATION_AVERAGING_L2 (sfm/SfM.h:67; RotationAveragingL2,
+    sfm/RotationAveraging.cpp:317-374): spanning-tree init + one Huber L2
+    ceres-style solve, no robust L1 stage. Same return shape as the L1
+    variant."""
+    aa0, valid = spanning_tree_init(n_frames, pair_i, pair_j, rel_aa, weights)
+    mask = filter_pairs_x84(pair_i, pair_j, rel_aa, aa0) if x84 \
+        else np.ones(len(pair_i), bool)
+    aa1, _ = _solve(aa0, pair_i, pair_j, rel_aa, jnp.asarray(mask),
+                    "huber", float(np.radians(2.0)), 40,
+                    fixed_idx=int(np.argmax(valid)))
+    return aa1, valid, mask
+
+
+def rotation_averaging(n_frames, pair_i, pair_j, rel_aa, weights=None,
+                       method: int = 1):
+    """Dispatch on the reference's RotationAveragingMethod enum
+    (sfm/SfM.h:65-68): 1 = L1 (robust + refine), 2 = plain L2."""
+    fn = rotation_averaging_l2 if method == 2 else rotation_averaging_l1
+    return fn(n_frames, pair_i, pair_j, rel_aa, weights)

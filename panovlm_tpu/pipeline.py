@@ -265,9 +265,11 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         keep = sfm_mod.filter_by_triplet(pi, pj, np.asarray(rel["rel_aa"]), ok)
         keep, frame_valid = sfm_mod.largest_biconnected(pi, pj, keep, n)
     with tr.phase("rotation averaging"):
-        aa_glob, valid_r, _ = ra.rotation_averaging_l1(
+        # RotationAveragingMethod enum (sfm/SfM.h:65-68): 1 L1, 2 L2
+        aa_glob, valid_r, _ = ra.rotation_averaging(
             n, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
-            weights=np.asarray(rel["n_inliers"])[keep])
+            weights=np.asarray(rel["n_inliers"])[keep],
+            method=cfg.rotation_averaging_method)
         # rotation snapshot (RotationAveraging.cpp:399-405)
         from .ops import se3
         artifacts.export_pose_t(

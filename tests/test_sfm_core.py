@@ -309,3 +309,29 @@ def test_translation_averaging_gps_init(rng):
                                  method="softl1", t_init=t_init)
     err = np.abs(t - t_fw).max()
     assert err < 0.02, err
+
+
+def test_rotation_averaging_l2_method(rng):
+    """Method 2 (plain Huber L2, sfm/SfM.h:67) recovers the same global
+    rotations as L1 on a clean graph, through the enum dispatch."""
+    n = 6
+    gt = ScR.random(n, random_state=3)
+    aa_gt = gt.as_rotvec().astype(np.float32)
+    pi, pj, rel = [], [], []
+    for i in range(n):
+        for j in range(i + 1, min(i + 3, n)):
+            R_ij = (gt[j] * gt[i].inv())
+            pi.append(i); pj.append(j)
+            rel.append(R_ij.as_rotvec())
+    pi, pj = np.asarray(pi), np.asarray(pj)
+    rel = np.asarray(rel, np.float32)
+    for method in (1, 2):
+        aa, valid, _ = ra.rotation_averaging(n, pi, pj, rel, method=method)
+        # compare relative rotations (gauge-free)
+        R_est = ScR.from_rotvec(aa)
+        errs = []
+        for k in range(len(pi)):
+            R_ij = R_est[pj[k]] * R_est[pi[k]].inv()
+            errs.append(np.degrees(np.linalg.norm(
+                (R_ij * ScR.from_rotvec(rel[k]).inv()).as_rotvec())))
+        assert np.median(errs) < 0.5, (method, np.median(errs))
