@@ -340,7 +340,7 @@ def translation_averaging_linf_lp(aa_global, pair_i, pair_j, rel_aa, rel_t,
 def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
                           mask=None, method: str = "softl1",
                           upper_scale_ratio=1.3, lower_scale_ratio=0.9,
-                          t_init=None):
+                          t_init=None, irls_iters: int = 3):
     """EstimateGlobalTranslation (sfm/SfM.cpp:1047-1344): DLT init + one of
     the averaging methods. scales: per-pair metric scale estimates (from the
     LiDAR depth maps); pairs without scale get the DLT estimate.
@@ -373,11 +373,12 @@ def translation_averaging(aa_global, pair_i, pair_j, rel_aa, rel_t, scales,
     elif method == "softl1":
         t, s, _ = _ta_solver(loss="soft_l1", loss_scale=0.1, **common)
     elif method == "l2irls":
-        # IRLS = repeated huber solves with shrinking scale
+        # IRLS = repeated huber solves with shrinking scale; rounds =
+        # config num_iteration_L2IRLS (SfM.cpp:1277)
         t, s = t0, s0
-        for scale in (1.0, 0.3, 0.1):
+        for scale in np.geomspace(1.0, 0.1, max(int(irls_iters), 2)):
             common["t0"], common["s0"] = t, s
-            t, s, _ = _ta_solver(loss="huber", loss_scale=scale,
+            t, s, _ = _ta_solver(loss="huber", loss_scale=float(scale),
                                  max_iters=15, **common)
     elif method == "chordal":
         t, s, _ = _ta_solver(loss="huber", loss_scale=0.1, use_chordal=True,

@@ -262,13 +262,21 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         scales = sfm_mod.translation_scale_from_depth(
             depth_maps, H, W, rel, np.asarray(matches["idx"]), uv, pi, scfg)
     with tr.phase("graph filters"):
+        has_scale = np.asarray(scales) >= 0
+        if not cfg.keep_pairs_no_scale:
+            # FilterImagePairs(keep_no_scale=false): drop undetermined-scale
+            # pairs before the graph filters (SfM.cpp:451-452)
+            ok = ok & has_scale
         keep = sfm_mod.filter_by_triplet(pi, pj, np.asarray(rel["rel_aa"]), ok)
         keep, frame_valid = sfm_mod.largest_biconnected(pi, pj, keep, n)
     with tr.phase("rotation averaging"):
+        # use_all_pairs_ra=false: rotation averaging over with-scale pairs
+        # only (SfM.cpp:820-831)
+        ra_keep = keep if cfg.use_all_pairs_ra else (keep & has_scale)
         # RotationAveragingMethod enum (sfm/SfM.h:65-68): 1 L1, 2 L2
         aa_glob, valid_r, _ = ra.rotation_averaging(
-            n, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
-            weights=np.asarray(rel["n_inliers"])[keep],
+            n, pi[ra_keep], pj[ra_keep], np.asarray(rel["rel_aa"])[ra_keep],
+            weights=np.asarray(rel["n_inliers"])[ra_keep],
             method=cfg.rotation_averaging_method)
         # rotation snapshot (RotationAveraging.cpp:399-405)
         from .ops import se3
@@ -282,23 +290,28 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         ta_method = {1: "softl1", 2: "l1", 3: "chordal", 4: "l2irls",
                      5: "bata", 6: "lud"}.get(cfg.translation_averaging_method,
                                               "softl1")
+        # use_all_pairs_ta=false: only with-scale pairs constrain the
+        # global translation (SfM.cpp:1090-1110)
+        ta_keep = keep if cfg.use_all_pairs_ta else (keep & has_scale)
         # GPS hooks (SfM.cpp:1051-1052, 1218-1240): pair scales from GPS
         # distances; optional GPS translation init replacing DLT
-        pair_scales = scales[keep]
+        pair_scales = scales[ta_keep]
         t_init = None
         if cfg.gps_path and os.path.exists(cfg.gps_path):
             from .utils.gps import init_translation_gps, read_gps, \
                 scale_from_gps
             g_xyz, _ = read_gps(cfg.gps_path)
             if len(g_xyz) == n and np.isfinite(g_xyz).all():
-                pair_scales = scale_from_gps(g_xyz, pi[keep], pj[keep])
+                pair_scales = scale_from_gps(g_xyz, pi[ta_keep], pj[ta_keep])
                 if cfg.init_translation_GPS and not cfg.init_translation_DLT:
                     t_init = init_translation_gps(g_xyz, aa_glob)
         t_glob, s = ta.translation_averaging(
-            aa_glob, pi[keep], pj[keep], np.asarray(rel["rel_aa"])[keep],
-            np.asarray(rel["rel_t"])[keep], pair_scales, method=ta_method,
-            upper_scale_ratio=cfg.upper_scale_ratio,
-            lower_scale_ratio=cfg.lower_scale_ratio, t_init=t_init)
+            aa_glob, pi[ta_keep], pj[ta_keep],
+            np.asarray(rel["rel_aa"])[ta_keep],
+            np.asarray(rel["rel_t"])[ta_keep], pair_scales,
+            method=ta_method, upper_scale_ratio=cfg.upper_scale_ratio,
+            lower_scale_ratio=cfg.lower_scale_ratio, t_init=t_init,
+            irls_iters=cfg.num_iteration_L2IRLS)
     with tr.phase("structure + BA"):
         pair_matches = []
         midx = np.asarray(matches["idx"])
