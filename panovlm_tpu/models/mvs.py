@@ -155,20 +155,23 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
 def estimate_depth_maps_batched(grays, poses_cw, nei_table, depth0s,
                                 normal0s, fixeds, cfg: MVSConfig,
                                 nei_depths=None, seed: int = 0, mesh=None,
-                                ref_idx=None):
+                                ref_idx=None, key_idx=None):
     """Batched multi-image PatchMatch: a batch of reference images in ONE
     jitted program (patchmatch.run_patchmatch_batched). Images are
     embarrassingly parallel, so passing a data `mesh` shards the image axis
     across chips with no collectives — the multi-chip execution of the
     reference's per-image OpenMP loop (mvs/MVS.cpp:93-117).
 
-    grays (N,H,W) float: the FULL image set (neighbor views are gathered
-    from it). nei_table (B,V) int: global image indices per reference.
-    depth0s/normal0s/fixeds (B,H,W[,3]). ref_idx None (then B must equal N
-    and refs are 0..N-1) or (B,) global reference indices — chunking the
-    refs while neighbors still come from the full set. nei_depths None or
-    (N,H,W) per-image PHOTOMETRIC depths (indexed like grays). Seeds fold
-    in the GLOBAL ref index, so chunked == whole-batch results.
+    grays (N,H,W) float: the image set neighbor views are gathered from —
+    either the full stack or a host-gathered residency window containing
+    just the chunk's refs+neighbors (then nei_table/ref_idx are indices
+    into that window and key_idx carries the global ids for the rng).
+    nei_table (B,V) int: image indices per reference. depth0s/normal0s/
+    fixeds (B,H,W[,3]). ref_idx None (then B must equal N and refs are
+    0..N-1) or (B,) reference indices — chunking the refs while neighbors
+    still come from the window. nei_depths None or (N,H,W) per-image
+    PHOTOMETRIC depths (indexed like grays). Seeds fold in the GLOBAL
+    image id, so chunked == whole-batch results.
     Returns (depths, normals, confs), each leading axis B.
     """
     grays = jnp.asarray(grays)
@@ -188,8 +191,12 @@ def estimate_depth_maps_batched(grays, poses_cw, nei_table, depth0s,
         t_nr.append(t)
     R_nr = jnp.stack(R_nr)
     t_nr = jnp.stack(t_nr)
+    # rng folds the GLOBAL image id (key_idx) so results are identical
+    # whether the caller ships the full image stack or a host-gathered
+    # residency window with locally re-indexed grays/poses (Room-scale
+    # memory plan replacing the reference's refcount cache, mvs/MVS.h:89-101)
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
-        jnp.asarray(ref_idx))
+        jnp.asarray(ref_idx if key_idx is None else key_idx))
     grays_ref = grays[jnp.asarray(ref_idx)]
     nei_grays = grays[nei_table]                      # (B,V,H,W)
     if cfg.packed_sampling:

@@ -133,7 +133,13 @@ def rotation_averaging_l2(n_frames, pair_i, pair_j, rel_aa, weights=None,
     """ROTATION_AVERAGING_L2 (sfm/SfM.h:67; RotationAveragingL2,
     sfm/RotationAveraging.cpp:317-374): spanning-tree init + one Huber L2
     ceres-style solve, no robust L1 stage. Same return shape as the L1
-    variant."""
+    variant.
+
+    Init divergence vs the reference: the reference's L2 path seeds from
+    RotationAveragingLeastSquare (sparse nullspace, SfM.cpp:859-869) before
+    refining; this implementation seeds from the weighted spanning tree
+    (same init as the L1 path). Both land in the same basin on clean graphs;
+    on noisy graphs results can differ until the nullspace init is added."""
     aa0, valid = spanning_tree_init(n_frames, pair_i, pair_j, rel_aa, weights)
     mask = filter_pairs_x84(pair_i, pair_j, rel_aa, aa0) if x84 \
         else np.ones(len(pair_i), bool)

@@ -171,12 +171,11 @@ def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig):
             i, j, midx, mmask, key = args
             b1 = bearings[i][midx[:, 0]]
             b2 = bearings[j][midx[:, 1]]
+            # per-pair independent hypothesis draws: the pair id is folded
+            # into the rng (deterministic across runs, uncorrelated across
+            # pairs)
             ransac = epipolar.find_essential_acransac(
-                b1, b2, mmask, n_hyp=cfg.ransac_hypotheses, seed=0)
-            # different pairs need different hypothesis draws: fold the pair
-            # id into the rng by re-running with per-pair seed is wasteful;
-            # instead the sampling inside uses match ordering which differs
-            # per pair. (seed kept fixed for determinism.)
+                b1, b2, mmask, n_hyp=cfg.ransac_hypotheses, seed=0, fold=key)
             pose = epipolar.best_pose_from_essential(
                 ransac["E"], b1, b2, ransac["inliers"])
             # two-view refinement on triangulated inliers (chordal), pose 1

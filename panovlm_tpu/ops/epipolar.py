@@ -181,14 +181,18 @@ def check_rt(R_21, t_21, b1, b2, mask, reproj_angle_deg: float = 3.0):
 
 @functools.partial(jax.jit, static_argnames=("n_hyp",))
 def find_essential_acransac(b1, b2, mask, n_hyp: int = 300, seed: int = 0,
-                            max_threshold=jnp.inf):
+                            max_threshold=jnp.inf, fold=None):
     """Batched AC-RANSAC essential estimation.
 
-    b1, b2: (M, 3) unit bearings; mask (M,). Returns dict with E (3,3),
+    b1, b2: (M, 3) unit bearings; mask (M,). fold: optional traced int32
+    folded into the rng so every caller (e.g. each image pair in a vmapped
+    batch) gets independent hypothesis draws. Returns dict with E (3,3),
     inliers (M,), nfa, err_threshold, ok.
     """
     M = b1.shape[0]
     key = jax.random.PRNGKey(seed)
+    if fold is not None:
+        key = jax.random.fold_in(key, fold)
     # sample hypothesis index sets from valid matches: draw uniform ints and
     # map through the valid-index list (duplicates possible, degenerate
     # hypotheses simply score badly)

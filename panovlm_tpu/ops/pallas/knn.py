@@ -88,19 +88,23 @@ def _knn_kernel(q_ref, t_ref, qn_ref, tn_ref, dist_ref, idx_ref,
                    static_argnames=("k", "tile_q", "tile_t", "interpret"))
 def knn_pallas(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
                tile_t: int = 512, interpret: bool = False):
-    """Masked k-nearest-neighbors: q (Q,3), t (T,3). Returns (d2 (Q,k),
-    idx (Q,k)); masked/overflow slots carry d2 >= 1e30."""
+    """Masked k-nearest-neighbors: q (Q,D), t (T,D), any feature dim D
+    (3D points and 128-dim SIFT descriptors both route here). Returns
+    (d2 (Q,k), idx (Q,k)); masked/overflow slots carry d2 >= 1e30."""
     Q, T = q.shape[0], t.shape[0]
+    D = q.shape[1]
     Qp = ((Q + tile_q - 1) // tile_q) * tile_q
     Tp = ((T + tile_t - 1) // tile_t) * tile_t
+    # pad the feature dim to a clean MXU tile: 4 lanes for xyz-like inputs,
+    # a 128-lane multiple for descriptor-sized ones
+    Dp = 4 if D <= 4 else ((D + 127) // 128) * 128
 
     def pad_to(x, n, fill=0.0):
         return jnp.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1),
                        constant_values=fill)
 
-    # pad xyz to 4 lanes for clean MXU tiles
-    q4 = pad_to(jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 1))), Qp)
-    t4 = pad_to(jnp.pad(t.astype(jnp.float32), ((0, 0), (0, 1))), Tp)
+    q4 = pad_to(jnp.pad(q.astype(jnp.float32), ((0, 0), (0, Dp - D))), Qp)
+    t4 = pad_to(jnp.pad(t.astype(jnp.float32), ((0, 0), (0, Dp - D))), Tp)
     qn = pad_to(jnp.where(q_mask, jnp.sum(q * q, axis=1), BIG)[:, None], Qp, BIG)
     tn = pad_to(jnp.where(t_mask, jnp.sum(t * t, axis=1), BIG)[:, None], Tp, BIG)
 
@@ -109,9 +113,9 @@ def knn_pallas(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
         functools.partial(_knn_kernel, k=k, tile_t=tile_t),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_q, 4), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_q, Dp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_t, 4), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_t, Dp), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),

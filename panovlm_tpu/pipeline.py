@@ -73,15 +73,25 @@ def load_mask(cfg: Config, H: int, W: int):
 
 
 def load_scans(cfg: Config):
+    """Load + preprocess all scans. File IO overlaps preprocessing via the
+    native threaded prefetcher (replacing the reference's OpenMP load loops,
+    e.g. LidarOdometry.cpp:130-148); falls back to synchronous reads when
+    the native library is unavailable."""
+    from .native import ScanPrefetcher
     from .sensors import velodyne as vd
     files = _list_files(cfg.lidar_path, ("pcd", "ply"))
     scans, valid, names = [], [], []
-    for f in files:
-        raw = pointcloud.load_cloud(f)
-        pts, ok = vd.preprocess_cloud(raw)
-        scans.append(pts)
-        valid.append(ok)
-        names.append(os.path.basename(f))
+    pf = ScanPrefetcher(files, n_threads=4)
+    try:
+        for f, raw in zip(files, pf):
+            if raw is None:  # native read failed; retry with the numpy path
+                raw = pointcloud.load_cloud(f)
+            pts, ok = vd.preprocess_cloud(raw)
+            scans.append(pts)
+            valid.append(ok)
+            names.append(os.path.basename(f))
+    finally:
+        pf.close()
     return scans, np.asarray(valid), names
 
 
@@ -453,12 +463,25 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
     CAP = 32768
     for i, pts in enumerate(scans):
         # fixed-shape device calls: raw scan lengths vary per scan, and
-        # unpadded jnp calls would re-specialize (recompile) per scan
-        P = min(len(pts), CAP)
-        pts = pts[:P]
-        pp, mm = vd.pad_points(pts, CAP)
-        pp_j = jnp.asarray(pp)
-        frac = np.asarray(vd.sweep_fraction(pp_j, jnp.asarray(mm)))[:P]
+        # unpadded jnp calls would re-specialize (recompile) per scan.
+        # Oversized scans (32+ beam sensors, ~70k pts) are processed in
+        # CAP-sized chunks that all share the FIRST chunk's start_ori, so
+        # no points are dropped from the exported undistorted clouds
+        # (reference UndistortLidars processes every point,
+        # LidarOdometry.cpp:189-263).
+        P = len(pts)
+        chunks = []
+        start_ori = None
+        for c0 in range(0, max(P, 1), CAP):
+            pc = pts[c0:c0 + CAP]
+            pp, mm = vd.pad_points(pc, CAP)
+            pp_j = jnp.asarray(pp)
+            if start_ori is None:
+                start_ori = vd.scan_start_ori(pp_j, jnp.asarray(mm))
+            fc = np.asarray(vd.sweep_fraction_from(pp_j, start_ori))
+            chunks.append((pp_j, fc, len(pc)))
+        frac = np.concatenate([fc[:n] for _, fc, n in chunks]) if P else \
+            np.zeros((0,), np.float32)
         if valid[i] and len(valid_ids) > 1:
             # next valid scan's pose; the last scan extrapolates backwards
             # assuming constant relative motion (LidarOdometry.cpp:210-236).
@@ -477,11 +500,14 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
                 p_prev, p_i = poses[prev], poses[i]
                 pose_next = p_i + (p_i - p_prev) / (i - prev)
                 alpha = duration / (duration + cfg.data_gap_time)
-            frac_pad = np.zeros((CAP,), np.float32)
-            frac_pad[:P] = frac * alpha
-            p = np.asarray(lidar_odometry.undistort_scan(
-                pp_j, jnp.asarray(frac_pad),
-                jnp.asarray(poses[i]), jnp.asarray(pose_next)))[:P]
+            parts = []
+            for pp_j, fc, n in chunks:
+                frac_pad = np.zeros((CAP,), np.float32)
+                frac_pad[:n] = fc[:n] * alpha
+                parts.append(np.asarray(lidar_odometry.undistort_scan(
+                    pp_j, jnp.asarray(frac_pad),
+                    jnp.asarray(poses[i]), jnp.asarray(pose_next)))[:n])
+            p = np.concatenate(parts) if parts else pts
         else:
             p = pts
         undist.append(p.astype(np.float32))
@@ -751,16 +777,30 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             pm=mcfg.pm._replace(use_volscore_kernel=True))
 
     def batched_pass(d0s, n0s, fxs, nei_depths, seed):
+        # image residency: only the chunk's refs + their neighbor views are
+        # shipped to the device per program (host gather + local re-index),
+        # never the full image stack — the Room-scale (454+ frame) memory
+        # plan standing in for the reference's mutex+refcount image cache
+        # (mvs/MVS.h:89-101). Seeds fold global ids, so results are
+        # identical to full-stack execution.
+        nei_depths_np = None if nei_depths is None else np.asarray(nei_depths)
+        poses_np = np.asarray(poses)
         for s in range(0, n, chunk):
             live = list(range(s, min(s + chunk, n)))
             idx = live + [live[-1]] * (chunk - len(live))  # pad last chunk
+            used = sorted(set(idx) | set(nei_table[idx].ravel().tolist()))
+            lut = np.full(n, -1, np.int32)
+            lut[used] = np.arange(len(used), dtype=np.int32)
             d, nm, cf = mvs_mod.estimate_depth_maps_batched(
-                grays_all, poses, nei_table[idx],
+                grays_all[used], poses_np[used], lut[nei_table[idx]],
                 jnp.asarray(np.stack([d0s[i] for i in idx])),
                 jnp.asarray(np.stack([n0s[i] for i in idx])),
                 jnp.asarray(np.stack([fxs[i] for i in idx])),
-                mcfg, nei_depths=nei_depths, seed=seed, mesh=mvs_mesh,
-                ref_idx=np.asarray(idx))
+                mcfg,
+                nei_depths=None if nei_depths_np is None
+                else nei_depths_np[used],
+                seed=seed, mesh=mvs_mesh,
+                ref_idx=lut[np.asarray(idx)], key_idx=np.asarray(idx))
             d, nm, cf = np.asarray(d), np.asarray(nm), np.asarray(cf)
             for b, i in enumerate(live):
                 depths[i], normals[i], confs[i] = d[b], nm[b], cf[b]

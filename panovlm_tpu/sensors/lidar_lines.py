@@ -23,10 +23,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops import geometry
+from ..ops import geometry, se3
 
 MAX_LINES = 64
-N_HYPOTHESES = 128
+N_HYPOTHESES = 256
 INLIER_DIST = 0.05      # reference FormLine tolerance (ExpandLine usage)
 GAP = 0.5               # max along-line gap inside one segment
 MIN_POINTS = 5          # LidarLineExtraction.cpp:70
@@ -50,40 +50,52 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
     """
     P = pts.shape[0]
     key0 = jax.random.PRNGKey(seed)
+    pts_sq = jnp.sum(pts * pts, axis=1)  # (P,)
 
-    # KNN table for hypothesis seeding (the reference seeds from kd-tree
-    # neighbor triples, LidarLineExtraction.cpp:15-53): a pair of *nearby*
-    # edge points is far more likely to lie on one physical edge than a
-    # random pair.
-    d2_all = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
-    d2_all = jnp.where(mask[None, :] & mask[:, None], d2_all, jnp.inf)
-    d2_all = d2_all + jnp.where(jnp.eye(P, dtype=bool), jnp.inf, 0.0)
-    K_NN = 8
-    _, knn = jax.lax.top_k(-d2_all, K_NN)  # (P, K) nearest neighbors
-
-    def line_round(l, state):
-        remaining, labels, line_pts, line_dirs, line_ends, line_mask = state
+    def line_round(state):
+        l, streak, remaining, labels, line_pts, line_dirs, line_ends, line_mask = state
         key = jax.random.fold_in(key0, l)
         k1, k2 = jax.random.split(key)
-        # hypothesis pair = (random point, one of its K nearest neighbors)
-        ia = jax.random.randint(k1, (n_hyp,), 0, P)
-        kb = jax.random.randint(k2, (n_hyp,), 0, K_NN)
-        ib = knn[ia, kb]
+        # hypothesis pair = two random REMAINING points gated to lie within
+        # 2 m of each other — a cheap stand-in for the reference's kd-tree
+        # neighbor-triple seeding (LidarLineExtraction.cpp:15-53): nearby
+        # pairs are far more likely to lie on one physical edge, and the gate
+        # avoids building a (P, P) neighbor table per scan. Drawing from the
+        # compacted remaining pool (cumsum slot map) keeps the hit rate
+        # independent of buffer occupancy (the edge buffer is CAP-padded and
+        # mostly invalid).
+        pos = jnp.cumsum(remaining) - 1
+        slot_to_idx = jnp.zeros((P,), jnp.int32).at[
+            jnp.where(remaining, pos, P)].set(
+            jnp.arange(P, dtype=jnp.int32), mode="drop")
+        n_rem = jnp.maximum(jnp.sum(remaining), 1)
+        ua = jax.random.uniform(k1, (n_hyp,))
+        ub = jax.random.uniform(k2, (n_hyp,))
+        ia = slot_to_idx[jnp.minimum((ua * n_rem).astype(jnp.int32), n_rem - 1)]
+        ib = slot_to_idx[jnp.minimum((ub * n_rem).astype(jnp.int32), n_rem - 1)]
         pa, pb = pts[ia], pts[ib]
-        ok_h = remaining[ia] & remaining[ib] & (jnp.linalg.norm(pb - pa, axis=1) > 0.02)
+        sep = jnp.linalg.norm(pb - pa, axis=1)
+        ok_h = remaining[ia] & remaining[ib] & (sep > 0.02) & (sep < 2.0)
         d = pb - pa
         d = d / (jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
-        # (H, P) point-line distances
-        diff = pts[None, :, :] - pa[:, None, :]
-        proj = jnp.einsum("hpk,hk->hp", diff, d)
-        perp = diff - proj[..., None] * d[:, None, :]
-        dist = jnp.linalg.norm(perp, axis=-1)
-        inl = (dist < INLIER_DIST) & remaining[None, :]
-        score = jnp.sum(inl, axis=1) * ok_h
+        # (H, P) squared point-line distances via two MXU matmuls instead of
+        # materialized (H, P, 3) difference tensors:
+        # |w|^2 - (w.d)^2, w = p - pa. Full f32 precision is required — the
+        # |p|^2 - 2 p.pa + |pa|^2 cancellation is ~1e-4 relative at room
+        # ranges, far below bf16 MXU accuracy.
+        pd = se3.matmul(pts, d.T)            # (P, H)
+        ppa = se3.matmul(pts, pa.T)          # (P, H)
+        pad = jnp.sum(pa * d, axis=1)        # (H,)
+        pa_sq = jnp.sum(pa * pa, axis=1)     # (H,)
+        w_sq = pts_sq[:, None] - 2.0 * ppa + pa_sq[None, :]
+        wd = pd - pad[None, :]
+        dist2 = w_sq - wd * wd               # (P, H)
+        inl = (dist2 < INLIER_DIST * INLIER_DIST) & remaining[:, None]
+        score = jnp.sum(inl, axis=0) * ok_h  # (H,)
         best = jnp.argmax(score)
 
         # refine with PCA on best inliers (one reweighted round)
-        m0 = inl[best]
+        m0 = inl[:, best]
         fit = geometry.fit_line_pca(pts, m0)
         c, u = fit["point"], fit["dir"]
         dist2 = geometry.point_to_line_distance(pts, c[None, :], u[None, :])
@@ -91,21 +103,24 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
         fit = geometry.fit_line_pca(pts, m1)
         c, u = fit["point"], fit["dir"]
 
-        # longest contiguous run along the line (gap <= GAP)
+        # longest contiguous run along the line (gap <= GAP), found on a
+        # GAP-sized histogram of the along-line coordinate instead of a full
+        # sort: two inliers more than 2*GAP apart always land in
+        # non-adjacent bins, closer than GAP always in adjacent ones, so the
+        # bin-run split equals the sorted-gap split up to bin granularity.
+        NB = 128
         t = jnp.einsum("pk,k->p", pts - c[None, :], u)
-        t_masked = jnp.where(m1, t, jnp.inf)
-        order = jnp.argsort(t_masked)
-        ts = t_masked[order]
-        valid_s = jnp.isfinite(ts)
-        gap_break = jnp.concatenate([
-            jnp.array([False]),
-            (ts[1:] - ts[:-1] > GAP) | ~valid_s[1:] | ~valid_s[:-1],
-        ])
-        run_id = jnp.cumsum(gap_break)
-        run_cnt = jnp.zeros((P,), jnp.int32).at[run_id].add(valid_s.astype(jnp.int32))
+        t0 = jnp.min(jnp.where(m1, t, jnp.inf))
+        tbin = jnp.clip(((t - t0) / GAP).astype(jnp.int32), 0, NB - 1)
+        hist = jnp.zeros((NB,), jnp.int32).at[tbin].add(m1.astype(jnp.int32))
+        occ = hist > 0
+        # run id per bin = cumsum of starts-of-run; count points per run
+        starts = occ & ~jnp.concatenate([jnp.array([False]), occ[:-1]])
+        run_id = jnp.cumsum(starts) - 1
+        run_cnt = jnp.zeros((NB,), jnp.int32).at[
+            jnp.where(occ, run_id, NB - 1)].add(hist, mode="drop")
         best_run = jnp.argmax(run_cnt)
-        member_s = (run_id == best_run) & valid_s
-        member = jnp.zeros((P,), bool).at[order].set(member_s)
+        member = m1 & (run_id[tbin] == best_run) & occ[tbin]
 
         n_mem = jnp.sum(member)
         t_mem = jnp.where(member, t, jnp.inf)
@@ -134,9 +149,21 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
         # claimed points leave the pool even when the line is rejected, so a
         # degenerate cluster can't stall every later round
         remaining = remaining & ~(member & (score[best] > 0))
-        return remaining, labels, line_pts, line_dirs, line_ends, line_mask
+        streak = jnp.where(accept, 0, streak + 1)
+        return (l + 1, streak, remaining, labels, line_pts, line_dirs,
+                line_ends, line_mask)
+
+    def keep_going(state):
+        # early exit: pool can no longer seat a minimal line, or several
+        # consecutive rounds found nothing acceptable (strong lines come out
+        # first, so a reject streak means the line supply is exhausted)
+        l, streak, remaining = state[0], state[1], state[2]
+        return ((l < max_lines) & (streak < 6)
+                & (jnp.sum(remaining) >= MIN_POINTS))
 
     state = (
+        jnp.int32(0),
+        jnp.int32(0),
         mask,
         jnp.full((P,), -1, jnp.int32),
         jnp.zeros((max_lines, 3)),
@@ -144,7 +171,7 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
         jnp.zeros((max_lines, 2, 3)),
         jnp.zeros((max_lines,), bool),
     )
-    state = jax.lax.fori_loop(0, max_lines, line_round, state)
-    _, labels, line_pts, line_dirs, line_ends, line_mask = state
+    state = jax.lax.while_loop(keep_going, line_round, state)
+    _, _, _, labels, line_pts, line_dirs, line_ends, line_mask = state
     return {"points": line_pts, "dirs": line_dirs, "endpoints": line_ends,
             "mask": line_mask, "point_label": labels}

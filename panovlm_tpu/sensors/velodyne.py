@@ -82,10 +82,17 @@ def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON)
     Ring id via the VLP-16 elevation formula (VerticalAngleToScanID,
     Velodyne.cpp:170-186); column from azimuth relative to the first valid
     point's azimuth (the reference's start_ori, Velodyne.cpp:398-400).
-    Collisions keep the nearer return (scatter-min; the reference keeps the
-    last write). rel_time in [0,1) is the azimuth sweep fraction, used for
-    undistortion.
+    Collisions keep the nearer return (the reference keeps the last write).
+
+    Gather/scatter traffic is the cost on TPU, so the winner per cell is
+    found with ONE packed int32 scatter-min — 15-bit quantized range (2 mm
+    steps, 65.5 m cap) in the high bits, point index in the low 16 — and the
+    cell attributes (exact f32 xyz / rel_time) are then gathered by winner
+    index, instead of a float min + winner-test gather + 4-channel scatter.
+    rel_time in [0,1) is the azimuth sweep fraction, used for undistortion.
     """
+    P = pts.shape[0]
+    assert P <= 65536, "point index must fit the packed key's low 16 bits"
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     rng = jnp.sqrt(x * x + y * y + z * z)
     vert_deg = jnp.degrees(jnp.arctan2(-y, jnp.sqrt(x * x + z * z)))
@@ -102,19 +109,17 @@ def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON)
     rel_time = rel / (2 * jnp.pi)
 
     ok = mask & ring_ok & (rng > 0)
-    big = jnp.asarray(jnp.inf, rng.dtype)
-    r_img = jnp.full((n_scans, horizon), big).at[ring, col].min(
-        jnp.where(ok, rng, big), mode="drop")
-    valid = jnp.isfinite(r_img)
-    r_img = jnp.where(valid, r_img, 0.0)
+    rq = jnp.clip(jnp.round(rng / 0.002), 0, 32766).astype(jnp.int32)
+    key = (rq << 16) | jnp.arange(P, dtype=jnp.int32)
+    big = jnp.int32(2**31 - 1)
+    kimg = jnp.full((n_scans, horizon), big, jnp.int32).at[ring, col].min(
+        jnp.where(ok, key, big), mode="drop")
+    valid = kimg != big
+    widx = kimg & 0xFFFF  # winner point index (garbage where invalid)
 
-    # second pass: write xyz / rel_time of the winning (nearest) return;
-    # non-winners are routed to an out-of-bounds row and dropped so they
-    # can't overwrite the winner (scatter order is unspecified)
-    is_winner = ok & (jnp.abs(r_img[ring, col] - rng) < 1e-6)
-    w_ring = jnp.where(is_winner, ring, n_scans)  # n_scans = OOB -> dropped
-    xyz_img = jnp.zeros((n_scans, horizon, 3)).at[w_ring, col].set(pts, mode="drop")
-    t_img = jnp.zeros((n_scans, horizon)).at[w_ring, col].set(rel_time, mode="drop")
+    xyz_img = jnp.where(valid[..., None], pts[widx], 0.0)
+    r_img = jnp.where(valid, jnp.linalg.norm(xyz_img, axis=-1), 0.0)
+    t_img = jnp.where(valid, rel_time[widx], 0.0)
     return {"range": r_img, "xyz": xyz_img, "valid": valid, "rel_time": t_img}
 
 
@@ -125,23 +130,31 @@ def compact_rows(img):
     The compacted sequence reproduces the reference's reordered cloud_scan
     adjacency (consecutive points of one scan line), which the curvature and
     picking logic rely on (Velodyne.cpp:506-520).
+
+    The destination of every valid cell is its per-row valid-prefix count, so
+    compaction is a cumsum + one scatter per channel (col/ground/valid packed
+    into a single int32 channel) — replacing the per-row argsort (a full
+    bitonic sort) + 7 gather channels of the first implementation.
     """
     valid = img["valid"]
     S, H = valid.shape
-    key = jnp.where(valid, jnp.arange(H)[None, :], H + 1)
-    order = jnp.argsort(key, axis=1)  # valid cells first, by column
-    gather = lambda a: jnp.take_along_axis(a, order, axis=1)
-    seq = {
-        "xyz": jnp.take_along_axis(img["xyz"], order[..., None], axis=1),
-        "range": gather(img["range"]),
-        "rel_time": gather(img["rel_time"]),
-        "col": gather(jnp.broadcast_to(jnp.arange(H)[None, :], (S, H))),
-        "valid": gather(valid),
+    pos = jnp.cumsum(valid, axis=1) - 1
+    tgt = jnp.where(valid, pos, H)  # H = out of bounds -> dropped
+    rows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, H))
+    ground = img.get("ground", jnp.zeros((S, H), bool))
+    packed = ((jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (S, H)) << 2)
+              | (ground.astype(jnp.int32) << 1) | 1)
+    xyz = jnp.zeros((S, H, 3)).at[rows, tgt].set(img["xyz"], mode="drop")
+    pk = jnp.zeros((S, H), jnp.int32).at[rows, tgt].set(packed, mode="drop")
+    out_valid = (pk & 1) == 1
+    return {
+        "xyz": xyz,
+        "range": jnp.where(out_valid, jnp.linalg.norm(xyz, axis=-1), 0.0),
+        "col": jnp.where(out_valid, pk >> 2, 0),
+        "valid": out_valid,
+        "ground": (pk & 2) != 0,
+        "count": jnp.sum(valid, axis=1),
     }
-    if "ground" in img:
-        seq["ground"] = gather(img["ground"])
-    seq["count"] = jnp.sum(valid, axis=1)
-    return seq
 
 
 # ----------------------------------------------------------------------------
@@ -169,7 +182,7 @@ def _seg_min_scan(labels, conn, reverse=False):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def segment_range_image(r_img, valid, iters: int = 24,
+def segment_range_image(r_img, valid, iters: int = 6,
                         theta_deg: float = 20.0):
     """Connected-component segmentation over the range image
     (Segmentation, Velodyne.cpp:1438-1595 — Fast Range Image Segmentation,
@@ -208,12 +221,10 @@ def segment_range_image(r_img, valid, iters: int = 24,
         wrap = conn_left[:, 0]
         lab = lab.at[:, 0].min(jnp.where(wrap, lab[:, -1], S * H))
         lab = lab.at[:, -1].min(jnp.where(wrap, lab[:, 0], S * H))
-        # vertical
-        down_lab = jnp.concatenate([lab[1:], jnp.full_like(lab[:1], S * H)], axis=0)
-        up_lab = jnp.concatenate([jnp.full_like(lab[:1], S * H), lab[:-1]], axis=0)
-        conn_down = jnp.concatenate([conn_up[1:], jnp.zeros_like(conn_up[:1])], axis=0)
-        lab = jnp.minimum(lab, jnp.where(conn_up, up_lab, S * H))
-        lab = jnp.minimum(lab, jnp.where(conn_down, down_lab, S * H))
+        # vertical: full column scans (16-tall), so each iteration moves
+        # labels across a whole row+column path, not one vertical step
+        lab = _seg_min_scan(lab.T, conn_up.T).T
+        lab = _seg_min_scan(lab.T, conn_up.T, reverse=True).T
         return jnp.where(valid, lab, S * H)
 
     labels = jax.lax.fori_loop(0, iters, body, labels)
@@ -278,18 +289,17 @@ def adaptive_curvature(seq, max_window: int = 16):
     idx = jnp.arange(W)[None, :]
 
     def side_k(direction):
-        # smallest k in [1, max_window] with |p[i +- k] - p[i]|^2 >= 0.0064
-        found = jnp.zeros((S, W), bool)
-        kk = jnp.full((S, W), max_window, jnp.int32)
-        for k in range(1, max_window + 1):
-            j = idx + direction * k
-            ok = (j >= 0) & (j < W)
-            pj = jnp.take_along_axis(xyz, jnp.clip(j, 0, W - 1)[..., None], axis=1)
-            d2 = jnp.sum((pj - xyz) ** 2, axis=-1)
-            hit = (d2 >= 0.0064) & ok & ~found
-            kk = jnp.where(hit, k, kk)
-            found = found | hit
-        return kk
+        # smallest k with |p[i +- k] - p[i]| >= 8 cm, estimated from the
+        # local point spacing (chord over a fixed +-4 window) instead of the
+        # reference's per-point expansion walk: k = ceil(0.08 / spacing).
+        # Equivalent wherever spacing is locally uniform (the usual case on
+        # surfaces); at a range discontinuity the chord is large, so k -> 1,
+        # matching the walk's immediate stop.
+        j4 = jnp.clip(idx + direction * 4, 0, W - 1)[..., None]
+        p4 = jnp.take_along_axis(xyz, j4, axis=1)
+        chord = jnp.linalg.norm(p4 - xyz, axis=-1)
+        spacing = jnp.maximum(chord / 4.0, 1e-4)
+        return jnp.clip(jnp.ceil(0.08 / spacing), 1, max_window).astype(jnp.int32)
 
     m = jnp.maximum(side_k(-1), side_k(+1))
 
@@ -328,13 +338,17 @@ def loam_curvature(seq):
 @jax.jit
 def view_angles(seq, m):
     """Intersection angle (livox-loam eq. 4; Velodyne.cpp:803-812): the angle
-    between the beam direction and the local surface chord
-    p[i-m] - p[i+m], in degrees (0..90 after the |dot|)."""
+    between the beam direction and the local surface chord, in degrees (0..90
+    after the |dot|). The chord uses a fixed +-5 window (static shifts; the
+    tangent direction is insensitive to the window radius), where the
+    reference uses the adaptive radius m — kept in the signature for parity
+    documentation."""
+    del m
     xyz, rng = seq["xyz"], seq["range"]
     S, W = rng.shape
     idx = jnp.arange(W)[None, :]
-    left = jnp.take_along_axis(xyz, jnp.clip(idx - m, 0, W - 1)[..., None], axis=1)
-    right = jnp.take_along_axis(xyz, jnp.clip(idx + m, 0, W - 1)[..., None], axis=1)
+    left = jnp.take_along_axis(xyz, jnp.clip(idx - 5, 0, W - 1)[..., None], axis=1)
+    right = jnp.take_along_axis(xyz, jnp.clip(idx + 5, 0, W - 1)[..., None], axis=1)
     b = left - right
     bn = jnp.linalg.norm(b, axis=-1)
     dot = jnp.abs(jnp.sum(xyz * b, axis=-1))
@@ -359,28 +373,36 @@ def _sector_ids(seq):
     return jnp.where(interior, sec, -1), interior
 
 
-def _suppression_rows(xyz, pick_idx, pick_ok, max_off: int = 16):
-    """Neighbor suppression after one pick per row (Velodyne.cpp:969-988):
-    offsets 1..5 stop at a >22.36 cm gap between consecutive points; offsets
-    beyond 5 stop when >6 cm from the picked point. Vectorized over all scan
-    rows at once: pick_idx (S,), pick_ok (S,). Returns (S,W) disable."""
+def _suppression_extents(xyz, max_off: int = 16):
+    """Per-point suppression extents (Velodyne.cpp:969-988): for a pick at
+    column i, columns i+1..i+Rext[i] (and i-1..i-Lext[i]) get disabled.
+    Offsets 1..5 stop at a >22.36 cm gap between consecutive points; offsets
+    beyond 5 stop when >6 cm from the picked point. Both stop rules depend
+    only on the pick location, so the extents are precomputed for every
+    candidate column at once (2 x max_off vectorized steps) instead of being
+    re-walked per pick.
+
+    Returns (Lext, Rext), each (S, W) int32 in [0, max_off]."""
     S, W = xyz.shape[:2]
-    rows = jnp.arange(S)
-    p0 = xyz[rows, pick_idx]  # (S,3)
-    dis = jnp.zeros((S, W), bool)
+    idx = jnp.arange(W)[None, :]
+    exts = []
     for direction in (-1, 1):
-        stopped = ~pick_ok
+        stopped = jnp.zeros((S, W), bool)
+        ext = jnp.zeros((S, W), jnp.int32)
         for l in range(1, max_off + 1):
-            j = pick_idx + direction * l
-            jc = jnp.clip(j, 0, W - 1)
-            pj = xyz[rows, jc]
-            pj_prev = xyz[rows, jnp.clip(j - direction, 0, W - 1)]
+            j = idx + direction * l
+            oob = (j < 0) | (j >= W)
+            jc = jnp.clip(j, 0, W - 1)[..., None]
+            pj = jnp.take_along_axis(xyz, jc, axis=1)
+            pj_prev = jnp.take_along_axis(
+                xyz, jnp.clip(j - direction, 0, W - 1)[..., None], axis=1)
             gap = jnp.sum((pj - pj_prev) ** 2, axis=-1)
-            far = jnp.sum((pj - p0) ** 2, axis=-1)
-            brk = jnp.where(l <= 5, gap > 0.05, far > 0.0036)
-            stopped = stopped | brk | (j < 0) | (j >= W)
-            dis = dis.at[rows, jc].max(~stopped)
-    return dis
+            far = jnp.sum((pj - xyz) ** 2, axis=-1)
+            brk = (gap > 0.05) if l <= 5 else (far > 0.0036)
+            stopped = stopped | brk | oob
+            ext = jnp.where(stopped, ext, l)
+        exts.append(ext)
+    return exts[0], exts[1]
 
 
 @functools.partial(jax.jit, static_argnames=("n_picks", "pick_largest"))
@@ -390,39 +412,70 @@ def greedy_pick(seq, curv, eligible, n_picks: int,
 
     Vectorized analog of the pick loops (Velodyne.cpp:905-989 edges,
     :1117-1160 planes): n_picks rounds; each round picks the extreme-curvature
-    eligible point in every (scan, sector) simultaneously, then suppresses its
-    neighbors. Returns (picked (S,W) bool, top_rank (S,W) int32 with the pick
-    round or -1, disabled (S,W)).
+    eligible point in every (scan, sector) simultaneously (sectors are
+    disjoint column spans, so the 6 argmaxes are one batched reduce), then
+    suppresses the picked points' neighbor intervals via the precomputed
+    extents — a broadcast column compare, no scatters in the loop body.
+    Returns (picked (S,W) bool, top_rank (S,W) int32 with the pick round or
+    -1, disabled (S,W), pick_idx (n_picks,6,S) int32 column of each pick,
+    pick_ok (n_picks,6,S) bool). The dense pick-index list lets callers
+    gather the few picked points directly (round-major = best-curvature
+    first) instead of compacting full (S,W) masks.
     """
     S, W = curv.shape
     sec, _ = _sector_ids(seq)
-    xyz, valid = seq["xyz"], seq["valid"]
     sign = 1.0 if pick_largest else -1.0
+    Lext, Rext = _suppression_extents(seq["xyz"])
+    rows6 = jnp.broadcast_to(jnp.arange(S)[None, :], (6, S))
+    colidx = jnp.arange(W)[None, None, :]
+    sec_onehot = sec[None] == jnp.arange(6)[:, None, None]  # (6,S,W)
 
     def body(t, state):
-        picked, rank, disabled = state
+        picked, rank, disabled, pidx, pok = state
         key = jnp.where(eligible & ~picked & ~disabled, sign * curv, -jnp.inf)
+        key6 = jnp.where(sec_onehot, key[None], -jnp.inf)   # (6,S,W)
+        idx6 = jnp.argmax(key6, axis=2)                     # (6,S)
+        ok6 = jnp.take_along_axis(key6, idx6[..., None], axis=2)[..., 0] > -jnp.inf
+        picked = picked.at[rows6, idx6].max(ok6)
+        rank = rank.at[rows6, idx6].max(jnp.where(ok6, t, -1))
+        lo = (idx6 - Lext[rows6, idx6])[..., None]          # (6,S,1)
+        hi = (idx6 + Rext[rows6, idx6])[..., None]
+        dis6 = (colidx >= lo) & (colidx <= hi) & ok6[..., None]
+        disabled = disabled | jnp.any(dis6, axis=0)
+        pidx = pidx.at[t].set(idx6)
+        pok = pok.at[t].set(ok6)
+        return picked, rank, disabled, pidx, pok
 
-        new_picked = picked
-        new_rank = rank
-        new_dis = disabled
-        rows = jnp.arange(S)
-        for j in range(6):
-            key_j = jnp.where(sec == j, key, -jnp.inf)
-            idx_r = jnp.argmax(key_j, axis=1)              # (S,)
-            ok_r = jnp.take_along_axis(key_j, idx_r[:, None], axis=1)[:, 0] > -jnp.inf
-            new_picked = new_picked.at[rows, idx_r].max(ok_r)
-            new_rank = new_rank.at[rows, idx_r].set(
-                jnp.where(ok_r & (new_rank[rows, idx_r] < 0), t,
-                          new_rank[rows, idx_r]))
-            new_dis = new_dis | _suppression_rows(xyz, idx_r, ok_r)
-        return new_picked, new_rank, new_dis
+    state = (jnp.zeros((S, W), bool), jnp.full((S, W), -1, jnp.int32),
+             jnp.zeros((S, W), bool),
+             jnp.zeros((n_picks, 6, S), jnp.int32),
+             jnp.zeros((n_picks, 6, S), bool))
+    picked, rank, disabled, pidx, pok = jax.lax.fori_loop(0, n_picks, body, state)
+    return picked, rank, disabled, pidx, pok
 
-    picked0 = jnp.zeros((S, W), bool)
-    rank0 = jnp.full((S, W), -1, jnp.int32)
-    state = jax.lax.fori_loop(0, n_picks, body, (picked0, rank0, jnp.zeros((S, W), bool)))
-    picked, rank, disabled = state
-    return picked, rank, disabled
+
+def picks_to_buffer(seq, pidx, pok, cap: int, extra=None):
+    """Gather picked points into a (cap, ...) buffer, round-major (pick round
+    0 of every (sector, scan) first — i.e. strongest-curvature picks first
+    when cap < total picks). Returns (pts (cap,3), mask (cap,), rows (cap,)
+    scan ring, [extra channels gathered at the picks])."""
+    n, _, S = pidx.shape
+    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, None, :], pidx.shape)
+    flat_idx = pidx.reshape(-1)[:cap]
+    flat_rows = rows.reshape(-1)[:cap]
+    flat_ok = pok.reshape(-1)[:cap]
+    if cap > n * 6 * S:  # pad
+        pad = cap - n * 6 * S
+        flat_idx = jnp.concatenate([flat_idx, jnp.zeros((pad,), jnp.int32)])
+        flat_rows = jnp.concatenate([flat_rows, jnp.zeros((pad,), jnp.int32)])
+        flat_ok = jnp.concatenate([flat_ok, jnp.zeros((pad,), bool)])
+    pts = jnp.where(flat_ok[:, None], seq["xyz"][flat_rows, flat_idx], 0.0)
+    out_rows = jnp.where(flat_ok, flat_rows, -1)
+    outs = [pts, flat_ok, out_rows]
+    if extra is not None:
+        for ch in extra:
+            outs.append(jnp.where(flat_ok, ch[flat_rows, flat_idx], 0))
+    return tuple(outs)
 
 
 # ----------------------------------------------------------------------------
@@ -472,15 +525,32 @@ def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2):
 # ----------------------------------------------------------------------------
 
 @jax.jit
-@jax.jit
 def sweep_fraction(pts, mask):
     """Per-point azimuth sweep fraction in [0,1) relative to the first valid
     point (the reference's start_ori convention, Velodyne.cpp:398-400);
     drives motion undistortion and time-colorized export."""
+    start_ori = scan_start_ori(pts, mask)
+    return sweep_fraction_from(pts, start_ori)
+
+
+@jax.jit
+def scan_start_ori(pts, mask):
+    """Azimuth of the first valid point (the reference's start_ori,
+    Velodyne.cpp:398-400). Split out so CAP-sized chunks of one oversized
+    scan can all use the FIRST chunk's start (chunking must not reset the
+    sweep origin)."""
     x, z = pts[:, 0], pts[:, 2]
     ori = jnp.arctan2(x, z)
     ori = jnp.where(ori < 0, ori + 2 * jnp.pi, ori)
-    start_ori = ori[jnp.argmax(mask)]
+    return ori[jnp.argmax(mask)]
+
+
+@jax.jit
+def sweep_fraction_from(pts, start_ori):
+    """Sweep fraction in [0,1) measured from a given start azimuth."""
+    x, z = pts[:, 0], pts[:, 2]
+    ori = jnp.arctan2(x, z)
+    ori = jnp.where(ori < 0, ori + 2 * jnp.pi, ori)
     return jnp.mod(ori - start_ori, 2 * jnp.pi) / (2 * jnp.pi)
 
 
@@ -529,15 +599,16 @@ CAP_LINES = 64
 
 
 def gather_masked(values, mask, cap: int, fill=0.0):
-    """Compact masked rows of a (S,W,...) array into a (cap, ...) buffer."""
+    """Compact masked rows of a (S,W,...) array into a (cap, ...) buffer.
+    Cumsum destination + one scatter (no argsort); overflow rows beyond cap
+    are dropped."""
     flat_mask = mask.ravel()
     flat_vals = values.reshape((-1,) + values.shape[2:])
-    order = jnp.argsort(~flat_mask)  # True first, stable
-    take = order[:cap]
-    out_mask = flat_mask[take]
-    out = jnp.where(
-        out_mask.reshape((-1,) + (1,) * (flat_vals.ndim - 1)),
-        flat_vals[take], fill)
+    pos = jnp.cumsum(flat_mask) - 1
+    tgt = jnp.where(flat_mask, pos, cap)  # cap = out of bounds -> dropped
+    out = jnp.full((cap,) + flat_vals.shape[1:], fill, flat_vals.dtype)
+    out = out.at[tgt].set(flat_vals, mode="drop")
+    out_mask = jnp.arange(cap) < jnp.sum(flat_mask)
     return out, out_mask
 
 
@@ -574,44 +645,55 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
         & (vang >= intersect_angle_threshold)
         & (vang <= 180.0 - intersect_angle_threshold)
     )
-    picked_e, rank_e, disabled = greedy_pick(seq, curv, edge_eligible, n_picks=30)
-    sharp_mask_sw = picked_e & (rank_e < 3)
+    picked_e, rank_e, disabled, eidx, eok = greedy_pick(
+        seq, curv, edge_eligible, n_picks=30)
 
     # planes: eligibility excludes anything picked/disabled by the edge pass
     plane_eligible = (
         interior & window_ok & (curv >= 0) & (curv <= 0.02)
         & ~picked_e & ~disabled
     )
-    picked_f, _, disabled_f = greedy_pick(seq, curv, plane_eligible,
-                                          n_picks=4, pick_largest=False)
+    picked_f, _, disabled_f, fidx, fok = greedy_pick(
+        seq, curv, plane_eligible, n_picks=4, pick_largest=False)
     all_disabled = disabled | disabled_f
     less_flat_sw = (interior & window_ok & (curv >= 0) & (curv < 0.3)
                     & ~picked_e & ~picked_f & ~all_disabled)
 
-    # --- gather into fixed buffers ---
-    rows = jnp.broadcast_to(jnp.arange(N_SCANS)[:, None], seq["valid"].shape)
+    # --- gather picked points straight from the recorded pick indices ---
+    edge_pts, edge_mask, edge_rows = picks_to_buffer(seq, eidx, eok, CAP_EDGE)
+    sharp_pts, sharp_mask, _ = picks_to_buffer(seq, eidx[:3], eok[:3], CAP_SHARP)
+    flat_pts, flat_mask, flat_rows, flat_grd_i = picks_to_buffer(
+        seq, fidx, fok, CAP_FLAT, extra=[seq["ground"].astype(jnp.int32)])
+    flat_grd = flat_grd_i > 0
 
-    edge_pts, edge_mask = gather_masked(seq["xyz"], picked_e, CAP_EDGE)
-    edge_rows, _ = gather_masked(rows.astype(jnp.int32), picked_e, CAP_EDGE, fill=-1)
-    sharp_pts, sharp_mask = gather_masked(seq["xyz"], sharp_mask_sw, CAP_SHARP)
-
-    flat_pts, flat_mask = gather_masked(seq["xyz"], picked_f, CAP_FLAT)
-    flat_rows, _ = gather_masked(rows.astype(jnp.int32), picked_f, CAP_FLAT, fill=-1)
-    flat_grd, _ = gather_masked(seq["ground"], picked_f, CAP_FLAT, fill=False)
-
-    # voxel-filter on the full grid first (truncating to CAP_SURF before the
-    # 0.2 m leaf would bias the kept points toward the first scan rows)
-    lf_all = seq["xyz"].reshape(-1, 3)
-    lf_aux = jnp.stack([rows.ravel().astype(jnp.float32),
-                        seq["ground"].ravel().astype(jnp.float32)], axis=1)
-    lf_ds_full, lf_ds_full_mask, lf_aux_full = voxel_downsample(
-        lf_all, less_flat_sw.ravel(), aux=lf_aux)
-    lf_ds, lf_ds_mask = gather_masked(
-        lf_ds_full[:, None, :], lf_ds_full_mask[:, None], CAP_SURF)
-    lf_aux_g, _ = gather_masked(
-        lf_aux_full[:, None, :], lf_ds_full_mask[:, None], CAP_SURF, fill=-1.0)
-    lf_rows = jnp.round(lf_aux_g[:, 0]).astype(jnp.int32)
-    lf_grd = lf_aux_g[:, 1] > 0.5
+    # surf points: density-stratified decimation standing in for the
+    # reference's 0.2 m pcl::VoxelGrid (Velodyne.cpp:1076-1080). The range
+    # image is an angular grid, so cell footprint grows ~r^2; keeping each
+    # cell with probability proportional to r^2 (deterministic per-cell hash)
+    # yields the same uniform-spatial-density output on actual surface
+    # points, with an elementwise test instead of a 28.8k-key sort. A second
+    # pass rescales the keep probability to the CAP_SURF budget.
+    S, W = seq["valid"].shape
+    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, W))
+    r = seq["range"]
+    # points per 0.2 m voxel at range r: (leaf/dA)*(leaf/dV), dA = r*2pi/1800,
+    # dV = r*2deg -> keep prob = r^2 * 1.218e-4 / 0.04
+    p_base = jnp.minimum(r * r * (1.218e-4 / 0.04), 1.0)
+    expect = jnp.sum(jnp.where(less_flat_sw, p_base, 0.0))
+    scale = (0.92 * CAP_SURF) / jnp.maximum(expect, 1.0)
+    p = jnp.minimum(p_base * scale, 1.0)
+    cell = rows * jnp.int32(W) + seq["col"]
+    h01 = (cell.astype(jnp.uint32) * jnp.uint32(2654435761)).astype(
+        jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    keep_sw = less_flat_sw & (h01 < p)
+    lf_pack = jnp.stack([
+        seq["xyz"][..., 0], seq["xyz"][..., 1], seq["xyz"][..., 2],
+        rows.astype(jnp.float32) + 0.5,
+        seq["ground"].astype(jnp.float32)], axis=-1)
+    lf_g, lf_ds_mask = gather_masked(lf_pack, keep_sw, CAP_SURF)
+    lf_ds = lf_g[:, :3]
+    lf_rows = jnp.where(lf_ds_mask, lf_g[:, 3].astype(jnp.int32), -1)
+    lf_grd = lf_g[:, 4] > 0.5
 
     # 3D line segments from the edge points (EdgeToLine, Velodyne.cpp:1269+)
     lines = lidar_lines.extract_lines(edge_pts, edge_mask, edge_rows)

@@ -76,9 +76,10 @@ def pad_features(uv, desc, cap: int):
     return uv_p, d_p, m
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches",))
+@functools.partial(jax.jit, static_argnames=("max_matches", "use_kernel"))
 def match_descriptors(d1, m1, d2, m2, ratio: float = 0.6,
-                      max_dist_factor: float = 0.8, max_matches: int = 1024):
+                      max_dist_factor: float = 0.8, max_matches: int = 1024,
+                      use_kernel: bool | None = None):
     """Brute-force KNN matching on the MXU.
 
     Mirrors MatchSIFT + the reference's pair filter (sfm/SfM.cpp:229-295):
@@ -87,19 +88,36 @@ def match_descriptors(d1, m1, d2, m2, ratio: float = 0.6,
 
     d1 (N1,128), d2 (N2,128) L2-normalized. Returns dict: idx (K,2) int32,
     mask (K,), dist (K,) — padded to max_matches.
+
+    use_kernel: route the KNN through the fused Pallas tile kernel
+    (ops/pallas/knn.py — the (N1,N2) distance matrix never touches HBM,
+    replacing the reference's CUDA brute-force matcher, SfM.cpp:235-264).
+    None = auto: on for TPU backends at production descriptor counts.
     """
-    sim = jnp.einsum("ik,jk->ij", d1, d2,
-                     precision=jax.lax.Precision.HIGHEST)
-    d2sq = jnp.maximum(2.0 - 2.0 * sim, 0.0)
-    big = jnp.asarray(1e9, d2sq.dtype)
-    d2sq = jnp.where(m1[:, None] & m2[None, :], d2sq, big)
-    # top-2 along axis 1
-    neg, idx = jax.lax.top_k(-d2sq, 2)
-    best, second = -neg[:, 0], -neg[:, 1]
+    big = jnp.asarray(1e9, jnp.float32)
+    if use_kernel is None:
+        use_kernel = (jax.default_backend() == "tpu"
+                      and d1.shape[0] * d2.shape[0] >= 2048 * 2048)
+    if use_kernel:
+        from ..ops.pallas.knn import knn_pallas
+        d2_12, idx12 = knn_pallas(d1, m1, d2, m2, k=2)
+        d2_21, idx21 = knn_pallas(d2, m2, d1, m1, k=1)
+        best = jnp.minimum(d2_12[:, 0], big)
+        second = jnp.minimum(d2_12[:, 1], big)
+        idx = idx12
+        mutual = idx21[idx12[:, 0], 0] == jnp.arange(d1.shape[0])
+    else:
+        sim = jnp.einsum("ik,jk->ij", d1, d2,
+                         precision=jax.lax.Precision.HIGHEST)
+        d2sq = jnp.maximum(2.0 - 2.0 * sim, 0.0)
+        d2sq = jnp.where(m1[:, None] & m2[None, :], d2sq, big)
+        # top-2 along axis 1
+        neg, idx = jax.lax.top_k(-d2sq, 2)
+        best, second = -neg[:, 0], -neg[:, 1]
+        # mutual best
+        best2 = jnp.argmin(d2sq, axis=0)  # for each d2 col, best d1 row
+        mutual = best2[idx[:, 0]] == jnp.arange(d1.shape[0])
     pass_ratio = best < (ratio ** 2) * second  # squared-distance ratio test
-    # mutual best
-    best2 = jnp.argmin(d2sq, axis=0)  # for each d2 col, best d1 row
-    mutual = best2[idx[:, 0]] == jnp.arange(d1.shape[0])
     ok = pass_ratio & mutual & m1 & (best < big)
     dist = jnp.sqrt(jnp.maximum(best, 0.0))
     # the 0.8*max-dist filter over accepted matches
