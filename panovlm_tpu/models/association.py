@@ -98,6 +98,23 @@ def _masked_cdist2(a, a_mask, b, b_mask):
     return jnp.where(a_mask[:, None] & b_mask[None, :], jnp.maximum(d2, 0.0), jnp.inf)
 
 
+def _knn_small(d2, k: int):
+    """k smallest entries per row of d2 (ascending), returned as
+    (dist2 (Q,k), idx (Q,k)). Iterative argmin extraction: k elementwise
+    min/argmin passes over the row, instead of lax.top_k, which lowers to
+    a full per-row sort on TPU and dominates the association pass for
+    row widths in the thousands."""
+    outs_d, outs_i = [], []
+    for _ in range(k):
+        j = jnp.argmin(d2, axis=1)
+        dj = jnp.take_along_axis(d2, j[:, None], axis=1)
+        outs_d.append(dj[:, 0])
+        outs_i.append(j)
+        d2 = jnp.where(
+            jax.nn.one_hot(j, d2.shape[1], dtype=bool), jnp.inf, d2)
+    return jnp.stack(outs_d, axis=1), jnp.stack(outs_i, axis=1)
+
+
 def associate_point2line_pair(feats_r, feats_n, pose_r, pose_n,
                               dist_threshold: float = P2L_DIST):
     """Point->line for one (reference, neighbor) pair. Returns per-neighbor-
@@ -106,8 +123,7 @@ def associate_point2line_pair(feats_r, feats_n, pose_r, pose_n,
     en_w = to_world(pose_n, feats_n["less_sharp"])
     d2 = _masked_cdist2(en_w, feats_n["less_sharp_mask"],
                         er_w, feats_r["less_sharp_mask"])
-    neg, idx = jax.lax.top_k(-d2, P2L_KNN)          # (Pn, 5)
-    knn_d2 = -neg
+    knn_d2, idx = _knn_small(d2, P2L_KNN)           # (Pn, 5)
     labels = feats_r["point_to_segment"][idx]        # (Pn, 5)
     all_close = knn_d2[:, -1] <= dist_threshold ** 2
     same_seg = jnp.all(labels == labels[:, :1], axis=1) & (labels[:, 0] >= 0)
@@ -133,8 +149,7 @@ def associate_point2plane_pair(feats_r, feats_n, pose_r, pose_n,
     t_local = feats_r["less_flat"]
     t_w = to_world(pose_r, t_local)
     d2 = _masked_cdist2(q_w, feats_n["flat_mask"], t_w, feats_r["less_flat_mask"])
-    neg, idx = jax.lax.top_k(-d2, P2P_KNN)           # (Q, 10)
-    knn_d2 = -neg
+    knn_d2, idx = _knn_small(d2, P2P_KNN)            # (Q, 10)
     close = knn_d2[:, -1] <= dist_threshold ** 2
     # Cross-ring candidates (LOAM-style, a deliberate improvement over the
     # reference's plain 10-NN): on near-horizontal surfaces a VLP scan's

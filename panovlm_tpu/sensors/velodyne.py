@@ -117,9 +117,12 @@ def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON)
     valid = kimg != big
     widx = kimg & 0xFFFF  # winner point index (garbage where invalid)
 
-    xyz_img = jnp.where(valid[..., None], pts[widx], 0.0)
+    # ONE 4-wide gather (xyz + rel_time) — gather cost is per index
+    tbl = jnp.concatenate([pts, rel_time[:, None]], axis=1)  # (P, 4)
+    win = jnp.where(valid[..., None], tbl[widx], 0.0)
+    xyz_img = win[..., :3]
     r_img = jnp.where(valid, jnp.linalg.norm(xyz_img, axis=-1), 0.0)
-    t_img = jnp.where(valid, rel_time[widx], 0.0)
+    t_img = win[..., 3]
     return {"range": r_img, "xyz": xyz_img, "valid": valid, "rel_time": t_img}
 
 
@@ -144,9 +147,23 @@ def compact_rows(img):
     ground = img.get("ground", jnp.zeros((S, H), bool))
     packed = ((jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (S, H)) << 2)
               | (ground.astype(jnp.int32) << 1) | 1)
-    xyz = jnp.zeros((S, H, 3)).at[rows, tgt].set(img["xyz"], mode="drop")
-    pk = jnp.zeros((S, H), jnp.int32).at[rows, tgt].set(packed, mode="drop")
-    out_valid = (pk & 1) == 1
+    # scatters cost per ELEMENT on this chip while gathers cost per INDEX
+    # (PERF.md), so move the wide data with a gather: scatter only the
+    # source-column index (1 int32 per cell), then gather the 4 packed
+    # channels (xyz + packed meta) by source position in one gather
+    src_col = jnp.full((S, H), -1, jnp.int32).at[rows, tgt].set(
+        jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (S, H)),
+        mode="drop")
+    data = jnp.concatenate(
+        [img["xyz"], jax.lax.bitcast_convert_type(packed, jnp.float32)[..., None]],
+        axis=-1)                                             # (S, H, 4)
+    out_valid = src_col >= 0
+    out = jnp.where(out_valid[..., None],
+                    jnp.take_along_axis(
+                        data, jnp.maximum(src_col, 0)[..., None], axis=1), 0.0)
+    xyz = out[..., :3]
+    pk = jnp.where(out_valid,
+                   jax.lax.bitcast_convert_type(out[..., 3], jnp.int32), 0)
     return {
         "xyz": xyz,
         "range": jnp.where(out_valid, jnp.linalg.norm(xyz, axis=-1), 0.0),
@@ -161,28 +178,45 @@ def compact_rows(img):
 # segmentation (LeGO-LOAM angle criterion, label propagation)
 # ----------------------------------------------------------------------------
 
-def _seg_min_scan(labels, conn, reverse=False):
-    """Per-row segmented min-scan: labels flow along columns while conn
-    (connection to previous column) is True. Segmented-scan combine:
-    (v1,c1) o (v2,c2) = (c2 ? min(v1,v2) : v2, c1 & c2)."""
-    if reverse:
-        labels = labels[:, ::-1]
-        # element j in the reversed order connects to its predecessor iff the
-        # original pair (i, i+1) was connected, i = H-1-j
-        conn = jnp.concatenate(
-            [jnp.zeros_like(conn[:, :1]), conn[:, ::-1][:, :-1]], axis=1)
+def _shift_fill(x, k: int, axis: int, fill):
+    """out[i] = x[i - k] along `axis`; vacated slots get `fill`.
+    Static offset -> slice + pad, pure memory ops (no gather)."""
+    W = x.shape[axis]
+    a = abs(k)
+    if a == 0:
+        return x
+    if a >= W:
+        return jnp.full_like(x, fill)
+    pad = jnp.full_like(jax.lax.slice_in_dim(x, 0, a, axis=axis), fill)
+    if k > 0:
+        return jnp.concatenate(
+            [pad, jax.lax.slice_in_dim(x, 0, W - a, axis=axis)], axis=axis)
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(x, a, W, axis=axis), pad], axis=axis)
 
-    def combine(a, b):
-        a_lab, a_conn = a
-        b_lab, b_conn = b
-        return jnp.where(b_conn, jnp.minimum(a_lab, b_lab), b_lab), a_conn & b_conn
 
-    lab, _ = jax.lax.associative_scan(combine, (labels, conn), axis=1)
-    return lab[:, ::-1] if reverse else lab
+def _seg_run_min(lab, conn, axis: int, big):
+    """Broadcast the per-run minimum to every member: conn[i] True means
+    element i is connected to i-1 along `axis`; runs are maximal conn
+    chains. Bidirectional segmented Hillis-Steele doubling — log2(N) steps
+    of static-shift elementwise ops (one loop covers both scan directions,
+    replacing a forward + a reverse associative_scan), no transposes for
+    column scans (axis handled natively)."""
+    N = lab.shape[axis]
+    cf = conn                                   # conn(i, i-d) accumulator
+    cb = _shift_fill(conn, -1, axis, False)     # conn(i, i+d)
+    d = 1
+    while d < N:
+        lab = jnp.where(cf, jnp.minimum(lab, _shift_fill(lab, d, axis, big)), lab)
+        lab = jnp.where(cb, jnp.minimum(lab, _shift_fill(lab, -d, axis, big)), lab)
+        cf = cf & _shift_fill(cf, d, axis, False)
+        cb = cb & _shift_fill(cb, -d, axis, False)
+        d *= 2
+    return lab
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def segment_range_image(r_img, valid, iters: int = 6,
+def segment_range_image(r_img, valid, iters: int = 4,
                         theta_deg: float = 20.0):
     """Connected-component segmentation over the range image
     (Segmentation, Velodyne.cpp:1438-1595 — Fast Range Image Segmentation,
@@ -213,18 +247,19 @@ def segment_range_image(r_img, valid, iters: int = 6,
     lin = jnp.arange(S * H, dtype=jnp.int32).reshape(S, H)
     labels = jnp.where(valid, lin, jnp.int32(S * H))
 
+    big = jnp.int32(S * H)
+    conn_row = conn_left.at[:, 0].set(False)
+
     def body(_, lab):
-        # row scans (non-wrapping part)
-        lab = _seg_min_scan(lab, conn_left.at[:, 0].set(False))
-        lab = _seg_min_scan(lab, conn_left.at[:, 0].set(False), reverse=True)
+        # row runs (non-wrapping part)
+        lab = _seg_run_min(lab, conn_row, axis=1, big=big)
         # wrap column 0 <-> H-1
         wrap = conn_left[:, 0]
         lab = lab.at[:, 0].min(jnp.where(wrap, lab[:, -1], S * H))
         lab = lab.at[:, -1].min(jnp.where(wrap, lab[:, 0], S * H))
-        # vertical: full column scans (16-tall), so each iteration moves
+        # vertical: full column runs (16-tall), so each iteration moves
         # labels across a whole row+column path, not one vertical step
-        lab = _seg_min_scan(lab.T, conn_up.T).T
-        lab = _seg_min_scan(lab.T, conn_up.T, reverse=True).T
+        lab = _seg_run_min(lab, conn_up, axis=0, big=big)
         return jnp.where(valid, lab, S * H)
 
     labels = jax.lax.fori_loop(0, iters, body, labels)
@@ -276,6 +311,29 @@ def mark_ground(img, max_ground_ring: int = 8, slope_deg: float = 10.0):
 # curvature
 # ----------------------------------------------------------------------------
 
+def shift_clamp(x, k: int, axis: int = 1):
+    """x shifted so out[i] = x[clamp(i + k)] along `axis`, edges clamped.
+
+    Static-offset neighbor access compiles to slice + broadcast + concat —
+    pure memory ops — where take_along_axis with an iota+k index lowers to
+    XLA's per-element gather path (~131 M elem/s on this chip, PERF.md);
+    every fixed-window neighborhood op below routes through this instead.
+    """
+    if k == 0:
+        return x
+    W = x.shape[axis]
+    a = abs(k)
+    if k > 0:
+        body = jax.lax.slice_in_dim(x, a, W, axis=axis)
+        edge = jax.lax.slice_in_dim(x, W - 1, W, axis=axis)
+        parts = [body] + [edge] * a
+    else:
+        body = jax.lax.slice_in_dim(x, 0, W - a, axis=axis)
+        edge = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        parts = [edge] * a + [body]
+    return jnp.concatenate(parts, axis=axis)
+
+
 @functools.partial(jax.jit, static_argnames=("max_window",))
 def adaptive_curvature(seq, max_window: int = 16):
     """ADAPTIVE curvature (Velodyne.cpp:625-663): expand the window on each
@@ -295,8 +353,7 @@ def adaptive_curvature(seq, max_window: int = 16):
         # Equivalent wherever spacing is locally uniform (the usual case on
         # surfaces); at a range discontinuity the chord is large, so k -> 1,
         # matching the walk's immediate stop.
-        j4 = jnp.clip(idx + direction * 4, 0, W - 1)[..., None]
-        p4 = jnp.take_along_axis(xyz, j4, axis=1)
+        p4 = shift_clamp(xyz, direction * 4)
         chord = jnp.linalg.norm(p4 - xyz, axis=-1)
         spacing = jnp.maximum(chord / 4.0, 1e-4)
         return jnp.clip(jnp.ceil(0.08 / spacing), 1, max_window).astype(jnp.int32)
@@ -305,9 +362,13 @@ def adaptive_curvature(seq, max_window: int = 16):
 
     csum = jnp.cumsum(jnp.where(valid, rng, 0.0), axis=1)
     csum = jnp.concatenate([jnp.zeros((S, 1)), csum], axis=1)  # (S, W+1)
-    hi = jnp.clip(idx + m + 1, 0, W)
-    lo = jnp.clip(idx - m, 0, W)
-    win_sum = jnp.take_along_axis(csum, hi, axis=1) - jnp.take_along_axis(csum, lo, axis=1)
+    # windowed sum for the per-point radius m: evaluate the static-shift
+    # variant for every k in [1, max_window] and one-hot select by m —
+    # max_window elementwise passes instead of two dynamic gathers
+    win_sum = jnp.zeros((S, W), csum.dtype)
+    for k in range(1, max_window + 1):
+        wk = (shift_clamp(csum, k + 1) - shift_clamp(csum, -k))[:, :W]
+        win_sum = jnp.where(m == k, wk, win_sum)
     n_win = (2 * m + 1).astype(rng.dtype)
     curv = jnp.abs(win_sum - n_win * rng) / jnp.maximum(2 * m, 1)
 
@@ -327,9 +388,7 @@ def loam_curvature(seq):
     idx = jnp.arange(W)[None, :]
     csum = jnp.concatenate([jnp.zeros((S, 1)), jnp.cumsum(jnp.where(valid, rng, 0.0), axis=1)], axis=1)
     m = 5
-    hi = jnp.clip(idx + m + 1, 0, W)
-    lo = jnp.clip(idx - m, 0, W)
-    win_sum = jnp.take_along_axis(csum, hi, axis=1) - jnp.take_along_axis(csum, lo, axis=1)
+    win_sum = (shift_clamp(csum, m + 1) - shift_clamp(csum, -m))[:, :W]
     diff = win_sum - (2 * m + 1) * rng
     window_ok = (idx - m >= 0) & (idx + m < count[:, None]) & valid
     return jnp.where(window_ok, diff * diff, -1.0), jnp.full_like(rng, m, jnp.int32), window_ok
@@ -347,8 +406,8 @@ def view_angles(seq, m):
     xyz, rng = seq["xyz"], seq["range"]
     S, W = rng.shape
     idx = jnp.arange(W)[None, :]
-    left = jnp.take_along_axis(xyz, jnp.clip(idx - 5, 0, W - 1)[..., None], axis=1)
-    right = jnp.take_along_axis(xyz, jnp.clip(idx + 5, 0, W - 1)[..., None], axis=1)
+    left = shift_clamp(xyz, -5)
+    right = shift_clamp(xyz, 5)
     b = left - right
     bn = jnp.linalg.norm(b, axis=-1)
     dot = jnp.abs(jnp.sum(xyz * b, axis=-1))
@@ -392,10 +451,8 @@ def _suppression_extents(xyz, max_off: int = 16):
         for l in range(1, max_off + 1):
             j = idx + direction * l
             oob = (j < 0) | (j >= W)
-            jc = jnp.clip(j, 0, W - 1)[..., None]
-            pj = jnp.take_along_axis(xyz, jc, axis=1)
-            pj_prev = jnp.take_along_axis(
-                xyz, jnp.clip(j - direction, 0, W - 1)[..., None], axis=1)
+            pj = shift_clamp(xyz, direction * l)
+            pj_prev = shift_clamp(xyz, direction * (l - 1))
             gap = jnp.sum((pj - pj_prev) ** 2, axis=-1)
             far = jnp.sum((pj - xyz) ** 2, axis=-1)
             brk = (gap > 0.05) if l <= 5 else (far > 0.0036)
