@@ -97,6 +97,8 @@ class Config:
     # joint_optimization/CameraLidarOptimizer.h:78-79; default false there)
     use_image_track: bool = False
     use_lidar_track: bool = False
+    # AssociateTrack redistribution (CameraLidarTrackAssociate.cpp:103-204)
+    use_track_associate: bool = False
     min_track_length: int = 3
     camera_weight: float = 1.0
     lidar_weight: float = 1.0
@@ -104,6 +106,9 @@ class Config:
 
     # MVS (Config.h:136-146)
     mvs_use_lidar: bool = True
+    # NeighborSelection enum (mvs/MVS.h:32-36): 1 SFM_POINTS co-visibility
+    # scoring, 2 NEAREST_NEIGHBOR center KNN (the reference default)
+    mvs_neighbor_selection: int = 2
     scale: int = 0
     ncc_half_window: int = 11
     ncc_step: int = 2

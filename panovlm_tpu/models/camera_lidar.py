@@ -141,6 +141,10 @@ class JointConfig(NamedTuple):
     use_image_track: bool = False
     use_lidar_track: bool = False
     min_track_length: int = 3
+    # vote (image track, lidar track) pairs and redistribute validated
+    # tracks' member lines to every pair (AssociateTrack,
+    # CameraLidarTrackAssociate.cpp:103-204); needs both track kinds on
+    use_track_associate: bool = False
 
 
 def _field(batch, name):
@@ -224,8 +228,12 @@ def build_cl_blocks(cl_assoc, arc_batch, fi, li, weight,
 def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
                    track_img, track_feat, track_mask, bearings, points0,
                    point_ok, cfg: JointConfig = JointConfig(),
-                   lidar_valid=None):
-    """JointOptimize MAPPING mode (CameraLidarOptimizer.cpp:177-298)."""
+                   lidar_valid=None, grays=None):
+    """JointOptimize MAPPING mode (CameraLidarOptimizer.cpp:177-298).
+
+    grays: optional per-frame grayscale images; when given, image-line
+    track matches are filtered by LK optical flow (MatchPanoramaLine,
+    PanoramaLineMatch.cpp:48-118)."""
     n_frames = len(np.asarray(cam_poses0))
     n_lidars = len(np.asarray(lidar_poses0))
     if lidar_valid is None:
@@ -272,7 +280,7 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             tid_img = image_line_tracks(
                 {k: np.asarray(v) for k, v in arc_batch.items()},
                 cam_poses, window=cfg.neighbor_size_joint,
-                min_length=cfg.min_track_length)
+                min_length=cfg.min_track_length, grays=grays)
             ab = dict(arc_batch)
             gated = np.asarray(arc_batch["mask"]) & (tid_img >= 0)
             log.info("image track gate: %d of %d lines survive",
@@ -294,6 +302,15 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
                   else {**lidar_batch, "line_mask": lm})
 
         cl_assoc = associate_all_cl(ab, lb, cam_poses, lidar_poses, fi, li)
+        if (cfg.use_track_associate and cfg.use_image_track
+                and cfg.use_lidar_track):
+            from .line_tracks import camera_lidar_track_associate
+            m2, l2 = camera_lidar_track_associate(
+                cl_assoc, fi, li, tid_img, tid_l)
+            log.info("track associate: %d -> %d line pairs",
+                     int(np.asarray(cl_assoc["mask"]).sum()), int(m2.sum()))
+            cl_assoc = dict(cl_assoc, mask=jnp.asarray(m2),
+                            img_line=jnp.asarray(l2))
         cl_blocks = build_cl_blocks(cl_assoc, ab, fi, li,
                                     cfg.camera_lidar_weight)
         l_blocks = lidar_odometry.build_blocks(

@@ -117,10 +117,66 @@ def match_image_lines_pair(arcs_i, arcs_j, pose_i, pose_j,
     return jnp.where(valid, best_i, -1)
 
 
+def filter_matches_optical_flow(arcs_j, arcs_i, gray_j, gray_i, match,
+                                n_samples: int = 10,
+                                min_tracked: float = 0.8,
+                                max_median_px: float = 60.0):
+    """FilterLineMatchOpticalFlow (joint_optimization/PanoramaLineMatch.cpp:
+    114-159): sample n points uniformly along each matched line of frame j,
+    LK-track them into frame i, and keep a match only if >= 80% of its
+    points track successfully AND the median distance from the tracked
+    points to the matched line of frame i stays below 60 px (converted
+    here to the equivalent great-circle angle, 60 px * 2pi/W — the arcs
+    live on the sphere, so "distance to the 2D line" becomes the angular
+    distance to its great-circle plane). Host OpenCV, like LSD/SIFT: flow
+    is irregular data prep, not device compute.
+
+    match: (Lj,) index into frame i's arcs or -1 (the output of
+    match_image_lines_pair). Returns the filtered copy."""
+    import cv2
+    from ..utils.panorama_line import _cam_to_image_np, _image_to_cam_np
+
+    m = np.array(np.asarray(match))
+    rows_j = np.nonzero(m >= 0)[0]
+    if not len(rows_j):
+        return m
+    H, W = gray_j.shape[:2]
+    e1 = np.asarray(arcs_j["e1"])[rows_j]
+    e2 = np.asarray(arcs_j["e2"])[rows_j]
+    theta = np.arccos(np.clip((e1 * e2).sum(1), -1.0, 1.0))[:, None]
+    t = (np.arange(n_samples, dtype=np.float32) / n_samples)[None, :]
+    s = np.sin(np.maximum(theta, 1e-6))
+    pts = (np.sin((1 - t) * theta)[..., None] * e1[:, None]
+           + np.sin(t * theta)[..., None] * e2[:, None]) / s[..., None]
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True) + 1e-12
+    uv_j = _cam_to_image_np(pts, H, W).reshape(-1, 2).astype(np.float32)
+
+    to_u8 = lambda g: (g * 255).astype(np.uint8) if g.dtype != np.uint8 else g
+    uv_i, status, _ = cv2.calcOpticalFlowPyrLK(
+        to_u8(gray_j), to_u8(gray_i), uv_j.reshape(-1, 1, 2), None)
+    uv_i = uv_i.reshape(len(rows_j), n_samples, 2)
+    status = status.reshape(len(rows_j), n_samples).astype(bool)
+
+    normals_i = np.asarray(arcs_i["normal"])[m[rows_j]]     # (Q, 3)
+    rays = _image_to_cam_np(uv_i, H, W)                      # (Q, n, 3)
+    ang = np.abs(np.arcsin(np.clip(
+        np.einsum("qnk,qk->qn", rays, normals_i), -1.0, 1.0)))
+    thresh = max_median_px * 2.0 * np.pi / W
+    ang = np.where(status, ang, np.nan)
+    with np.errstate(invalid="ignore"):
+        med = np.nanmedian(ang, axis=1)
+    ok = (status.mean(1) >= min_tracked) & (med <= thresh)
+    m[rows_j[~ok]] = -1
+    return m
+
+
 def image_line_tracks(arc_batch, cam_poses, window: int = 3,
-                      min_length: int = 3):
+                      min_length: int = 3, grays=None):
     """PanoramaLineMatcher::GenerateTracks: tracks of image lines across
-    temporally-neighboring frames. Returns (n_frames, L) track ids."""
+    temporally-neighboring frames. With `grays` (per-frame grayscale
+    images), pairwise matches are additionally filtered by LK optical
+    flow before track building, as the reference's MatchPanoramaLine
+    does. Returns (n_frames, L) track ids."""
     poses = jnp.asarray(cam_poses)
     n = poses.shape[0]
     L = arc_batch["normal"].shape[1]
@@ -130,6 +186,8 @@ def image_line_tracks(arc_batch, cam_poses, window: int = 3,
             ai = {k: arc_batch[k][i] for k in arc_batch}
             aj = {k: arc_batch[k][j] for k in arc_batch}
             m = np.asarray(match_image_lines_pair(ai, aj, poses[i], poses[j]))
+            if grays is not None:
+                m = filter_matches_optical_flow(aj, ai, grays[j], grays[i], m)
             for lj, li in enumerate(m):
                 if li >= 0:
                     edges.append((i * L + int(li), j * L + lj))
@@ -138,27 +196,66 @@ def image_line_tracks(arc_batch, cam_poses, window: int = 3,
 
 
 def camera_lidar_track_associate(cl_assoc, fi, li, img_track_id,
-                                 lidar_track_id, min_votes: int = 2):
-    """CameraLidarTrackAssociate::AssociateTrack: vote (image track, lidar
-    track) pairs from the per-pair line associations; pairs of tracks with
-    enough votes validate all their member line pairs (distribute back).
-    Returns a boost mask with the same shape as cl_assoc['mask']."""
-    mask = np.asarray(cl_assoc["mask"])           # (P, Ls)
-    img_line = np.asarray(cl_assoc["img_line"])
+                                 lidar_track_id):
+    """AssociateTrack (joint_optimization/CameraLidarTrackAssociate.cpp:
+    103-204): vote an (image track, lidar track) adjacency from the
+    per-pair line associations; a track pair whose vote count reaches
+    min(track sizes) - 2 validates, and its member lines are associated in
+    EVERY (frame, lidar) pair both tracks touch — the reference's
+    "distribute back to all member combinations" step, which adds pairs
+    the per-pair angle association missed.
+
+    cl_assoc: dict with mask/img_line (P, Ls); fi/li (P,) the frame/lidar
+    of each pair; img_track_id (n_frames, Li), lidar_track_id (n_lidars,
+    Ls), -1 = untracked. The reference emits every (img line, lidar line)
+    combination per pair; here each lidar-line slot holds one image line,
+    so an existing association is kept and empty slots take the track's
+    first member line on that frame.
+
+    Returns (mask, img_line) — the updated association arrays."""
+    mask = np.array(np.asarray(cl_assoc["mask"]))  # (P, Ls), copy
+    img_line = np.array(np.asarray(cl_assoc["img_line"]))
+    fi = np.asarray(fi)
+    li = np.asarray(li)
     P, Ls = mask.shape
+    img_track_id = np.asarray(img_track_id)
+    lidar_track_id = np.asarray(lidar_track_id)
+
     votes: dict[tuple, int] = {}
-    entries = []
     for p in range(P):
-        f, l = int(np.asarray(fi)[p]), int(np.asarray(li)[p])
+        f, l = int(fi[p]), int(li[p])
         for s in np.nonzero(mask[p])[0]:
-            it = img_track_id[f, img_line[p, s]]
-            lt = lidar_track_id[l, s]
+            it = int(img_track_id[f, img_line[p, s]])
+            lt = int(lidar_track_id[l, s])
             if it >= 0 and lt >= 0:
                 votes[(it, lt)] = votes.get((it, lt), 0) + 1
-                entries.append((p, s, it, lt))
-    good = {k for k, v in votes.items() if v >= min_votes}
-    out = np.zeros_like(mask)
-    for p, s, it, lt in entries:
-        if (it, lt) in good:
-            out[p, s] = True
-    return out
+
+    # track sizes = number of member (view, line) features
+    img_sizes = np.bincount(img_track_id[img_track_id >= 0].ravel(),
+                            minlength=max(img_track_id.max() + 1, 1))
+    lidar_sizes = np.bincount(lidar_track_id[lidar_track_id >= 0].ravel(),
+                              minlength=max(lidar_track_id.max() + 1, 1))
+    good = {(it, lt) for (it, lt), v in votes.items()
+            if v >= min(img_sizes[it], lidar_sizes[lt]) - 2}
+    if not good:
+        return mask, img_line
+
+    # distribute: members of a validated track pair associate in every
+    # (frame, lidar) pair of the association graph that both tracks touch
+    new_mask = np.zeros_like(mask)
+    new_line = np.array(img_line)
+    for it, lt in good:
+        for p in range(P):
+            f, l = int(fi[p]), int(li[p])
+            img_members = np.nonzero(img_track_id[f] == it)[0]
+            if not len(img_members):
+                continue
+            for s in np.nonzero(lidar_track_id[l] == lt)[0]:
+                new_mask[p, s] = True
+                # keep an existing association whose image line is already
+                # a member of the validated track; fill others with the
+                # track's first member on this frame
+                if not (mask[p, s]
+                        and img_track_id[f, img_line[p, s]] == it):
+                    new_line[p, s] = img_members[0]
+    return new_mask, new_line

@@ -69,6 +69,66 @@ def select_neighbor_views(poses_cw, n_neighbors: int, valid=None):
     return np.argsort(d, axis=1)[:, :n_neighbors].astype(np.int32)
 
 
+def select_neighbor_sfm(poses_cw, points, track_img, track_mask,
+                        n_neighbors: int, min_baseline: float = 0.0,
+                        angle_threshold: float = 10.0,
+                        scale_threshold: float = 1.6):
+    """SFM_POINTS neighbor selection (SelectNeighborSFM, MVS.cpp:248-332):
+    score every ordered view pair by shared SfM-point visibility — per
+    co-visible point, an angle factor min((angle/10deg)^1.5, 1) times a
+    depth-ratio factor (1 if ~equal, quadratic falloff) — then take each
+    reference's top-scored neighbors whose baseline exceeds min_baseline.
+    Robust on loopy trajectories where plain center-KNN picks
+    opposite-facing views.
+
+    points (T,3) world; track_img (T,L) view ids; track_mask (T,L).
+    Returns (N, K) int32 (padded with -1 when a row lacks neighbors)."""
+    poses_cw = np.asarray(poses_cw)
+    n = len(poses_cw)
+    R = np.asarray(se3.exp_so3(jnp.asarray(poses_cw[:, :3])))
+    C = -np.einsum("nji,nj->ni", R, poses_cw[:, 3:])
+    points = np.asarray(points)
+    track_img = np.asarray(track_img)
+    track_mask = np.asarray(track_mask)
+    T, L = track_img.shape
+    score = np.zeros((n, n), np.float64)
+    # per-slot view rays and depths (T, L)
+    V = points[:, None, :] - C[track_img]               # (T, L, 3)
+    dep = np.linalg.norm(V, axis=-1)
+    Vn = V / np.maximum(dep[..., None], 1e-12)
+    for a in range(L):
+        for b in range(a + 1, L):
+            m = track_mask[:, a] & track_mask[:, b]
+            if not m.any():
+                continue
+            ia, ib = track_img[m, a], track_img[m, b]
+            ang = np.degrees(np.arccos(np.clip(
+                (Vn[m, a] * Vn[m, b]).sum(-1), -1.0, 1.0)))
+            angf = np.minimum((ang / angle_threshold) ** 1.5, 1.0)
+
+            def scale_factor(s):
+                out = np.where(s > scale_threshold,
+                               scale_threshold ** 2 / np.maximum(s, 1e-12) ** 2,
+                               np.where(s >= 1.0, 1.0, s ** 2))
+                return out
+
+            s_ab = dep[m, a] / np.maximum(dep[m, b], 1e-12)
+            np.add.at(score, (ia, ib), scale_factor(s_ab) * angf)
+            np.add.at(score, (ib, ia), scale_factor(1.0 / s_ab) * angf)
+    baseline = np.linalg.norm(C[:, None] - C[None], axis=-1)
+    out = np.full((n, n_neighbors), -1, np.int32)
+    for r in range(n):
+        order = np.argsort(-score[r])
+        k = 0
+        for j in order:
+            if k >= n_neighbors or score[r, j] <= 0:
+                break
+            if baseline[r, j] > min_baseline:
+                out[r, k] = j
+                k += 1
+    return out
+
+
 def relative_to_neighbors(poses_cw, ref: int, nei_idx):
     """(R_nr, t_nr) for each neighbor view: p_n = R_nr p_r + t_nr."""
     poses = jnp.asarray(poses_cw)

@@ -162,6 +162,19 @@ def score_candidates(vols, rho_all, nrm_all, rays, i_tab, w_tab,
     h = h_tile
     while H % h:
         h //= 2
+    Wp_est = _round_up(W + 2 * PAD, 128)
+
+    def vmem_bytes(h_):
+        # volume + ray scratch, and the pipelined blocks double-buffered
+        scratch = (D * (h_ + 2 * hv) * Wp_est * 2
+                   + 3 * (h_ + 2 * hv) * Wp_est * 4)
+        blocks = (1 + 3 + 2 * T + 1) * h_ * Wp_est * 4 * 2
+        return scratch + blocks
+
+    # stay under the ~16 MB scoped-vmem limit with margin (wide panoramas:
+    # Room scale -2 is W=1440 -> h drops 16 -> 8)
+    while h > 8 and vmem_bytes(h) > 13 * 2 ** 20:
+        h //= 2
     vol_p, _ = _pad_w(vols, W)
     vol_p = _pad_h(vol_p, hv, 2)                       # (V,D,H+2hv,Wp)
     rays_p, L = _pad_w(rays, W)

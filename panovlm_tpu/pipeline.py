@@ -577,6 +577,7 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
             normalize_distance=cfg.normalize_distance,
             use_image_track=cfg.use_image_track,
             use_lidar_track=cfg.use_lidar_track,
+            use_track_associate=cfg.use_track_associate,
             min_track_length=cfg.min_track_length)
         # baseline-ratio structure filter (EstimateStructure ->
         # FilterTracksToFar(8), CameraLidarOptimizer.cpp:720-729)
@@ -588,7 +589,8 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
             arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             tracks["track_img"], tracks["track_feat"], tracks["track_mask"],
             frames["bearings"], tracks["points"], point_ok, jcfg,
-            lidar_valid=lidar_valid & pose_ok[:len(lidar_valid)])
+            lidar_valid=lidar_valid & pose_ok[:len(lidar_valid)],
+            grays=grays)
     with tr.phase("export"):
         R_c, t_c = pose_util.params_to_world(np.asarray(cam_poses))
         artifacts.export_pose_t(
@@ -730,6 +732,18 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         min_segment=cfg.min_segment)
     rays = spherical.pixel_ray_grid(H, W)
     nei_table = mvs_mod.select_neighbor_views(poses, mcfg.n_neighbors, c_ok)
+    if cfg.mvs_neighbor_selection == 1:  # SFM_POINTS (MVS.h:34)
+        points_npz = os.path.join(cfg.sfm_result_path, "points.npz")
+        if os.path.exists(points_npz):
+            tr_pts = artifacts.read_point_tracks(points_npz)
+            sfm_table = mvs_mod.select_neighbor_sfm(
+                poses, tr_pts["points"], tr_pts["track_img"],
+                tr_pts["track_mask"], mcfg.n_neighbors)
+            # rows short on co-visibility fall back to their KNN picks
+            nei_table = np.where(sfm_table >= 0, sfm_table, nei_table)
+        else:
+            log.warning("SFM_POINTS neighbor selection requested but %s "
+                        "missing; using KNN", points_npz)
 
     with tr.phase("lidar depth init"):
         lidar_depths = []

@@ -82,10 +82,57 @@ def segments_to_arcs(segs: np.ndarray, rows: int, cols: int):
             "arc": arc.astype(np.float32)}
 
 
+def _cam_to_image_np(xyz, rows, cols):
+    """Inverse of _image_to_cam_np: unit rays -> pixel (u, v)."""
+    lat = np.arcsin(np.clip(-xyz[..., 1], -1.0, 1.0))
+    lon = np.arctan2(xyz[..., 0], xyz[..., 2])
+    u = (lon / np.pi + 1.0) * cols / 2.0
+    v = (0.5 - lat / np.pi) * rows
+    return np.stack([u, v], axis=-1)
+
+
+def endpoint_ncc(gray: np.ndarray, uv1: np.ndarray, uv2: np.ndarray,
+                 half_window: int = 21):
+    """Batched ComputeNCC (util/PanoramaLine.h:96-97, the colmap-style
+    patch NCC): zero-mean normalized correlation of the (2w+1)^2 patches
+    around each point pair, border-clamped. uv1/uv2 (Q, 2) -> (Q,)."""
+    H, W = gray.shape[:2]
+    g = gray.astype(np.float32)
+    w = half_window
+    dy, dx = np.mgrid[-w:w + 1, -w:w + 1]
+
+    def patches(uv):
+        yy = np.clip(np.round(uv[:, 1]).astype(np.int64)[:, None, None] + dy,
+                     0, H - 1)
+        # longitude wraps on a panorama
+        xx = np.mod(np.round(uv[:, 0]).astype(np.int64)[:, None, None] + dx, W)
+        return g[yy, xx].reshape(len(uv), -1)
+
+    p1 = patches(np.atleast_2d(uv1))
+    p2 = patches(np.atleast_2d(uv2))
+    p1 = p1 - p1.mean(1, keepdims=True)
+    p2 = p2 - p2.mean(1, keepdims=True)
+    den = np.sqrt((p1 * p1).sum(1) * (p2 * p2).sum(1))
+    return (p1 * p2).sum(1) / np.maximum(den, 1e-9)
+
+
 def fuse_arcs(arcs: dict, angle_thresh_deg: float = 2.0,
-              gap_deg: float = 4.0):
+              gap_deg: float = 4.0, gray: np.ndarray | None = None,
+              ncc_gap_deg: float = 12.0, ncc_threshold: float = -0.2,
+              ncc_floor: float = -0.4, ncc_half_window: int = 21):
     """Merge fragments on the same great circle with adjacent/overlapping
     arcs (the reference's Fuse* family). Host numpy (few hundred lines).
+
+    With `gray`, disjoint fragments (a gap between the arcs) must ALSO pass
+    the photometric endpoint test of FuseFarLines
+    (util/PanoramaLine.cpp:661-703): of the 4 endpoint-pair patch NCCs,
+    the max must reach ncc_threshold and the min must stay above
+    ncc_floor — distinct collinear edges split by an occlusion look
+    different at their endpoints and are NOT fused. NCC-verified merges
+    are allowed a wider gap (12 deg, matching the reference's relaxed
+    far-fusion radius); overlapping fragments fuse geometrically, like
+    FuseOverlapLines. (The reference's FilterByNCC split pass is disabled
+    in its own default Fuse flow, PanoramaLine.cpp:449.)
 
     Returns fused dict (same keys as segments_to_arcs)."""
     n = arcs["normal"]
@@ -103,8 +150,25 @@ def fuse_arcs(arcs: dict, angle_thresh_deg: float = 2.0,
     mid_dot = np.einsum("ik,jk->ij", arcs["mid"], arcs["mid"])
     mid_ang = np.arccos(np.clip(mid_dot, -1, 1))
     half_sum = 0.5 * (arcs["arc"][:, None] + arcs["arc"][None, :])
-    adjacent = (min_gap <= np.radians(gap_deg)) | (mid_ang <= half_sum)
-    connect = same_plane & adjacent
+    overlap = mid_ang <= half_sum
+    if gray is None:
+        adjacent = (min_gap <= np.radians(gap_deg)) | overlap
+        connect = same_plane & adjacent
+    else:
+        near = min_gap <= np.radians(max(gap_deg, ncc_gap_deg))
+        cand = same_plane & near & ~overlap
+        ii, jj = np.nonzero(np.triu(cand, 1))
+        ncc_ok = np.zeros((L, L), bool)
+        if len(ii):
+            H, W = gray.shape[:2]
+            uv = _cam_to_image_np(E, rows=H, cols=W)     # (L, 2, 2)
+            a = np.repeat(uv[ii], 2, axis=1).reshape(-1, 2)   # i e1,e1,e2,e2
+            b = np.tile(uv[jj], (1, 2, 1)).reshape(-1, 2)     # j e1,e2,e1,e2
+            s = endpoint_ncc(gray, a, b, ncc_half_window).reshape(-1, 4)
+            good = (s.max(1) >= ncc_threshold) & (s.min(1) >= ncc_floor)
+            ncc_ok[ii[good], jj[good]] = True
+            ncc_ok |= ncc_ok.T
+        connect = (same_plane & overlap) | ncc_ok
     # connected components (host union-find)
     from .tracks import UnionFind
     uf = UnionFind(L)
@@ -182,7 +246,7 @@ def extract_panorama_lines(gray: np.ndarray, cap: int = 128,
     H, W = gray.shape[:2]
     segs = detect_lsd(gray, mask=mask)
     arcs = segments_to_arcs(segs, H, W)
-    arcs = fuse_arcs(arcs)
+    arcs = fuse_arcs(arcs, gray=gray)
     arcs = filter_arcs(arcs)
     # strongest (longest) first
     order = np.argsort(-arcs["arc"])

@@ -192,3 +192,84 @@ def test_mask_path_restricts_sift(tmp_path, rng):
                                         mask=(m.astype(np.uint8) * 255))
     assert len(uv) > 10
     assert (uv[:, 0] < W // 2 + 1).all(), uv[:, 0].max()
+
+
+def test_fuse_arcs_ncc_rejects_distinct_collinear_edges():
+    """FuseFarLines NCC gate (util/PanoramaLine.cpp:661-703): two distinct
+    physical edges that happen to be collinear (e.g. split by an occlusion,
+    opposite photometric polarity) must NOT fuse when the image is given;
+    fragments of the SAME edge must still fuse across the gap."""
+    from panovlm_tpu.utils import panorama_line as pl
+
+    H, W = 256, 512
+    v0 = 128
+
+    def edge_image(invert_second: bool):
+        g = np.full((H, W), 0.5, np.float32)
+        for (u_lo, u_hi), inv in (((100, 160), False),
+                                  ((165, 225), invert_second)):
+            hi, lo = (0.0, 1.0) if inv else (1.0, 0.0)
+            g[v0 - 16:v0, u_lo:u_hi] = hi
+            g[v0:v0 + 16, u_lo:u_hi] = lo
+        return g
+
+    # both fragments on the equator great circle, 5 px (~3.5 deg) gap
+    segs = np.array([[100, v0, 160, v0], [165, v0, 225, v0]], np.float32)
+    arcs = pl.segments_to_arcs(segs, H, W)
+
+    geo = pl.fuse_arcs(arcs)
+    assert len(geo["arc"]) == 1          # geometry alone fuses them
+
+    distinct = pl.fuse_arcs(arcs, gray=edge_image(True),
+                            ncc_half_window=8)
+    assert len(distinct["arc"]) == 2     # opposite polarity: NOT fused
+
+    same = pl.fuse_arcs(arcs, gray=edge_image(False), ncc_half_window=8)
+    assert len(same["arc"]) == 1         # same edge: still fused
+
+
+def test_optical_flow_filter_rejects_wrong_line_match():
+    """FilterLineMatchOpticalFlow (PanoramaLineMatch.cpp:114-159): LK flow
+    keeps geometrically-correct matches and kills a deliberately corrupted
+    one (points tracked from line A land nowhere near line B)."""
+    from synthetic import render_panorama
+    from panovlm_tpu.utils import panorama_line as pl
+    from panovlm_tpu.models import line_tracks
+
+    H, W = 256, 512
+    g1, _ = render_panorama(np.array([0.0, 0.4, 0.0]), H, W)
+    g2, _ = render_panorama(np.array([0.05, 0.4, 0.02]), H, W)
+    a1 = pl.extract_panorama_lines((g1 * 255).astype(np.uint8), cap=64,
+                                   with_descriptors=False)
+    a2 = pl.extract_panorama_lines((g2 * 255).astype(np.uint8), cap=64,
+                                   with_descriptors=False)
+    import jax.numpy as jnp
+    pose = np.zeros(6, np.float32)
+    m = np.asarray(line_tracks.match_image_lines_pair(
+        {k: jnp.asarray(v) for k, v in a1.items()},
+        {k: jnp.asarray(v) for k, v in a2.items()},
+        jnp.asarray(pose), jnp.asarray(pose)))
+    good_rows = np.nonzero(m >= 0)[0]
+    assert len(good_rows) >= 3
+    # 60 px of the reference's full-res panoramas ~= 20 px at this W=512
+    kept = line_tracks.filter_matches_optical_flow(a2, a1, g2, g1, m,
+                                                   max_median_px=20.0)
+    assert (kept[good_rows] >= 0).mean() > 0.5   # real matches survive
+
+    # corrupt one surviving match to a non-collinear partner line
+    surv = np.nonzero(kept >= 0)[0]
+    normals = a1["normal"]
+    row = None
+    for r in surv:
+        others = [i for i in np.nonzero(a1["mask"])[0]
+                  if abs(normals[i] @ normals[kept[r]]) < 0.7]
+        if others:
+            row = r
+            wrong = others[0]
+            break
+    assert row is not None
+    bad = kept.copy()
+    bad[row] = wrong
+    out = line_tracks.filter_matches_optical_flow(a2, a1, g2, g1, bad,
+                                                  max_median_px=20.0)
+    assert out[row] == -1                         # corrupted match rejected

@@ -306,3 +306,51 @@ def test_segments_to_arcs_matches_spherical():
     a = pl._image_to_cam_np(uv, 256, 512)
     b = np.asarray(spherical.image_to_cam(jnp.asarray(uv), 256, 512))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_camera_lidar_track_associate_votes_and_distributes():
+    """AssociateTrack (CameraLidarTrackAssociate.cpp:103-204): a validated
+    (image track, lidar track) pair distributes its member lines to every
+    (frame, lidar) pair; an under-voted pair is dropped entirely."""
+    from panovlm_tpu.models.line_tracks import camera_lidar_track_associate
+    P, Ls, Li = 4, 6, 5
+    fi = np.array([0, 0, 1, 1], np.int32)   # pairs: (f0,l0),(f0,l1),(f1,l0),(f1,l1)
+    li = np.array([0, 1, 0, 1], np.int32)
+    mask = np.zeros((P, Ls), bool)
+    img_line = np.zeros((P, Ls), np.int32)
+    # pair (0,0): lidar seg 2 <-> image line 1  (track pair A, 1 vote)
+    mask[0, 2] = True; img_line[0, 2] = 1
+    # pair (0,0): lidar seg 4 <-> image line 3  (track pair B, 1 vote)
+    mask[0, 4] = True; img_line[0, 4] = 3
+    # image tracks: track 0 = {f0:line1, f1:line2} (size 2)
+    #               track 1 = {f0:line3} + 4 more frames -> size 5
+    img_track = np.full((2, Li), -1, np.int64)
+    img_track[0, 1] = 0
+    img_track[1, 2] = 0
+    img_track[0, 3] = 1
+    # lidar tracks: track 0 = {l0:seg2, l1:seg0} (size 2)
+    #               track 1 = {l0:seg4} + 4 more -> size 5
+    lid_track = np.full((2, Ls), -1, np.int64)
+    lid_track[0, 2] = 0
+    lid_track[1, 0] = 0
+    lid_track[0, 4] = 1
+    # inflate track-1 sizes via extra rows (frames/lidars outside pairs)
+    img_track = np.vstack([img_track, np.full((3, Li), -1, np.int64)])
+    img_track[2, 0] = 1; img_track[2, 1] = 1
+    img_track[3, 0] = 1; img_track[4, 0] = 1   # img track 1 size = 5
+    lid_track = np.vstack([lid_track, np.full((3, Ls), -1, np.int64)])
+    lid_track[2, 0] = 1; lid_track[2, 1] = 1
+    lid_track[3, 0] = 1; lid_track[4, 0] = 1   # lidar track 1 size = 5
+
+    out_mask, out_line = camera_lidar_track_associate(
+        {"mask": mask, "img_line": img_line}, fi, li, img_track, lid_track)
+    # track pair A: votes=1 >= min(2,2)-2=0 -> validated, distributed:
+    #   (f0,l0): seg2->line1 (kept), (f0,l1): seg0->line1,
+    #   (f1,l0): seg2->line2, (f1,l1): seg0->line2
+    assert out_mask[0, 2] and out_line[0, 2] == 1
+    assert out_mask[1, 0] and out_line[1, 0] == 1
+    assert out_mask[2, 2] and out_line[2, 2] == 2
+    assert out_mask[3, 0] and out_line[3, 0] == 2
+    # track pair B: votes=1 < min(5,5)-2=3 -> dropped (not redistributed)
+    assert not out_mask[0, 4]
+    assert out_mask.sum() == 4

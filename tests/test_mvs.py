@@ -339,3 +339,26 @@ def test_colorize_channel_consistency_far_scan():
     assert cols.shape == (2 * P, 3)
     assert not np.asarray(msk[P:]).any()        # far scan masked out
     assert np.asarray(msk[:P]).any()
+
+
+def test_select_neighbor_sfm_beats_knn_on_loop():
+    """SelectNeighborSFM (MVS.cpp:248-332): on a loopy trajectory the
+    nearest camera by center distance shares no scene content; the
+    SFM-point co-visibility score must pick the co-visible view instead."""
+    # cam 0 and cam 1 nearly collocated but disjoint in content;
+    # cam 2 farther away but sees the same points as cam 0
+    poses = np.zeros((3, 6), np.float32)
+    poses[0, 3:] = 0.0
+    poses[1, 3:] = [-0.3, 0.0, 0.0]      # t_cw = -C -> C1 = (0.3, 0, 0)
+    poses[2, 3:] = [-2.0, 0.0, 0.0]      # C2 = (2, 0, 0)
+    rng = np.random.default_rng(0)
+    pts = np.array([1.0, 0.0, 5.0]) + rng.normal(size=(30, 3)) * 0.3
+    track_img = np.tile(np.array([0, 2], np.int32), (30, 1))
+    track_mask = np.ones((30, 2), bool)
+
+    knn = mvs.select_neighbor_views(poses, 1)
+    sfm_sel = mvs.select_neighbor_sfm(poses, pts, track_img, track_mask, 1)
+    assert knn[0, 0] == 1            # center-KNN picks the empty neighbor
+    assert sfm_sel[0, 0] == 2        # co-visibility picks the right one
+    assert sfm_sel[2, 0] == 0        # and symmetrically for view 2
+    assert sfm_sel[1, 0] == -1       # view 1 shares nothing -> padded
