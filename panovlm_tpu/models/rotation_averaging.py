@@ -70,6 +70,56 @@ def spanning_tree_init(n_frames, pair_i, pair_j, rel_aa, weights=None):
     return aa.astype(np.float32), valid
 
 
+def rotation_averaging_least_square(n_frames, pair_i, pair_j, rel_aa,
+                                    weights=None):
+    """RotationAveragingLeastSquare (sfm/RotationAveraging.cpp:185-275):
+    closed-form spectral solve of the stacked constraints
+    weight * (R_jw - R_ji R_iw) = 0. The three eigenvectors of A^T A with
+    the smallest |eigenvalue| hold the rows of every camera's rotation;
+    each 3x3 is projected to SO(3) (SVD, det > 0) and the gauge is fixed
+    by right-multiplying R_0^T so camera 0 = identity.
+
+    A^T A is assembled directly from its per-pair block structure
+    (R_ji^T R_ji = I): +w^2 I at (i,i) and (j,j), -w^2 R_ji^T at (i,j).
+    Host numpy dense eigh — solver init control plane (3N x 3N, N is
+    hundreds), like the spanning-tree init.
+
+    Returns (aa_fw (N,3) float32, valid (N,)) — cameras in no pair get
+    identity and valid=False."""
+    from scipy.spatial.transform import Rotation as ScR
+
+    pair_i = np.asarray(pair_i)
+    pair_j = np.asarray(pair_j)
+    M = len(pair_i)
+    w2 = (np.ones(M) if weights is None
+          else np.asarray(weights, np.float64) ** 2)
+    R_ji = ScR.from_rotvec(np.asarray(rel_aa)).as_matrix()
+    AtA = np.zeros((3 * n_frames, 3 * n_frames))
+    valid = np.zeros(n_frames, bool)
+    for k in range(M):
+        i, j = int(pair_i[k]), int(pair_j[k])
+        AtA[3 * i:3 * i + 3, 3 * i:3 * i + 3] += w2[k] * np.eye(3)
+        AtA[3 * j:3 * j + 3, 3 * j:3 * j + 3] += w2[k] * np.eye(3)
+        AtA[3 * i:3 * i + 3, 3 * j:3 * j + 3] -= w2[k] * R_ji[k].T
+        AtA[3 * j:3 * j + 3, 3 * i:3 * i + 3] -= w2[k] * R_ji[k]
+        valid[i] = valid[j] = True
+    evals, evecs = np.linalg.eigh(AtA)          # ascending; AtA is PSD
+    V = evecs[:, :3]                             # (3N, 3) nullspace basis
+    # each nullspace vector's i-th segment is R_iw g_c, so the segments
+    # are the COLUMNS of X_i = R_iw G — exact recovery after the SO(3)
+    # projection absorbs G (verified exact on noise-free graphs)
+    rot = V.reshape(n_frames, 3, 3)
+    U, _, Vt = np.linalg.svd(rot)
+    R = U @ Vt
+    det = np.linalg.det(R)
+    R = R * np.sign(det)[:, None, None]
+    anchor = int(np.argmax(valid)) if valid.any() else 0
+    R = R @ R[anchor].T[None]
+    R = np.where(valid[:, None, None], R, np.eye(3))
+    aa = ScR.from_matrix(R).as_rotvec()
+    return aa.astype(np.float32), valid
+
+
 def filter_pairs_x84(pair_i, pair_j, rel_aa, aa_global, k_mad: float = 3.5):
     """X84 (MAD) rejection of rotation measurements inconsistent with the
     current global rotations (FilterPairs, RotationAveraging.cpp:11-183).
@@ -133,14 +183,22 @@ def rotation_averaging_l2(n_frames, pair_i, pair_j, rel_aa, weights=None,
     """ROTATION_AVERAGING_L2 (sfm/SfM.h:67; RotationAveragingL2,
     sfm/RotationAveraging.cpp:317-374): spanning-tree init + one Huber L2
     ceres-style solve, no robust L1 stage. Same return shape as the L1
-    variant.
-
-    Init divergence vs the reference: the reference's L2 path seeds from
-    RotationAveragingLeastSquare (sparse nullspace, SfM.cpp:859-869) before
-    refining; this implementation seeds from the weighted spanning tree
-    (same init as the L1 path). Both land in the same basin on clean graphs;
-    on noisy graphs results can differ until the nullspace init is added."""
-    aa0, valid = spanning_tree_init(n_frames, pair_i, pair_j, rel_aa, weights)
+    variant. Seeds from RotationAveragingLeastSquare (the reference's L2
+    init, SfM.cpp:859-869); falls back to the weighted spanning tree when
+    the pair graph leaves cameras unconstrained."""
+    # the spectral solve needs ONE connected component covering every
+    # camera — otherwise the nullspace is >3-dimensional and mixes them
+    from ..utils.tracks import UnionFind
+    uf = UnionFind(n_frames)
+    for a, b in zip(np.asarray(pair_i), np.asarray(pair_j)):
+        uf.union(int(a), int(b))
+    connected = len({uf.find(i) for i in range(n_frames)}) == 1
+    if connected:
+        aa0, valid = rotation_averaging_least_square(
+            n_frames, pair_i, pair_j, rel_aa, weights)
+    else:
+        aa0, valid = spanning_tree_init(n_frames, pair_i, pair_j, rel_aa,
+                                        weights)
     mask = filter_pairs_x84(pair_i, pair_j, rel_aa, aa0) if x84 \
         else np.ones(len(pair_i), bool)
     aa1, _ = _solve(aa0, pair_i, pair_j, rel_aa, jnp.asarray(mask),

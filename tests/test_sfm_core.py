@@ -335,3 +335,29 @@ def test_rotation_averaging_l2_method(rng):
             errs.append(np.degrees(np.linalg.norm(
                 (R_ij * ScR.from_rotvec(rel[k]).inv()).as_rotvec())))
         assert np.median(errs) < 0.5, (method, np.median(errs))
+
+
+def test_rotation_averaging_least_square(rng):
+    """RotationAveragingLeastSquare (RotationAveraging.cpp:185-275): the
+    spectral nullspace solve recovers global rotations up to gauge on a
+    noisy connected graph, and camera 0 is gauge-fixed to identity."""
+    aa_gt, R, pi, pj, rel = _pose_graph(rng, n=12, rot_noise=0.01)
+    aa0, valid = ra.rotation_averaging_least_square(len(aa_gt), pi, pj, rel)
+    assert valid.all()
+    R0 = ScR.from_rotvec(aa0).as_matrix()
+    np.testing.assert_allclose(R0[0], np.eye(3), atol=1e-6)
+    G = R0[0] @ R[0].T
+    R_aligned = np.einsum("ij,njk->nik", G.T, R0)
+    err = np.linalg.norm(
+        ScR.from_matrix(np.einsum("nij,nkj->nik", R_aligned, R)).as_rotvec(),
+        axis=1)
+    assert err.max() < 0.05, err.max()
+
+    # disconnected graph: L2 path must fall back to the spanning tree
+    # without blowing up (two components)
+    pi2 = np.array([0, 1, 3, 4], np.int32)
+    pj2 = np.array([1, 2, 4, 5], np.int32)
+    rel2 = np.stack([ScR.from_matrix(R[j] @ R[i].T).as_rotvec()
+                     for i, j in zip(pi2, pj2)]).astype(np.float32)
+    aa2, valid2, _ = ra.rotation_averaging_l2(6, pi2, pj2, rel2, x84=False)
+    assert np.isfinite(aa2).all()
