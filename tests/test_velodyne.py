@@ -159,3 +159,41 @@ def test_extract_lines_synthetic():
     # the two dominant lines should be along x and y
     ax = np.abs(dirs)
     assert (ax[:, 0] > 0.99).any() and (ax[:, 1] > 0.99).any()
+
+
+def test_extract_planes_finds_room_planes():
+    """Standalone plane segmentation (LidarPlaneExtraction.cpp: normal
+    maps + region growing + cluster validation): on a synthetic room scan
+    the floor and walls come out as large validated clusters whose fitted
+    normals match the room's axis directions, and curvature is low on the
+    kept cells."""
+    import jax.numpy as jnp
+    from synthetic import make_scan
+    from panovlm_tpu.sensors import velodyne as vd
+    from panovlm_tpu.sensors import lidar_planes as lp
+
+    # large open room: the downward rings land on the floor well before
+    # the walls, so floor AND wall clusters are both in play
+    pts_raw = make_scan(origin=(0.4, 0.2, -1.0), noise=0.003,
+                        half_extents=(8.0, 8.0, 1.5), boxes=())
+    pts, ok = vd.preprocess_cloud(pts_raw)
+    assert ok
+    pp, mm = vd.pad_points(pts, 32768)
+    img = vd.build_range_image(jnp.asarray(pp), jnp.asarray(mm))
+
+    pm = lp.extract_planes(img["xyz"], img["valid"])
+    keep = np.asarray(pm.keep)
+    assert keep.sum() > 2000, keep.sum()        # planes cover the room
+
+    centers, normals, ds, sizes, mask = lp.plane_params(
+        img["xyz"], img["valid"], pm, cap=16)
+    assert mask.sum() >= 3                       # floor + several walls
+    # every recovered plane should be axis-aligned in the camera frame
+    # (room walls/floor): max |component| close to 1
+    ax = np.abs(normals[mask]).max(axis=1)
+    assert (ax > 0.98).all(), normals[mask]
+    # the floor (y = const in camera frame after the axis swap) is there
+    has_floor = (np.abs(normals[mask][:, 1]) > 0.98).any()
+    assert has_floor
+    # kept cells are genuinely low-curvature
+    assert float(np.asarray(pm.curvature)[keep].mean()) < 0.02
