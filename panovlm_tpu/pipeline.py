@@ -106,7 +106,8 @@ def extract_all_features(scans, cap: int = 32768, cfg: Config = None):
             jnp.asarray(p), jnp.asarray(m),
             max_curvature=cfg.max_curvature if cfg else 5.0,
             intersect_angle_threshold=cfg.intersection_angle_threshold if cfg else 5.0,
-            segment=cfg.lidar_segmentation if cfg else True)
+            segment=cfg.lidar_segmentation if cfg else True,
+            method=cfg.extraction_method if cfg else 3)
         feats.append(f)
     return lidar_odometry.stack_features(feats)
 

@@ -539,6 +539,50 @@ def picks_to_buffer(seq, pidx, pok, cap: int, extra=None):
 # voxel downsample
 # ----------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("h_size", "v_size",
+                                             "min_segment", "iters"))
+def combine_edges_hysteresis(strict_img, loose_img, h_size: int = 3,
+                             v_size: int = 2, min_segment: int = 5,
+                             iters: int = 10):
+    """CombineEdgeFeatures (Velodyne.cpp:1191-1267): canny-style
+    hysteresis between a strict and a loose edge image. The reference
+    BFS-floods from every strict cell through the (+-v_size, +-h_size)
+    window over strict|loose cells and keeps segments with > 4 members.
+
+    Batched equivalent: min-label flooding over the same window
+    (each iteration is a stack of static-shift mins, so iters * window
+    elementwise ops — no queue), then per-label size and
+    contains-a-strict-seed tests via scatter reductions.
+
+    Returns (keep (S,W) bool, labels (S,W) int32, S*W where dropped)."""
+    S, W = strict_img.shape
+    mask = strict_img | loose_img
+    big = jnp.int32(S * W)
+    lin = jnp.arange(S * W, dtype=jnp.int32).reshape(S, W)
+    labels = jnp.where(mask, lin, big)
+
+    shifts = [(dr, dc) for dr in range(-v_size, v_size + 1)
+              for dc in range(-h_size, h_size + 1) if (dr, dc) != (0, 0)]
+
+    def body(_, lab):
+        m = lab
+        for dr, dc in shifts:
+            s = _shift_fill(lab, dr, axis=0, fill=big)
+            s = _shift_fill(s, dc, axis=1, fill=big)
+            m = jnp.minimum(m, s)
+        return jnp.where(mask, m, big)
+
+    labels = jax.lax.fori_loop(0, iters, body, labels)
+    flat = labels.ravel()
+    sizes = jnp.zeros((S * W + 1,), jnp.int32).at[flat].add(
+        mask.ravel().astype(jnp.int32))
+    seeded = jnp.zeros((S * W + 1,), jnp.int32).at[flat].max(
+        strict_img.ravel().astype(jnp.int32))
+    ok = (sizes >= min_segment) & (seeded > 0)
+    keep = ok[flat].reshape(S, W) & mask
+    return keep, jnp.where(keep, labels, big)
+
+
 @functools.partial(jax.jit, static_argnames=("leaf",))
 def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2):
     """Centroid voxel-grid filter (pcl::VoxelGrid leaf 0.2, Velodyne.cpp:
@@ -669,13 +713,19 @@ def gather_masked(values, mask, cap: int, fill=0.0):
     return out, out_mask
 
 
-@functools.partial(jax.jit, static_argnames=("max_curvature", "intersect_angle_threshold", "segment"))
+@functools.partial(jax.jit, static_argnames=("max_curvature", "intersect_angle_threshold", "segment", "method"))
 def extract_features(pts, mask, max_curvature: float = 5.0,
                      intersect_angle_threshold: float = 5.0,
-                     segment: bool = True):
-    """ADAPTIVE feature extraction pipeline (ExtractFeatures with
-    method=ADAPTIVE, Velodyne.cpp:531-769 — the Room/Floor config choice,
-    config/Room.txt extraction_method=3).
+                     segment: bool = True, method: int = 3):
+    """Feature extraction pipeline (ExtractFeatures, Velodyne.cpp:531-769).
+
+    method=3 ADAPTIVE (the Room/Floor config choice, config/Room.txt
+    extraction_method=3). method=2 DOUBLE_EXTRACTION: the edge pick pass
+    runs twice — strict (max_curvature/10, angle threshold x2) and loose —
+    and the surviving edge set is the hysteresis combination
+    (CombineEdgeFeatures, Velodyne.cpp:1191-1267). The 3D-line stage
+    still runs on the combined set (the association contract needs
+    per-segment line labels either way).
 
     Returns (ScanFeatures, seq, aux dict).
     """
@@ -705,6 +755,28 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
     picked_e, rank_e, disabled, eidx, eok = greedy_pick(
         seq, curv, edge_eligible, n_picks=30)
 
+    hyst_keep = None
+    if method == 2:
+        strict_eligible = (
+            interior & window_ok & ~seq["ground"]
+            & (curv > 0.1) & (curv <= max_curvature / 10.0)
+            & (vang >= 2.0 * intersect_angle_threshold)
+            & (vang <= 180.0 - 2.0 * intersect_angle_threshold)
+        )
+        picked_s, _, _, _, _ = greedy_pick(seq, curv, strict_eligible,
+                                           n_picks=30)
+        S_, W_ = seq["valid"].shape
+        rows_ = jnp.broadcast_to(jnp.arange(S_, dtype=jnp.int32)[:, None],
+                                 (S_, W_))
+
+        def to_image(picked):
+            col = jnp.where(picked & seq["valid"], seq["col"], W_)
+            return jnp.zeros((S_, W_), bool).at[rows_, col].max(
+                picked, mode="drop")
+
+        hyst_keep, _ = combine_edges_hysteresis(to_image(picked_s),
+                                                to_image(picked_e))
+
     # planes: eligibility excludes anything picked/disabled by the edge pass
     plane_eligible = (
         interior & window_ok & (curv >= 0) & (curv <= 0.02)
@@ -717,7 +789,20 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
                     & ~picked_e & ~picked_f & ~all_disabled)
 
     # --- gather picked points straight from the recorded pick indices ---
-    edge_pts, edge_mask, edge_rows = picks_to_buffer(seq, eidx, eok, CAP_EDGE)
+    if hyst_keep is not None:
+        # DOUBLE_EXTRACTION: the edge set is the hysteresis-validated
+        # image cells (gathered from the image grid, not the pick list)
+        S_, W_ = img["valid"].shape
+        rows_img = jnp.broadcast_to(
+            jnp.arange(S_, dtype=jnp.float32)[:, None] + 0.5, (S_, W_))
+        pack = jnp.concatenate([img["xyz"], rows_img[..., None]], axis=-1)
+        g, edge_mask = gather_masked(pack, hyst_keep & img["valid"],
+                                     CAP_EDGE)
+        edge_pts = g[:, :3]
+        edge_rows = jnp.where(edge_mask, g[:, 3].astype(jnp.int32), -1)
+    else:
+        edge_pts, edge_mask, edge_rows = picks_to_buffer(
+            seq, eidx, eok, CAP_EDGE)
     sharp_pts, sharp_mask, _ = picks_to_buffer(seq, eidx[:3], eok[:3], CAP_SHARP)
     flat_pts, flat_mask, flat_rows, flat_grd_i = picks_to_buffer(
         seq, fidx, fok, CAP_FLAT, extra=[seq["ground"].astype(jnp.int32)])

