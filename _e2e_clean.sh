@@ -1,4 +1,10 @@
 #!/bin/bash
+# Clean-trajectory end-to-end accuracy run (VERDICT r1 item 5): 24 frames,
+# physically consistent sweep-motion distortion (sweep_alpha = 0.5 matches
+# data_gap_time = 0.1 via alpha = duration/(duration+gap)), with asserted
+# accuracy thresholds at the end — camera sim3 RMSE < 5 cm, sim3 scales
+# within 1.5% of metric for both camera and lidar trajectories.
+set -u
 cd /root/repo
 python - <<'PYEOF'
 import sys, os, shutil, time
@@ -8,7 +14,7 @@ root = "/tmp/e2e_room2"
 shutil.rmtree(root, ignore_errors=True)
 os.makedirs(root)
 make_dataset(root, n_frames=24, H=256, W=512, h_steps=1800,
-             step=(0.1, 0.025, 0.0), yaw_step=0.02)
+             step=(0.1, 0.025, 0.0), yaw_step=0.02, sweep_alpha=0.5)
 print("dataset ok", flush=True)
 PYEOF
 for stage in init_camera_pose init_lidar_pose joint_optimization colorize_lidar_map joint_mvs; do
@@ -26,6 +32,7 @@ from panovlm_tpu.io import artifacts
 from panovlm_tpu.utils.gps import umeyama
 Cg = np.asarray(gt["C"])
 S = np.array([[1.,0,0],[0,0,-1],[0,1,0]])
+failures = []
 for name, path, is_lidar in (
     ("joint cam", "/tmp/e2e_room2/result/joint/camera_pose_joint.txt", False),
     ("joint lidar", "/tmp/e2e_room2/result/joint/lidar_pose_joint.txt", True)):
@@ -37,5 +44,14 @@ for name, path, is_lidar in (
     err = np.linalg.norm((s*(Ra@C[:n].T).T + ta) - Cg[:n], axis=1)
     s1, R1, t1 = umeyama(C[:n], Cg[:n], with_scale=False)
     err1 = np.linalg.norm((R1@C[:n].T).T + t1 - Cg[:n], axis=1)
-    print(f"{name}: sim3 RMSE {np.sqrt((err**2).mean()):.4f} m (scale {s:.3f}); se3 RMSE {np.sqrt((err1**2).mean()):.4f} m", flush=True)
+    rmse = np.sqrt((err**2).mean())
+    print(f"{name}: sim3 RMSE {rmse:.4f} m (scale {s:.3f}); se3 RMSE {np.sqrt((err1**2).mean()):.4f} m", flush=True)
+    if abs(s - 1.0) > 0.015:
+        failures.append(f"{name}: sim3 scale {s:.4f} off metric by >1.5%")
+    if not is_lidar and rmse > 0.05:
+        failures.append(f"{name}: sim3 RMSE {rmse:.4f} m > 0.05 m")
+if failures:
+    print("ACCURACY FAIL:\n  " + "\n  ".join(failures), flush=True)
+    sys.exit(1)
+print("ACCURACY OK", flush=True)
 PYEOF

@@ -134,10 +134,13 @@ def _texture(p):
 
 def make_dataset(root, n_frames=6, H=128, W=256, step=(0.22, 0.06, 0.0),
                  yaw_step=0.03, origin=(0.0, 0.0, -1.0), noise=0.002,
-                 h_steps=1800, config_overrides=""):
+                 h_steps=1800, sweep_alpha=0.0, config_overrides=""):
     """Write a synthetic Room-style dataset: images/ pcd/ config.txt.
 
     T_cl = identity, time_offset = 0: frames and scans are colocated.
+    sweep_alpha > 0 simulates spinning-LiDAR motion distortion (see
+    make_trajectory_scans); with the default data_gap_time = 0.1 the
+    physically consistent value is 0.5 (= 0.1 / (0.1 + 0.1)).
     Returns (config_path, gt) where gt has camera poses in CAMERA-convention
     world ([R_wc, t_wc]) and matching lidar z-up poses."""
     import os
@@ -149,7 +152,7 @@ def make_dataset(root, n_frames=6, H=128, W=256, step=(0.22, 0.06, 0.0),
     S = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
     scans, poses_l = make_trajectory_scans(
         n_scans=n_frames, step=step, yaw_step=yaw_step, origin=origin,
-        noise=noise, h_steps=h_steps)
+        noise=noise, h_steps=h_steps, sweep_alpha=sweep_alpha)
     R_wc_all, C_all = [], []
     for i, ((R_l, t_l), scan) in enumerate(zip(poses_l, scans)):
         R_wc = S @ R_l @ S.T
@@ -210,28 +213,58 @@ def render_panorama(origin_cam, H, W, R_wc=None, **room_kw):
 
 
 def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
-                          noise=0.003, seed=0, origin=(0.0, 0.0, -1.0), **kw):
+                          noise=0.003, seed=0, origin=(0.0, 0.0, -1.0),
+                          sweep_alpha=0.0, **kw):
     """Scans along a straight-ish trajectory. Returns (scans, poses) where
     poses are (R_wl, t_wl) ground truth in the LIDAR (z-up) world frame.
+
+    sweep_alpha: fraction of the inter-scan motion covered DURING one sweep
+    — simulates spinning-sensor motion distortion. Matches the pipeline /
+    reference time model (LidarOdometry.cpp:224: the sweep-end pose sits at
+    duration/(duration+gap_time) along the geodesic to the next scan pose),
+    so sweep_alpha = duration / (duration + data_gap_time); 0 = instantaneous
+    scans (no distortion). Each azimuth column is raycast from the
+    interpolated pose and the return is stored in the sensor frame AT FIRING
+    TIME — exactly what a real spinning LiDAR records, and exactly what
+    UndistortCloud inverts. GT pose = the sweep-START pose.
 
     Default origin sits near the floor: a VLP-16's +-15 deg fan at room
     center never hits floor or ceiling, leaving vertical translation
     unobservable for LiDAR-only odometry (walls give horizontal normals,
     edges give vertical lines)."""
     rng = np.random.default_rng(seed)
+    h_steps = kw.get("h_steps", 1800)
+    room_kw = {k: v for k, v in kw.items() if k != "h_steps"}
+    dirs = vlp16_directions(h_steps)
+
+    def yaw_R(yaw):
+        c, s = np.cos(yaw), np.sin(yaw)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
     scans, poses = [], []
     for i in range(n_scans):
-        yaw = yaw_step * i
-        c, s = np.cos(yaw), np.sin(yaw)
-        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        R = yaw_R(yaw_step * i)
         t = np.asarray(step) * i + np.asarray(origin)
-        # scan points measured in lidar frame: p_l = R^T (p_w - t)
-        # generate by raycasting from the moved origin with rotated rays
-        dirs = vlp16_directions(kw.get("h_steps", 1800))
-        dirs_w = dirs @ R.T
-        tt = raycast_room(t, dirs_w, **{k: v for k, v in kw.items() if k != "h_steps"})
+        if sweep_alpha == 0.0:
+            dirs_w = dirs @ R.T
+            tt = raycast_room(t, dirs_w, **room_kw)
+            dirs_s = dirs
+        else:
+            # per-point pose at firing time: frac of the sweep elapsed =
+            # azimuth index / h_steps (azimuth-major order, start at az=0,
+            # the same convention sweep_fraction recovers downstream)
+            frac = np.repeat(np.arange(h_steps) / h_steps, 16)
+            a = sweep_alpha * frac
+            yaw_f = yaw_step * (i + a)
+            cf, sf = np.cos(yaw_f), np.sin(yaw_f)
+            t_f = t[None, :] + a[:, None] * np.asarray(step)[None, :]
+            # world ray dir = R_f @ d, R_f = yaw rotation per point
+            dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+            dirs_w = np.stack([cf * dx - sf * dy, sf * dx + cf * dy, dz], -1)
+            tt = raycast_room(t_f, dirs_w, **room_kw)
+            dirs_s = dirs  # return stored in the instantaneous sensor frame
         ok = np.isfinite(tt)
-        pts_l = dirs[ok] * tt[ok, None]
+        pts_l = dirs_s[ok] * tt[ok, None]
         pts_l += rng.normal(size=pts_l.shape) * noise
         scans.append(pts_l.astype(np.float32))
         poses.append((R, t.astype(np.float64)))

@@ -110,6 +110,56 @@ def test_undistort_scan_linear_motion():
     np.testing.assert_allclose(out[-1], np.asarray(pts)[-1] + [0.3, 0, 0], atol=1e-5)
 
 
+def test_simulated_sweep_distortion_roundtrip():
+    """make_trajectory_scans(sweep_alpha>0) must be EXACTLY inverted by the
+    pipeline's undistortion (sweep_fraction + undistort_scan with the
+    reference's alpha = duration/(duration+gap) time model,
+    LidarOdometry.cpp:189-263): undistorted points, mapped to world by the
+    scan-START pose, land on the same surface points the simulated
+    spinning sensor measured."""
+    alpha = 0.5
+    step = np.array([0.2, 0.05, 0.0])
+    yaw_step = 0.04
+    scans, poses = make_trajectory_scans(
+        n_scans=2, step=step, yaw_step=yaw_step, noise=0.0, h_steps=900,
+        sweep_alpha=alpha)
+    pts_raw = scans[0]                       # lidar z-up, sensor@firing frame
+    # expected world points, from the generator's own interpolation model:
+    # azimuth(point) == firing azimuth (ray direction is stored in the
+    # instantaneous sensor frame), so frac is recoverable exactly
+    az = np.arctan2(pts_raw[:, 0], pts_raw[:, 1])
+    frac_gt = np.mod(az, 2 * np.pi) / (2 * np.pi)
+    a = alpha * frac_gt
+    yaw_f = yaw_step * (0 + a)
+    c, s = np.cos(yaw_f), np.sin(yaw_f)
+    R0, t0 = poses[0]
+    t_f = t0[None, :] + a[:, None] * step[None, :]
+    p64 = pts_raw.astype(np.float64)
+    pw_expected = np.stack([c * p64[:, 0] - s * p64[:, 1],
+                            s * p64[:, 0] + c * p64[:, 1],
+                            p64[:, 2]], -1) + t_f
+    # pipeline path: axis swap, sweep fraction, undistort with GT poses
+    pts_cam = pts_raw @ S.T
+    pp, mm = vd.pad_points(pts_cam, 16384)
+    frac = np.asarray(vd.sweep_fraction(jnp.asarray(pp), jnp.asarray(mm)))
+    gt_params = np.stack([
+        pose_params_from_wl(*lidar_pose_to_cam(R, t)) for R, t in poses])
+    und = np.asarray(lidar_odometry.undistort_scan(
+        jnp.asarray(pp), jnp.asarray(frac * alpha),
+        jnp.asarray(gt_params[0]), jnp.asarray(gt_params[1])))[:len(pts_raw)]
+    # world (camera conv) via the scan-start pose, back to z-up for comparison
+    pw_cam = np.asarray(association.to_world(jnp.asarray(gt_params[0]),
+                                             jnp.asarray(und)))
+    pw_zup = pw_cam @ S
+    err = np.linalg.norm(pw_zup - pw_expected, axis=1)
+    assert np.max(err) < 2e-3, (np.max(err), np.median(err))
+    # and WITHOUT undistortion the distortion is material (test has teeth)
+    pw_raw = np.asarray(association.to_world(
+        jnp.asarray(gt_params[0]), jnp.asarray(pp)))[:len(pts_raw)] @ S
+    err_raw = np.linalg.norm(pw_raw - pw_expected, axis=1)
+    assert np.max(err_raw) > 0.05, np.max(err_raw)
+
+
 def test_fuse_world(traj):
     batch, gt, valid = traj
     pts = batch["less_flat"]
