@@ -16,6 +16,17 @@ from .pipeline import STAGES
 from .utils.timing import TimeReport
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache, shared with bench/tests: stage
+    processes are short-lived (one stage per process, like the reference's
+    one-executable-run-per-stage contract) so without this every run
+    re-pays multi-minute tunnel compiles for programs compiled in the
+    previous stage/run."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 2 or argv[0] not in STAGES:
@@ -23,6 +34,7 @@ def main(argv=None):
         return 2
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
+    _enable_compile_cache()
     stage, config_path = argv
     cfg = load_config(config_path)
     tr = TimeReport()

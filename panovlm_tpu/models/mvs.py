@@ -208,7 +208,14 @@ def estimate_depth_map(gray_ref, grays_nei, poses_cw, ref, nei_idx,
                     gray_ref, grays_nei, rays, depth, normal, cost,
                     R_nr, t_nr, sub, fixed, cfg.pm, parity, nei_depths,
                     vols=vols, dvols=dvols)
-    conf = jnp.clip(1.0 - cost, -1.0, 1.0)   # NCC-like confidence in [-1,1]
+    # Confidence = the NCC score itself, exactly the reference's semantics:
+    # ScorePixel returns the best-2-neighbor mean NCC in [-1,1] (higher =
+    # better, mvs/MVS.cpp:905-923), InitConfMap stores it as conf_map
+    # (MVS.cpp:586-619), and ConvertNCC2Conf clamps negatives to 0 before
+    # conf-weighted filtering (MVS.cpp:2343-2353). Our `cost` is 1-NCC in
+    # [0,2], so 1-cost IS that score; downstream filter/fuse apply
+    # max(conf, 0), matching ConvertNCC2Conf.
+    conf = jnp.clip(1.0 - cost, -1.0, 1.0)
     return depth, normal, conf
 
 

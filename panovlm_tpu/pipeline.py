@@ -755,7 +755,12 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                     os.path.join(cfg.joint_result_path,
                                  "lidar_pose_joint.txt"))
             for i in range(n):
-                # project the temporally nearest scan through joint poses
+                # Frame i <-> scan i, the reference's own mapping: its MVS
+                # LiDAR depth init reads lidars[ref_id] with the per-frame
+                # T_cl = frame.pose^-1 * lidar.pose (mvs/MVS.cpp:502-512),
+                # and the SfM depth stage hard-errors when counts diverge
+                # (sfm/SfM.cpp:174-178). We clamp instead of erroring so a
+                # trailing frame without a scan still gets an init.
                 j = min(i, len(scans) - 1)
                 p, m = vd.pad_points(scans[j], 32768)
                 T_ci = np.eye(4)

@@ -60,6 +60,55 @@ def test_sharded_solve_matches_unsharded(rng):
     np.testing.assert_allclose(sharded[1:, :3], gt[1:, :3], atol=1e-3)
 
 
+def test_halo_windowed_association_matches_replicated():
+    """Time-axis-sharded association (ppermute ring halo, SURVEY §5.7) must
+    reproduce the replicated associate_all_pairs on the same temporal pair
+    list: 8 scans over the 8-device mesh (one scan per shard is the
+    degenerate window=1 case that exercises every halo transfer)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import make_trajectory_scans
+    from panovlm_tpu.models import association, lidar_odometry
+    from panovlm_tpu.parallel import halo
+    from panovlm_tpu.sensors import velodyne as vd
+
+    scans, poses_gt = make_trajectory_scans(n_scans=8, step=(0.2, 0.05, 0.0),
+                                            yaw_step=0.03, noise=0.002,
+                                            h_steps=450)
+    feats = []
+    for pts_lidar in scans:
+        pts, _ = vd.preprocess_cloud(pts_lidar)
+        p, m = vd.pad_points(pts, 8192)
+        f, _, _ = vd.extract_features(jnp.asarray(p), jnp.asarray(m))
+        feats.append(f)
+    batch = lidar_odometry.stack_features(feats)
+    poses = np.zeros((8, 6), np.float32)
+    poses[:, 3] = -np.arange(8) * 0.2  # rough t_lw for a +x walk
+
+    mesh = make_mesh()
+    window = 1
+    assoc_s, pr, pn, pv = halo.associate_windowed_sharded(
+        batch, poses, n_scans=8, window=window, mesh=mesh)
+    pr, pn, pv = np.asarray(pr), np.asarray(pn), np.asarray(pv)
+    assert pv.sum() == 7 and (pn[pv] == pr[pv] + 1).all()
+
+    assoc_r = association.associate_all_pairs(
+        batch, jnp.asarray(poses), jnp.asarray(pr % 8), jnp.asarray(pn % 8))
+    for fam in ("p2l", "p2p", "l2l"):
+        m_ref = np.asarray(assoc_r[fam]["mask"])[pv]
+        for k in assoc_s[fam]:
+            a = np.asarray(assoc_s[fam][k])[pv]
+            b = np.asarray(assoc_r[fam][k])[pv]
+            np.testing.assert_array_equal(
+                a if a.dtype == bool else np.where(
+                    m_ref.reshape(m_ref.shape + (1,) * (a.ndim - m_ref.ndim)),
+                    a, 0),
+                b if b.dtype == bool else np.where(
+                    m_ref.reshape(m_ref.shape + (1,) * (b.ndim - m_ref.ndim)),
+                    b, 0),
+                err_msg=f"{fam}.{k}")
+
+
 def test_ground_linefit(rng):
     from panovlm_tpu.sensors.ground import segment_ground_linefit
     # ground plane at y=+1.2 (camera convention) + a wall at x=3
