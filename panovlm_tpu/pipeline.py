@@ -95,21 +95,36 @@ def load_scans(cfg: Config):
     return scans, np.asarray(valid), names
 
 
-def extract_all_features(scans, cap: int = 32768, cfg: Config = None):
+def extract_all_features(scans, cap: int = 32768, cfg: Config = None,
+                         chunk: int = 32):
+    """Batched feature extraction: one vmapped device program per CHUNK of
+    scans instead of one dispatch+sync per scan — per-call overhead through
+    the remote runtime dominates at per-scan granularity (PERF.md device
+    calibration: ~28 ms sync round-trip vs ~2 ms/scan of extraction work in
+    the batched program). The scan count is padded to a chunk multiple so
+    exactly one program shape compiles regardless of dataset size."""
+    import jax
     import jax.numpy as jnp
     from .sensors import velodyne as vd
-    from .models import lidar_odometry
-    feats = []
-    for pts in scans:
-        p, m = vd.pad_points(pts, cap)
-        f, _, _ = vd.extract_features(
-            jnp.asarray(p), jnp.asarray(m),
-            max_curvature=cfg.max_curvature if cfg else 5.0,
-            intersect_angle_threshold=cfg.intersection_angle_threshold if cfg else 5.0,
-            segment=cfg.lidar_segmentation if cfg else True,
-            method=cfg.extraction_method if cfg else 3)
-        feats.append(f)
-    return lidar_odometry.stack_features(feats)
+
+    kw = dict(
+        max_curvature=cfg.max_curvature if cfg else 5.0,
+        intersect_angle_threshold=cfg.intersection_angle_threshold if cfg else 5.0,
+        segment=cfg.lidar_segmentation if cfg else True,
+        method=cfg.extraction_method if cfg else 3)
+    n = len(scans)
+    chunk = min(chunk, max(n, 1))
+    extract = jax.jit(jax.vmap(lambda p, m: vd.extract_features(p, m, **kw)[0]))
+    pads = [vd.pad_points(p, cap) for p in scans]
+    outs = []
+    for c0 in range(0, n, chunk):
+        sel = pads[c0:c0 + chunk]
+        sel = sel + [sel[-1]] * (chunk - len(sel))  # pad last chunk: one shape
+        pts = jnp.asarray(np.stack([p for p, _ in sel]))
+        msk = jnp.asarray(np.stack([m for _, m in sel]))
+        outs.append(extract(pts, msk))
+    return {k: jnp.concatenate([getattr(o, k) for o in outs])[:n]
+            for k in outs[0]._fields}
 
 
 # ----------------------------------------------------------------------------
@@ -457,66 +472,91 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
     from .sensors import velodyne as vd
     from .utils import visualization as viz
 
+    import jax
+
     os.makedirs(cfg.lidar_path_undistort, exist_ok=True)
     n = len(scans)
     valid_ids = [i for i in range(n) if valid[i]]
-    undist = []
     CAP = 32768
+
+    # Chunk table: raw scan lengths vary, so every scan is split into
+    # fixed-CAP padded chunks (oversized 32+ beam scans get several; no
+    # points are dropped — reference UndistortLidars processes every point,
+    # LidarOdometry.cpp:189-263). All chunks of all scans are stacked and
+    # the whole round runs as THREE vmapped device programs (start oris,
+    # sweep fractions, undistort) instead of 3 dispatch+sync round-trips
+    # per scan.
+    chunk_pts, chunk_msk, chunk_scan, chunk_len = [], [], [], []
     for i, pts in enumerate(scans):
-        # fixed-shape device calls: raw scan lengths vary per scan, and
-        # unpadded jnp calls would re-specialize (recompile) per scan.
-        # Oversized scans (32+ beam sensors, ~70k pts) are processed in
-        # CAP-sized chunks that all share the FIRST chunk's start_ori, so
-        # no points are dropped from the exported undistorted clouds
-        # (reference UndistortLidars processes every point,
-        # LidarOdometry.cpp:189-263).
-        P = len(pts)
-        chunks = []
-        start_ori = None
-        for c0 in range(0, max(P, 1), CAP):
+        for c0 in range(0, max(len(pts), 1), CAP):
             pc = pts[c0:c0 + CAP]
             pp, mm = vd.pad_points(pc, CAP)
-            pp_j = jnp.asarray(pp)
-            if start_ori is None:
-                start_ori = vd.scan_start_ori(pp_j, jnp.asarray(mm))
-            fc = np.asarray(vd.sweep_fraction_from(pp_j, start_ori))
-            chunks.append((pp_j, fc, len(pc)))
-        frac = np.concatenate([fc[:n] for _, fc, n in chunks]) if P else \
-            np.zeros((0,), np.float32)
-        if valid[i] and len(valid_ids) > 1:
-            # next valid scan's pose; the last scan extrapolates backwards
-            # assuming constant relative motion (LidarOdometry.cpp:210-236).
-            # A gap of (j - i) scans scales the sweep: the scan-end pose sits
-            # at alpha = duration / ((j-i)*(duration+gap)) along the geodesic
-            # toward pose_j, so scaling frac by alpha is equivalent (slerp is
-            # a geodesic).
-            duration = 0.1
-            later = [j for j in valid_ids if j > i]
-            if later:
-                j = later[0]
-                pose_next = poses[j]
-                alpha = duration / ((j - i) * (duration + cfg.data_gap_time))
-            else:
-                prev = [j for j in valid_ids if j < i][-1]
-                p_prev, p_i = poses[prev], poses[i]
-                pose_next = p_i + (p_i - p_prev) / (i - prev)
-                alpha = duration / (duration + cfg.data_gap_time)
-            parts = []
-            for pp_j, fc, n in chunks:
-                frac_pad = np.zeros((CAP,), np.float32)
-                frac_pad[:n] = fc[:n] * alpha
-                parts.append(np.asarray(lidar_odometry.undistort_scan(
-                    pp_j, jnp.asarray(frac_pad),
-                    jnp.asarray(poses[i]), jnp.asarray(pose_next)))[:n])
-            p = np.concatenate(parts) if parts else pts
+            chunk_pts.append(pp)
+            chunk_msk.append(mm)
+            chunk_scan.append(i)
+            chunk_len.append(len(pc))
+    T = len(chunk_pts)
+    bucket = 32  # pad the chunk axis so one program shape serves any dataset
+    T_pad = ((T + bucket - 1) // bucket) * bucket
+    chunk_pts += [chunk_pts[-1]] * (T_pad - T)
+    chunk_msk += [chunk_msk[-1]] * (T_pad - T)
+    chunk_scan_np = np.asarray(chunk_scan + [chunk_scan[-1]] * (T_pad - T))
+    pts_b = jnp.asarray(np.stack(chunk_pts))
+    msk_b = jnp.asarray(np.stack(chunk_msk))
+
+    # per-chunk azimuth origin, overridden by the scan's FIRST chunk's
+    # (chunking must not reset the sweep origin)
+    oris = np.asarray(jax.jit(jax.vmap(vd.scan_start_ori))(pts_b, msk_b))
+    first_chunk = {}
+    for t in range(T - 1, -1, -1):
+        first_chunk[chunk_scan[t]] = t
+    start = oris[[first_chunk[i] for i in chunk_scan_np]]
+    frac_b = np.asarray(jax.jit(jax.vmap(vd.sweep_fraction_from))(
+        pts_b, jnp.asarray(start)))
+
+    # host: per-scan interpolation target + sweep scale. The next valid
+    # scan's pose; the last scan extrapolates backwards assuming constant
+    # relative motion (LidarOdometry.cpp:210-236). A gap of (j - i) scans
+    # scales the sweep: the scan-end pose sits at alpha = duration /
+    # ((j-i)*(duration+gap)) along the geodesic toward pose_j, so scaling
+    # frac by alpha is equivalent (slerp is a geodesic).
+    duration = 0.1
+    alphas = np.zeros(n, np.float32)
+    pose_next = np.array(poses, np.float32, copy=True)
+    for i in range(n):
+        if not (valid[i] and len(valid_ids) > 1):
+            continue  # alpha 0 -> undistort is the identity
+        later = [j for j in valid_ids if j > i]
+        if later:
+            j = later[0]
+            pose_next[i] = poses[j]
+            alphas[i] = duration / ((j - i) * (duration + cfg.data_gap_time))
         else:
-            p = pts
+            prev = [j for j in valid_ids if j < i][-1]
+            p_prev, p_i = poses[prev], poses[i]
+            pose_next[i] = p_i + (p_i - p_prev) / (i - prev)
+            alphas[i] = duration / (duration + cfg.data_gap_time)
+
+    und_b = np.asarray(jax.jit(jax.vmap(lidar_odometry.undistort_scan))(
+        pts_b, jnp.asarray(frac_b * alphas[chunk_scan_np][:, None]),
+        jnp.asarray(poses[chunk_scan_np]),
+        jnp.asarray(pose_next[chunk_scan_np])))
+
+    # host: reassemble per scan, export (z-up sensor frame, intensity =
+    # sweep time like ColorizeCloudByTime)
+    undist = []
+    for i, pts in enumerate(scans):
+        rows = [t for t in range(T) if chunk_scan[t] == i]
+        p = (np.concatenate([und_b[t][:chunk_len[t]] for t in rows])
+             if len(pts) else pts)
+        frac = (np.concatenate([frac_b[t][:chunk_len[t]] for t in rows])
+                if len(pts) else np.zeros((0,), np.float32))
         undist.append(p.astype(np.float32))
         raw = p @ vd.AXIS_SWAP  # back to the sensor's z-up frame (S^-1 = S^T)
         pointcloud.write_pcd(os.path.join(cfg.lidar_path_undistort, names[i]),
                              raw if len(raw) else np.zeros((1, 3), np.float32),
                              intensity=frac if len(raw) else
-                             np.zeros(1, np.float32), binary=False)
+                             np.zeros(1, np.float32), binary=True)
 
     batch = extract_all_features(undist, cfg=cfg)
     ocfg = lidar_odometry.OdometryConfig(
