@@ -28,9 +28,9 @@ BIG = 1e30
 
 
 def _knn_kernel(q_ref, t_ref, qn_ref, tn_ref, dist_ref, idx_ref,
-                best_d, best_i, *, k: int, tile_t: int):
-    j = pl.program_id(1)
-    n_j = pl.num_programs(1)
+                best_d, best_i, *, k: int, tile_t: int, t_dim: int):
+    j = pl.program_id(t_dim)
+    n_j = pl.num_programs(t_dim)
 
     @pl.when(j == 0)
     def _():
@@ -86,13 +86,16 @@ def _knn_kernel(q_ref, t_ref, qn_ref, tn_ref, dist_ref, idx_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile_q", "tile_t", "interpret"))
-def knn_pallas(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
-               tile_t: int = 512, interpret: bool = False):
-    """Masked k-nearest-neighbors: q (Q,D), t (T,D), any feature dim D
-    (3D points and 128-dim SIFT descriptors both route here). Returns
-    (d2 (Q,k), idx (Q,k)); masked/overflow slots carry d2 >= 1e30."""
-    Q, T = q.shape[0], t.shape[0]
-    D = q.shape[1]
+def knn_pallas_batched(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
+                       tile_t: int = 512, interpret: bool = False):
+    """Batched masked KNN: q (B,Q,D), t (B,T,D). Returns (d2 (B,Q,k),
+    idx (B,Q,k)). The batch is a NATIVE leading grid dimension with
+    squeezed (None) block axes — `jax.vmap` of a pallas_call instead
+    multiplies the scratch reservation by the whole batched grid and
+    overruns the 64M scoped-vmem budget (seen live at B=4, Q=T=2048:
+    64.40M scoped stack regardless of vmem_limit_bytes)."""
+    B, Q, D = q.shape
+    T = t.shape[1]
     Qp = ((Q + tile_q - 1) // tile_q) * tile_q
     Tp = ((T + tile_t - 1) // tile_t) * tile_t
     # pad the feature dim to a clean MXU tile: 4 lanes for xyz-like inputs,
@@ -100,47 +103,82 @@ def knn_pallas(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
     Dp = 4 if D <= 4 else ((D + 127) // 128) * 128
 
     def pad_to(x, n, fill=0.0):
-        return jnp.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1),
-                       constant_values=fill)
+        return jnp.pad(x, ((0, 0), (0, n - x.shape[1]))
+                       + ((0, 0),) * (x.ndim - 2), constant_values=fill)
 
-    q4 = pad_to(jnp.pad(q.astype(jnp.float32), ((0, 0), (0, Dp - D))), Qp)
-    t4 = pad_to(jnp.pad(t.astype(jnp.float32), ((0, 0), (0, Dp - D))), Tp)
-    qn = pad_to(jnp.where(q_mask, jnp.sum(q * q, axis=1), BIG)[:, None], Qp, BIG)
-    tn = pad_to(jnp.where(t_mask, jnp.sum(t * t, axis=1), BIG)[:, None], Tp, BIG)
+    q4 = pad_to(jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - D))), Qp)
+    t4 = pad_to(jnp.pad(t.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - D))), Tp)
+    qn = pad_to(jnp.where(q_mask, jnp.sum(q * q, axis=2), BIG)[..., None], Qp, BIG)
+    tn = pad_to(jnp.where(t_mask, jnp.sum(t * t, axis=2), BIG)[..., None], Tp, BIG)
 
-    grid = (Qp // tile_q, Tp // tile_t)
+    grid = (B, Qp // tile_q, Tp // tile_t)
     dist, idx = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tile_t=tile_t),
+        functools.partial(_knn_kernel, k=k, tile_t=tile_t, t_dim=2),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_q, Dp), lambda i, j: (i, 0),
+            pl.BlockSpec((None, tile_q, Dp), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_t, Dp), lambda i, j: (j, 0),
+            pl.BlockSpec((None, tile_t, Dp), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((None, tile_q, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_t, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((None, tile_t, 1), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+            pl.BlockSpec((None, tile_q, k), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+            pl.BlockSpec((None, tile_q, k), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Qp, k), jnp.float32),
-            jax.ShapeDtypeStruct((Qp, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, Qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, Qp, k), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_q, k), jnp.float32),
             pltpu.VMEM((tile_q, k), jnp.int32),
         ],
+        # Mosaic reserves a fixed 64.40M scoped-vmem stack for this kernel
+        # (shape-independent: measured identical at B=1..4, Q=512..2048),
+        # which overruns the 64M default budget by 412K the moment any
+        # fusion surrounds the call. vmem_limit_bytes raises the budget;
+        # 100M is still well under the v5e's 128M VMEM.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q4, t4, qn, tn)
-    return dist[:Q], idx[:Q]
+    return dist[:, :Q], idx[:, :Q]
+
+
+def knn_pallas(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
+               tile_t: int = 512, interpret: bool = False):
+    """Masked k-nearest-neighbors: q (Q,D), t (T,D), any feature dim D
+    (3D points and 128-dim SIFT descriptors both route here). Returns
+    (d2 (Q,k), idx (Q,k)); masked/overflow slots carry d2 >= 1e30.
+
+    vmap-safe: a custom_vmap rule reroutes batching to the native batched
+    grid of knn_pallas_batched (see its docstring for why the default
+    pallas vmap lowering is unusable here)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(q, qm, t, tm):
+        d2, idx = knn_pallas_batched(q[None], qm[None], t[None], tm[None],
+                                     k=k, tile_q=tile_q, tile_t=tile_t,
+                                     interpret=interpret)
+        return d2[0], idx[0]
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, q, qm, t, tm):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        out = knn_pallas_batched(
+            bc(q, in_batched[0]), bc(qm, in_batched[1]),
+            bc(t, in_batched[2]), bc(tm, in_batched[3]),
+            k=k, tile_q=tile_q, tile_t=tile_t, interpret=interpret)
+        return out, (True, True)
+
+    return run(q, q_mask, t, t_mask)
 
 
 def knn_reference(q, q_mask, t, t_mask, k: int = 8):
