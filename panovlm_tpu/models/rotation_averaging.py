@@ -6,10 +6,10 @@ Replaces sfm/RotationAveraging.{h,cpp} (reference):
   * RotationAveragingSpanningTree (:278-315): maximum-spanning-tree
     propagation of relative rotations (host control plane, networkx);
   * RotationAveragingL1 (:376-582): spanning-tree init + robust refinement.
-    The reference alternates an L1-ADMM solve with IRLS (weights |e|^-1.5 /
-    Geman-McClure); here the same robust objective is minimized by the
-    on-device LM solver with a soft-L1 loss (IRLS inside solver/lm.py) —
-    one program instead of a host ADMM loop;
+    Default path is the exact reference algorithm — L1-ADMM rounds then
+    |e|^-1.5 IRLS — as a single device program exploiting the
+    incidence (x) I_3 structure (solver/l1_admm.py); exact=False keeps the
+    earlier soft-L1 LM reformulation of the same robust objective;
   * RotationAveragingL2 (:317-374): ceres pairwise-rotation refinement ->
     LM with trivial/huber loss.
 """
@@ -156,19 +156,32 @@ def _solve(aa0, pair_i, pair_j, rel_aa, mask, loss, loss_scale, max_iters,
 
 
 def rotation_averaging_l1(n_frames, pair_i, pair_j, rel_aa, weights=None,
-                          x84: bool = True):
+                          x84: bool = True, exact: bool = True):
     """L1-flavoured robust rotation averaging + L2 refinement
     (EstimateGlobalRotation flow, sfm/SfM.cpp:811-905). Returns
-    (aa_fw (N,3), valid (N,), keep_mask (M,))."""
+    (aa_fw (N,3), valid (N,), keep_mask (M,)).
+
+    exact=True runs the reference's RotationAveragingRefineL1 exactly
+    (L1-ADMM + |e|^-1.5 IRLS, RotationAveraging.cpp:428-582) as one
+    device program (solver/l1_admm.py); exact=False keeps the soft-L1 LM
+    reformulation of the same robust objective."""
     aa0, valid = spanning_tree_init(n_frames, pair_i, pair_j, rel_aa, weights)
     # pre-filter vs the tree estimate (reference runs FilterByTriplet /
     # FilterPairs before averaging, sfm/SfM.cpp:705-778)
     mask = filter_pairs_x84(pair_i, pair_j, rel_aa, aa0) if x84 \
         else np.ones(len(pair_i), bool)
-    # robust (soft-L1 ~ the reference's L1/IRLS stage)
-    aa1, _ = _solve(aa0, pair_i, pair_j, rel_aa, jnp.asarray(mask),
-                    "soft_l1", float(np.radians(1.0)), 40,
-                    fixed_idx=int(np.argmax(valid)))
+    if exact:
+        from ..solver.l1_admm import rotation_refine_l1_irls
+        keep = np.asarray(mask)
+        aa1 = rotation_refine_l1_irls(
+            n_frames, np.asarray(pair_i)[keep], np.asarray(pair_j)[keep],
+            np.asarray(rel_aa)[keep], aa0,
+            start_idx=int(np.argmax(valid)), weight_function=1)
+    else:
+        # robust (soft-L1 ~ the reference's L1/IRLS stage)
+        aa1, _ = _solve(aa0, pair_i, pair_j, rel_aa, jnp.asarray(mask),
+                        "soft_l1", float(np.radians(1.0)), 40,
+                        fixed_idx=int(np.argmax(valid)))
     if x84:
         mask = filter_pairs_x84(pair_i, pair_j, rel_aa, aa1)
     # L2 refinement on surviving pairs (RotationAveragingL2 uses Huber)

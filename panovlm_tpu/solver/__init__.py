@@ -10,3 +10,4 @@ preconditioned CG, IRLS robust-loss weighting.
 
 from .lm import ResidualBlock, LMOptions, solve_lm, solve_lm_chunked  # noqa: F401
 from . import residuals, robust  # noqa: F401
+from . import l1_admm  # noqa: F401
