@@ -35,6 +35,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     _enable_compile_cache()
+    # Multi-host (DCN) runs: JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID env triplet fans the per-frame stages out across
+    # hosts (parallel/multihost.py); single-process runs are unaffected.
+    from .parallel.multihost import initialize_distributed
+    initialize_distributed()
     stage, config_path = argv
     cfg = load_config(config_path)
     tr = TimeReport()

@@ -836,6 +836,31 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         mcfg = mcfg._replace(
             pm=mcfg.pm._replace(use_volscore_kernel=True))
 
+    # DCN tier (SURVEY.md §5.8): per-frame fan-out across hosts — each
+    # process computes a contiguous frame slice on its own devices; depth
+    # artifacts are the merge channel (exactly how the reference's stages
+    # communicate through result/ directories). Single-process: the slice
+    # is everything and the barrier below is a no-op.
+    from .parallel.multihost import process_slice
+    my = process_slice(n)
+    multi_proc = jax.process_count() > 1
+
+    def _merge_pass(suffix):
+        """After a cross-host barrier, pull the frames other hosts computed
+        back from their exported artifacts so every process holds the full
+        stack (needed as geometric-pass neighbor inputs / for fusion)."""
+        if not multi_proc:
+            return
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"mvs_{suffix}")
+        for i in range(n):
+            if my.start <= i < my.stop:
+                continue
+            depths[i] = artifacts.read_depth_u16(
+                os.path.join(cfg.mvs_depth_path, f"{i:06d}_{suffix}.npy"))
+            confs[i] = artifacts.read_conf_u16(
+                os.path.join(cfg.mvs_conf_path, f"{i:06d}_{suffix}.npy"))
+
     def batched_pass(d0s, n0s, fxs, nei_depths, seed):
         # image residency: only the chunk's refs + their neighbor views are
         # shipped to the device per program (host gather + local re-index),
@@ -845,8 +870,8 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         # identical to full-stack execution.
         nei_depths_np = None if nei_depths is None else np.asarray(nei_depths)
         poses_np = np.asarray(poses)
-        for s in range(0, n, chunk):
-            live = list(range(s, min(s + chunk, n)))
+        for s in range(my.start, my.stop, chunk):
+            live = list(range(s, min(s + chunk, my.stop)))
             idx = live + [live[-1]] * (chunk - len(live))  # pad last chunk
             used = sorted(set(idx) | set(nei_table[idx].ravel().tolist()))
             lut = np.full(n, -1, np.int32)
@@ -876,18 +901,27 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             n0s.append(np.asarray(n0))
             fxs.append(np.asarray(fixed))
         batched_pass(d0s, n0s, fxs, None, seed=0)
-        for i in range(n):
+        for i in range(my.start, my.stop):
             # per-pass artifacts, _pho suffix (MVS.cpp:185-189)
             artifacts.export_depth_u16(
                 os.path.join(cfg.mvs_depth_path, f"{i:06d}_pho.npy"), depths[i])
             artifacts.export_conf_u16(
                 os.path.join(cfg.mvs_conf_path, f"{i:06d}_pho.npy"), confs[i])
+        _merge_pass("pho")  # geometric pass reads every frame's depth
     if cfg.mvs_use_geometric:
         with tr.phase("geometric pass"):
             depths_pho = depths.copy()
             zeros = np.zeros((H, W), bool)
             batched_pass(list(depths_pho), list(normals.copy()),
                          [zeros] * n, jnp.asarray(depths_pho), seed=100)
+            for i in range(my.start, my.stop):
+                artifacts.export_depth_u16(
+                    os.path.join(cfg.mvs_depth_path, f"{i:06d}_geo.npy"),
+                    depths[i])
+                artifacts.export_conf_u16(
+                    os.path.join(cfg.mvs_conf_path, f"{i:06d}_geo.npy"),
+                    confs[i])
+            _merge_pass("geo")  # filter/fuse need the full stack
     with tr.phase("post + filter"):
         from .models.mvs import gap_interpolation, remove_small_segments
         mvs_mask = load_mask(cfg, H, W)
@@ -914,7 +948,7 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                              rgb=rgb if rgb.shape[1] == 3 else None,
                              intensity=None if rgb.shape[1] == 3
                              else rgb[:, 0] / 255)
-        for i in range(n):
+        for i in range(my.start, my.stop):
             artifacts.export_depth_u16(
                 os.path.join(cfg.mvs_depth_path, f"{i:06d}_geo.npy"), depths[i])
             artifacts.export_conf_u16(

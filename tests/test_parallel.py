@@ -192,3 +192,49 @@ def test_mvs_batched_sharded_matches_unsharded():
     band = slice(H // 4, 3 * H // 4)
     rel = np.abs(np.asarray(out_plain[0][0]) - depths[0]) / depths[0]
     assert np.median(rel[band]) < 0.2, np.median(rel[band])
+
+
+# ---------------------------------------------------------------------------
+# Multi-host / DCN tier (parallel/multihost.py, SURVEY.md §5.8)
+# ---------------------------------------------------------------------------
+
+def test_process_slice_partition():
+    """Balanced contiguous partition: covers all items exactly once, sizes
+    differ by at most one, deterministic across hosts."""
+    from panovlm_tpu.parallel.multihost import process_slice
+    for n, k in [(454, 4), (24, 8), (7, 3), (3, 8), (0, 4), (1724, 16)]:
+        slices = [process_slice(n, p, k) for p in range(k)]
+        items = []
+        for s in slices:
+            items.extend(range(s.start, s.stop))
+        assert items == list(range(n)), (n, k)
+        sizes = [s.stop - s.start for s in slices]
+        assert max(sizes) - min(sizes) <= 1, (n, k, sizes)
+
+
+def test_process_slice_single_process_is_everything():
+    from panovlm_tpu.parallel.multihost import process_slice
+    s = process_slice(17)           # real jax.process_index/count (1 proc)
+    assert (s.start, s.stop) == (0, 17)
+
+
+def test_hybrid_mesh_single_host():
+    """Degenerate (1, n) hybrid mesh: frame axis size 1, data axis all
+    devices; a frame-sharded array placement still round-trips."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from panovlm_tpu.parallel.multihost import make_hybrid_mesh, FRAME_AXIS
+    from panovlm_tpu.parallel.sharding import DATA_AXIS
+    mesh = make_hybrid_mesh()
+    assert mesh.shape[FRAME_AXIS] == 1
+    assert mesh.shape[DATA_AXIS] == len(jax.devices())
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, None)))
+    np.testing.assert_array_equal(np.asarray(jax.jit(lambda a: a * 2)(xs)),
+                                  x * 2)
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    from panovlm_tpu.parallel import multihost
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert multihost.initialize_distributed() is False
