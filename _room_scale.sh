@@ -1,0 +1,35 @@
+#!/bin/bash
+# Room-scale validation run (VERDICT r1 item 4): 100 synthetic frames at
+# 256x512 through all five stages, recording per-stage wall and peak RSS.
+# Exercises the image-residency plan (per-chunk ref+neighbor gathers),
+# the scan prefetcher, and the host-side pair loops at ~2k pairs.
+set -u
+cd /root/repo
+N=${1:-100}
+ROOT=/tmp/room_scale_$N
+python - <<PYEOF
+import sys, os, shutil
+sys.path.insert(0, "tests")
+from synthetic import make_dataset
+root = "$ROOT"
+if not os.path.exists(os.path.join(root, "config.txt")):
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    make_dataset(root, n_frames=$N, H=256, W=512, h_steps=1800,
+                 step=(0.04, 0.01, 0.0), yaw_step=0.01, sweep_alpha=0.5)
+print("dataset ok", flush=True)
+PYEOF
+for stage in init_camera_pose init_lidar_pose joint_optimization colorize_lidar_map joint_mvs; do
+  t0=$SECONDS
+  python - "$stage" "$ROOT/config.txt" <<'PYEOF'
+import resource, subprocess, sys
+stage, cfg = sys.argv[1], sys.argv[2]
+with open(f"/tmp/room_{stage}.log", "w") as f:
+    rc = subprocess.run([sys.executable, "-m", "panovlm_tpu", stage, cfg],
+                        stdout=f, stderr=subprocess.STDOUT,
+                        timeout=7000).returncode
+rss_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss // 1024
+print(f"rc={rc} peakRSS={rss_mb}MB", flush=True)
+PYEOF
+  echo "STAGE $stage: $((SECONDS-t0))s"
+done

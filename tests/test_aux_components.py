@@ -273,3 +273,26 @@ def test_optical_flow_filter_rejects_wrong_line_match():
     out = line_tracks.filter_matches_optical_flow(a2, a1, g2, g1, bad,
                                                   max_median_px=20.0)
     assert out[row] == -1                         # corrupted match rejected
+
+
+def test_time_report_total_counts_top_level_only():
+    """The CLI wraps a stage phase around the stage's own sub-phases;
+    'total' must equal the top-level time, not double-count the nesting."""
+    import time
+    from panovlm_tpu.utils.timing import TimeReport
+    tr = TimeReport()
+    with tr.phase("stage"):
+        with tr.phase("inner_a"):
+            time.sleep(0.01)
+        with tr.phase("inner_b"):
+            time.sleep(0.01)
+    total = float(tr.report().splitlines()[-1].split()[-2])
+    assert abs(total - tr.time_spent["stage"]) < 0.005
+    # flat usage (library callers without an outer phase) sums every phase
+    tr2 = TimeReport()
+    with tr2.phase("a"):
+        time.sleep(0.01)
+    with tr2.phase("b"):
+        time.sleep(0.01)
+    t2 = float(tr2.report().splitlines()[-1].split()[-2])
+    assert abs(t2 - sum(tr2.time_spent.values())) < 0.02
