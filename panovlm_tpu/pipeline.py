@@ -72,14 +72,17 @@ def load_mask(cfg: Config, H: int, W: int):
     return m > 0
 
 
-def load_scans(cfg: Config):
+def load_scans(cfg: Config, path: str | None = None):
     """Load + preprocess all scans. File IO overlaps preprocessing via the
     native threaded prefetcher (replacing the reference's OpenMP load loops,
     e.g. LidarOdometry.cpp:130-148); falls back to synchronous reads when
-    the native library is unavailable."""
+    the native library is unavailable. `path` overrides cfg.lidar_path
+    (e.g. the undistorted-cloud directory, main.cpp:432-434)."""
     from .native import ScanPrefetcher
     from .sensors import velodyne as vd
-    files = _list_files(cfg.lidar_path, ("pcd", "ply"))
+    files = _list_files(path or cfg.lidar_path, ("pcd", "ply"))
+    if not files and path:   # undistort dir empty/missing: raw clouds
+        files = _list_files(cfg.lidar_path, ("pcd", "ply"))
     scans, valid, names = [], [], []
     pf = ScanPrefetcher(files, n_threads=4)
     try:
@@ -590,7 +593,17 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
     frames = artifacts.load_npz(os.path.join(cfg.sfm_result_path, "frames.npz"))
     tracks = artifacts.read_point_tracks(
         os.path.join(cfg.sfm_result_path, "points.npz"))
-    scans, lidar_valid, lidar_names = load_scans(cfg)
+    # prefer the undistortion round's output — clouds AND poses together
+    # (main.cpp:469-472: LoadLidarPose tries lidar_pose_undis_refined.txt
+    # first, whose names point into lidar_path_undistort; falls back to the
+    # raw clouds + lidar_pose_refined.txt)
+    undis_pose = os.path.join(cfg.odo_result_path,
+                              "lidar_pose_undis_refined.txt")
+    use_undis = (os.path.exists(undis_pose) and cfg.lidar_path_undistort
+                 and os.path.isdir(cfg.lidar_path_undistort)
+                 and _list_files(cfg.lidar_path_undistort, ("pcd", "ply")))
+    scans, lidar_valid, lidar_names = load_scans(
+        cfg, path=cfg.lidar_path_undistort if use_undis else None)
     with tr.phase("extract image lines"):
         line_mask = load_mask(cfg, *grays[0].shape[:2])
         arc_list = [pl.extract_panorama_lines((g * 255).astype(np.uint8),
@@ -601,7 +614,8 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
     with tr.phase("extract lidar features"):
         lidar_batch = extract_all_features(scans, cfg=cfg)
     with tr.phase("load poses"):
-        odo = os.path.join(cfg.odo_result_path, "lidar_pose_refined.txt")
+        odo = undis_pose if use_undis else os.path.join(
+            cfg.odo_result_path, "lidar_pose_refined.txt")
         R_wl, t_wl, _, pose_ok = artifacts.read_pose_t(odo)
         lidar_poses0 = pose_util.world_to_params(
             np.where(pose_ok[:, None, None], R_wl, np.eye(3)),
@@ -672,7 +686,9 @@ def colorize_lidar_map(cfg: Config, tr: TimeReport | None = None):
     tr = tr or TimeReport()
     os.makedirs(cfg.texture_result_path, exist_ok=True)
     grays, _ = load_images(cfg, color=True)   # reference samples RGB
-    scans, valid, _ = load_scans(cfg)
+    # joint poses correspond to the undistorted clouds when the
+    # undistort round ran (main.cpp:432-434 name replacement)
+    scans, valid, _ = load_scans(cfg, path=cfg.lidar_path_undistort)
     R_l, t_l, _, l_ok = artifacts.read_pose_t(
         os.path.join(cfg.joint_result_path, "lidar_pose_joint.txt"))
     R_c, t_c, _, c_ok = artifacts.read_pose_t(
@@ -789,7 +805,7 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
     with tr.phase("lidar depth init"):
         lidar_depths = []
         if cfg.mvs_use_lidar:
-            scans, _, _ = load_scans(cfg)
+            scans, _, _ = load_scans(cfg, path=cfg.lidar_path_undistort)
             if R_l is None:  # no refine round: read the joint lidar poses
                 R_l, t_l, _, l_ok = artifacts.read_pose_t(
                     os.path.join(cfg.joint_result_path,
