@@ -877,13 +877,15 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             confs[i] = artifacts.read_conf_u16(
                 os.path.join(cfg.mvs_conf_path, f"{i:06d}_{suffix}.npy"))
 
-    def batched_pass(d0s, n0s, fxs, nei_depths, seed):
+    def batched_pass(init_for, nei_depths, seed):
         # image residency: only the chunk's refs + their neighbor views are
         # shipped to the device per program (host gather + local re-index),
         # never the full image stack — the Room-scale (454+ frame) memory
         # plan standing in for the reference's mutex+refcount image cache
         # (mvs/MVS.h:89-101). Seeds fold global ids, so results are
-        # identical to full-stack execution.
+        # identical to full-stack execution. init_for(i) -> (d0, n0, fixed)
+        # is called lazily per chunk so the full-resolution init stacks are
+        # never materialized for the whole trajectory at once.
         nei_depths_np = None if nei_depths is None else np.asarray(nei_depths)
         poses_np = np.asarray(poses)
         for s in range(my.start, my.stop, chunk):
@@ -892,11 +894,12 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             used = sorted(set(idx) | set(nei_table[idx].ravel().tolist()))
             lut = np.full(n, -1, np.int32)
             lut[used] = np.arange(len(used), dtype=np.int32)
+            inits = [init_for(i) for i in idx]
             d, nm, cf = mvs_mod.estimate_depth_maps_batched(
                 grays_all[used], poses_np[used], lut[nei_table[idx]],
-                jnp.asarray(np.stack([d0s[i] for i in idx])),
-                jnp.asarray(np.stack([n0s[i] for i in idx])),
-                jnp.asarray(np.stack([fxs[i] for i in idx])),
+                jnp.asarray(np.stack([d0 for d0, _, _ in inits])),
+                jnp.asarray(np.stack([n0 for _, n0, _ in inits])),
+                jnp.asarray(np.stack([fx for _, _, fx in inits])),
                 mcfg,
                 nei_depths=None if nei_depths_np is None
                 else nei_depths_np[used],
@@ -907,16 +910,14 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                 depths[i], normals[i], confs[i] = d[b], nm[b], cf[b]
 
     with tr.phase("photometric pass"):
-        d0s, n0s, fxs = [], [], []
-        for i in range(n):
+        def pho_init(i):
             d0, n0, fixed = mvs_mod.init_depth_normal(
                 jax.random.PRNGKey(i), rays,
-                None if lidar_depths[i] is None else jnp.asarray(lidar_depths[i]),
+                None if lidar_depths[i] is None
+                else jnp.asarray(lidar_depths[i]),
                 mcfg)
-            d0s.append(np.asarray(d0))
-            n0s.append(np.asarray(n0))
-            fxs.append(np.asarray(fixed))
-        batched_pass(d0s, n0s, fxs, None, seed=0)
+            return np.asarray(d0), np.asarray(n0), np.asarray(fixed)
+        batched_pass(pho_init, None, seed=0)
         for i in range(my.start, my.stop):
             # per-pass artifacts, _pho suffix (MVS.cpp:185-189)
             artifacts.export_depth_u16(
@@ -927,9 +928,10 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
     if cfg.mvs_use_geometric:
         with tr.phase("geometric pass"):
             depths_pho = depths.copy()
+            normals_pho = normals.copy()
             zeros = np.zeros((H, W), bool)
-            batched_pass(list(depths_pho), list(normals.copy()),
-                         [zeros] * n, jnp.asarray(depths_pho), seed=100)
+            batched_pass(lambda i: (depths_pho[i], normals_pho[i], zeros),
+                         jnp.asarray(depths_pho), seed=100)
             for i in range(my.start, my.stop):
                 artifacts.export_depth_u16(
                     os.path.join(cfg.mvs_depth_path, f"{i:06d}_geo.npy"),
