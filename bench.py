@@ -45,6 +45,22 @@ sys.path.insert(0, "tests")
 N_BENCH_SCANS = 16
 ROT = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)  # cam axes
 
+_NATIVE = None
+
+
+def _native_mod():
+    """panovlm_tpu.native if its C++ lib builds/loads, else None — gives the
+    CPU baseline's sequential inner loops (sector picks, line growth) a
+    reference-speed C++ implementation instead of interpreter-bound python."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from panovlm_tpu import native
+            _NATIVE = native if native.get() is not None else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
+
 
 def _enable_compile_cache():
     """Persistent XLA compile cache (repo-local, survives across bench
@@ -226,56 +242,61 @@ def _cpu_extract(raw):
         interior = (np.arange(n) >= 5) & (np.arange(n) <= n - 6)
         edge_elig = interior & wok & ~G & (curv > 0.1) & (curv <= 5.0) \
             & (vang >= 5.0) & (vang <= 175.0)
+        flat_base = interior & wok & (curv >= 0) & (curv <= 0.02)
         # six sectors, sequential greedy picks with suppression walks
-        # (Velodyne.cpp:905-989)
-        picked = np.zeros(n, bool)
-        disabled = np.zeros(n, bool)
+        # (Velodyne.cpp:905-989) — native single-thread C++ when available
+        # (the honest reference-speed baseline), python loops otherwise
+        native_picks = _native_mod() and _native_mod().sector_picks(
+            P, curv, edge_elig, flat_base)
+        if native_picks is not None:
+            picked, fpicked, disabled = native_picks
+        else:
+            picked = np.zeros(n, bool)
+            disabled = np.zeros(n, bool)
 
-        def suppress(i0):
-            for direction in (-1, 1):
-                for l in range(1, 17):
-                    j = i0 + direction * l
-                    if j < 0 or j >= n:
-                        break
-                    gap = ((P[j] - P[j - direction]) ** 2).sum()
-                    far = ((P[j] - P[i0]) ** 2).sum()
-                    if (l <= 5 and gap > 0.05) or (l > 5 and far > 0.0036):
-                        break
-                    disabled[j] = True
+            def suppress(i0):
+                for direction in (-1, 1):
+                    for l in range(1, 17):
+                        j = i0 + direction * l
+                        if j < 0 or j >= n:
+                            break
+                        gap = ((P[j] - P[j - direction]) ** 2).sum()
+                        far = ((P[j] - P[i0]) ** 2).sum()
+                        if (l <= 5 and gap > 0.05) or (l > 5 and far > 0.0036):
+                            break
+                        disabled[j] = True
 
-        for s6 in range(6):
-            a, b6 = s6 * n // 6, (s6 + 1) * n // 6
-            sl = np.arange(a, b6)
-            order = sl[np.argsort(-curv[a:b6])]
-            cnt = 0
-            for i0 in order:
-                if cnt >= 30:
-                    break
-                if not edge_elig[i0] or picked[i0] or disabled[i0]:
-                    continue
-                picked[i0] = True
-                cnt += 1
-                suppress(i0)
+            for s6 in range(6):
+                a, b6 = s6 * n // 6, (s6 + 1) * n // 6
+                sl = np.arange(a, b6)
+                order = sl[np.argsort(-curv[a:b6])]
+                cnt = 0
+                for i0 in order:
+                    if cnt >= 30:
+                        break
+                    if not edge_elig[i0] or picked[i0] or disabled[i0]:
+                        continue
+                    picked[i0] = True
+                    cnt += 1
+                    suppress(i0)
+            flat_elig = flat_base & ~picked & ~disabled
+            fpicked = np.zeros(n, bool)
+            for s6 in range(6):
+                a, b6 = s6 * n // 6, (s6 + 1) * n // 6
+                sl = np.arange(a, b6)
+                order = sl[np.argsort(curv[a:b6])]
+                cnt = 0
+                for i0 in order:
+                    if cnt >= 4:
+                        break
+                    if not flat_elig[i0] or fpicked[i0] or disabled[i0]:
+                        continue
+                    fpicked[i0] = True
+                    cnt += 1
+                    suppress(i0)
         feats["edge"].append(P[picked])
         feats["edge_row"].append(np.full(picked.sum(), r))
         feats["sharp"].append(P[picked][:3])
-
-        flat_elig = interior & wok & (curv >= 0) & (curv <= 0.02) \
-            & ~picked & ~disabled
-        fpicked = np.zeros(n, bool)
-        for s6 in range(6):
-            a, b6 = s6 * n // 6, (s6 + 1) * n // 6
-            sl = np.arange(a, b6)
-            order = sl[np.argsort(curv[a:b6])]
-            cnt = 0
-            for i0 in order:
-                if cnt >= 4:
-                    break
-                if not flat_elig[i0] or fpicked[i0] or disabled[i0]:
-                    continue
-                fpicked[i0] = True
-                cnt += 1
-                suppress(i0)
         feats["flat"].append(P[fpicked])
         feats["flat_row"].append(np.full(fpicked.sum(), r))
         feats["flat_g"].append(G[fpicked])
@@ -297,10 +318,13 @@ def _cpu_extract(raw):
         out["surf_g"] = out["surf_g"][first_idx]
 
     # 3D line extraction: kd-tree seeded growth (EdgeToLine,
-    # Velodyne.cpp:1269+)
+    # Velodyne.cpp:1269+) — native C++ when available
     E = out["edge"]
     seg_label = np.full(len(E), -1, np.int64)
-    if len(E) >= 5:
+    grown = _native_mod() and len(E) >= 5 and _native_mod().grow_lines(E)
+    if grown:
+        seg_label = grown[0]
+    elif len(E) >= 5:
         tree = cKDTree(E)
         used = np.zeros(len(E), bool)
         n_lines = 0

@@ -120,10 +120,63 @@ class OdometryConfig(NamedTuple):
                                       # AddLidarLineToLineResidual2
 
 
-def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig()):
+def _associate_round_sharded(batch, poses, pr, pn, mesh, window: int):
+    """One association round with the scan axis sharded over the mesh.
+
+    Temporal-window pairs (|n-r| <= window, both directions) run through the
+    ppermute-ring halo program (parallel/halo.py, SURVEY §5.7) — each device
+    touches only its own scans plus one window-sized halo block. The few
+    remaining pairs (far KNN picks, loop closures) run through the
+    replicated per-pair path. The combined observation set equals the
+    single-device `associate_all_pairs(find_neighbors(...))` set exactly;
+    only the observation ORDER differs.
+    """
+    from ..parallel import halo, pad_leading_to_multiple
+    n_scans = poses.shape[0]
+    n_dev = mesh.devices.size
+    batch_p = pad_leading_to_multiple(batch, n_dev)
+    n_loc = jax.tree_util.tree_leaves(batch_p)[0].shape[0] // n_dev
+    window = min(window, n_loc)
+
+    assoc, hpr, hpn, hpv = halo.associate_windowed_sharded(
+        batch_p, poses, n_scans=n_scans, window=window, mesh=mesh,
+        bidirectional=True)
+    # keep only the halo pairs the neighbor graph actually selected
+    wanted = set(zip(pr.tolist(), pn.tolist()))
+    hpr_np, hpn_np = np.asarray(hpr), np.asarray(hpn)
+    member = np.fromiter(
+        ((int(a), int(b)) in wanted for a, b in zip(hpr_np, hpn_np)),
+        bool, len(hpr_np))
+    hpv = jnp.asarray(np.asarray(hpv) & member)
+
+    # pairs beyond the window: replicated per-pair association
+    far = np.abs(pr.astype(np.int64) - pn) > window
+    if far.any():
+        rpr, rpn, rpv = _pad_pairs(pr[far], pn[far])
+        assoc_far = association.associate_all_pairs(batch, poses, rpr, rpn)
+        assoc = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), assoc, assoc_far)
+        hpr = jnp.concatenate([hpr, rpr])
+        hpn = jnp.concatenate([hpn, rpn])
+        hpv = jnp.concatenate([hpv, rpv])
+    # invalid pairs must not feed the line-track builder either
+    for fam in assoc.values():
+        fam["mask"] = fam["mask"] & hpv[:, None]
+    return assoc, hpr, hpn, hpv
+
+
+def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig(),
+                   mesh=None):
     """EstimatePose (LidarOdometry.cpp:116-187): outer re-association rounds
     around the on-device LM solve. poses0: (N,6) [aa_lw, t_lw]. Returns
-    (poses, info_list)."""
+    (poses, info_list).
+
+    mesh: when a >1-device jax Mesh is given, each round's temporal-window
+    association runs scan-sharded via the halo ring and the LM solve runs
+    with its observation axis sharded (JtJ/Jtr reductions -> psum over ICI);
+    poses replicate. Same observation set as single-device, so results agree
+    to f32 reduction order (tests/test_parallel.py)."""
+    use_mesh = mesh is not None and mesh.devices.size > 1
     poses = jnp.asarray(poses0, jnp.float32)
     fixed = np.zeros(poses.shape, bool)
     first_valid = int(np.argmax(np.asarray(valid)))
@@ -134,8 +187,12 @@ def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig())
     prev_cost = None
     for it in range(cfg.num_iteration_lidar):
         pr, pn = association.find_neighbors(poses, valid, k=cfg.neighbors_k)
-        pair_r, pair_n, pair_valid = _pad_pairs(pr, pn)
-        assoc = association.associate_all_pairs(batch, poses, pair_r, pair_n)
+        if use_mesh:
+            assoc, pair_r, pair_n, pair_valid = _associate_round_sharded(
+                batch, poses, pr, pn, mesh, window=max(cfg.neighbors_k // 2, 1))
+        else:
+            pair_r, pair_n, pair_valid = _pad_pairs(pr, pn)
+            assoc = association.associate_all_pairs(batch, poses, pair_r, pair_n)
         if cfg.line_to_line and cfg.use_line_tracks:
             # track-gate line-to-line (LidarLineMatch::GenerateTracks +
             # AddLidarLineToLineResidual2: only lines tracked across >= 3
@@ -158,9 +215,17 @@ def estimate_poses(batch, poses0, valid, cfg: OdometryConfig = OdometryConfig())
         # chunked: several short device programs instead of one long one
         # (identical LM trajectory; long single programs can trip the
         # remote worker's watchdog)
+        opts = LMOptions(max_iters=cfg.max_lm_iters)
+        if use_mesh:
+            from ..parallel import replicated, shard_blocks
+            blocks = shard_blocks(blocks, mesh)
+            poses = replicated(poses, mesh)
+            fixed = replicated(fixed, mesh)
+            # per-device slices are mesh-size smaller; lax.map over a
+            # sharded axis would insert per-step collectives
+            opts = opts._replace(obs_chunk=None, jac_chunk=None)
         out, info = solve_lm_chunked({"poses": poses}, blocks, fixed,
-                                     LMOptions(max_iters=cfg.max_lm_iters),
-                                     chunk=5)
+                                     opts, chunk=5)
         poses = out["poses"]
         cost = float(info["final_cost"])
         infos.append({k: float(v) for k, v in info.items()})

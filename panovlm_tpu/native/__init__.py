@@ -75,6 +75,14 @@ def get():
     lib.pv_prefetch_pending.restype = ctypes.c_int
     lib.pv_prefetch_pending.argtypes = [ctypes.c_void_p]
     lib.pv_prefetch_destroy.argtypes = [ctypes.c_void_p]
+    lib.pv_sector_picks.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.pv_grow_lines.restype = ctypes.c_int
+    lib.pv_grow_lines.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -112,6 +120,47 @@ def write_pcd_native(path: str, xyz: np.ndarray, intensity=None,
         None if inten is None else inten.ctypes.data_as(ctypes.c_void_p),
         len(xyz), 1 if binary else 0)
     return rc == 0
+
+
+def sector_picks(P, curv, edge_elig, flat_base, max_edge=30, max_flat=4):
+    """Greedy sector picks + suppression walks (C++), or None if the
+    native lib is unavailable. Used by bench.py's single-thread CPU
+    baseline so the baseline runs reference-speed sequential code."""
+    lib = get()
+    if lib is None:
+        return None
+    n = len(curv)
+    P = np.ascontiguousarray(P, np.float32)
+    curv = np.ascontiguousarray(curv, np.float32)
+    ee = np.ascontiguousarray(edge_elig, np.uint8)
+    fb = np.ascontiguousarray(flat_base, np.uint8)
+    picked = np.zeros(n, np.uint8)
+    fpicked = np.zeros(n, np.uint8)
+    disabled = np.zeros(n, np.uint8)
+    lib.pv_sector_picks(
+        P.ctypes.data_as(ctypes.c_void_p), curv.ctypes.data_as(ctypes.c_void_p),
+        ee.ctypes.data_as(ctypes.c_void_p), fb.ctypes.data_as(ctypes.c_void_p),
+        n, max_edge, max_flat,
+        picked.ctypes.data_as(ctypes.c_void_p),
+        fpicked.ctypes.data_as(ctypes.c_void_p),
+        disabled.ctypes.data_as(ctypes.c_void_p))
+    return picked.astype(bool), fpicked.astype(bool), disabled.astype(bool)
+
+
+def grow_lines(E, max_lines=64, knn_radius=2.0, inlier_dist=0.05,
+               run_gap=0.5, min_len=0.3):
+    """Seeded 3D line growth over edge points (C++), or None if the native
+    lib is unavailable. Returns (seg_label int64 array, n_lines)."""
+    lib = get()
+    if lib is None:
+        return None
+    E = np.ascontiguousarray(E, np.float32)
+    seg = np.empty(len(E), np.int64)
+    n_lines = lib.pv_grow_lines(
+        E.ctypes.data_as(ctypes.c_void_p), len(E), max_lines,
+        knn_radius, inlier_dist, run_gap, min_len,
+        seg.ctypes.data_as(ctypes.c_void_p))
+    return seg, n_lines
 
 
 class ScanPrefetcher:

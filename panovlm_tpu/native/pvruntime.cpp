@@ -15,7 +15,9 @@
 //                                reference's OpenMP load loops +
 //                                mutex/refcount image cache, mvs/MVS.h:89-101)
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -422,6 +424,191 @@ void pv_prefetch_destroy(void* h) {
     pf->results.pop();
   }
   delete pf;
+}
+
+// ---------------------------------------------------------------------------
+// Single-thread CPU baseline kernels (bench.py reference equivalents).
+//
+// These are NOT on the TPU data path: they give bench.py's "vs_baseline"
+// denominator a real single-thread C++ implementation of the reference's
+// two interpreter-unfriendly inner loops — the greedy sector feature picks
+// with suppression walks (reference Velodyne.cpp:905-989) and the seeded
+// 3D line growth (Velodyne.cpp:1269+ / LidarLineExtraction.cpp:300-389) —
+// so the recorded speedup is measured against C++-speed sequential code,
+// not a Python stand-in.
+// ---------------------------------------------------------------------------
+
+// Greedy per-sector picks with suppression walks over ONE compacted scan
+// row. P: (n,3) row points, curv: (n,), edge_elig/flat_base: (n,) 0/1
+// eligibility before pick/suppression state. Writes picked/fpicked/disabled
+// (n,) 0/1. Mirrors the python/device semantics exactly: 6 sectors, edge
+// picks (max_edge, curvature descending) then flat picks (max_flat,
+// ascending); suppression disables neighbors along the row until a gap
+// (>0.05 m^2 within 5 steps) or distance (>0.0036 m^2 beyond) break.
+void pv_sector_picks(const float* P, const float* curv,
+                     const unsigned char* edge_elig,
+                     const unsigned char* flat_base, int n, int max_edge,
+                     int max_flat, unsigned char* picked,
+                     unsigned char* fpicked, unsigned char* disabled) {
+  memset(picked, 0, n);
+  memset(fpicked, 0, n);
+  memset(disabled, 0, n);
+  std::vector<int> order(n);
+  auto suppress = [&](int i0) {
+    for (int dir = -1; dir <= 1; dir += 2) {
+      for (int l = 1; l <= 16; l++) {
+        int j = i0 + dir * l;
+        if (j < 0 || j >= n) break;
+        int jp = j - dir;
+        float gap = 0.f, far2 = 0.f;
+        for (int k = 0; k < 3; k++) {
+          float dg = P[3 * j + k] - P[3 * jp + k];
+          float df = P[3 * j + k] - P[3 * i0 + k];
+          gap += dg * dg;
+          far2 += df * df;
+        }
+        if ((l <= 5 && gap > 0.05f) || (l > 5 && far2 > 0.0036f)) break;
+        disabled[j] = 1;
+      }
+    }
+  };
+  for (int phase = 0; phase < 2; phase++) {
+    for (int s = 0; s < 6; s++) {
+      int a = (int)((long)s * n / 6), b = (int)((long)(s + 1) * n / 6);
+      order.resize(b - a);
+      for (int i = a; i < b; i++) order[i - a] = i;
+      if (phase == 0)
+        std::sort(order.begin(), order.end(),
+                  [&](int x, int y) { return curv[x] > curv[y]; });
+      else
+        std::sort(order.begin(), order.end(),
+                  [&](int x, int y) { return curv[x] < curv[y]; });
+      int cnt = 0, cap = phase == 0 ? max_edge : max_flat;
+      for (int i0 : order) {
+        if (cnt >= cap) break;
+        if (disabled[i0]) continue;
+        if (phase == 0) {
+          if (!edge_elig[i0] || picked[i0]) continue;
+          picked[i0] = 1;
+        } else {
+          // flat eligibility freezes the post-edge pick/disable state
+          if (!flat_base[i0] || picked[i0] || fpicked[i0]) continue;
+          fpicked[i0] = 1;
+        }
+        cnt++;
+        suppress(i0);
+      }
+    }
+  }
+}
+
+// Principal direction of a small point set via covariance power iteration.
+static void principal_dir(const float* E, const int* idx, int k,
+                          const double c[3], double dir[3]) {
+  double cov[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+  for (int i = 0; i < k; i++) {
+    double d[3];
+    for (int a = 0; a < 3; a++) d[a] = E[3 * idx[i] + a] - c[a];
+    for (int a = 0; a < 3; a++)
+      for (int b = 0; b < 3; b++) cov[a][b] += d[a] * d[b];
+  }
+  double v[3] = {1.0, 0.7, 0.3};
+  for (int it = 0; it < 24; it++) {
+    double w[3];
+    for (int a = 0; a < 3; a++)
+      w[a] = cov[a][0] * v[0] + cov[a][1] * v[1] + cov[a][2] * v[2];
+    double nrm = sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+    if (nrm < 1e-12) break;
+    for (int a = 0; a < 3; a++) v[a] = w[a] / nrm;
+  }
+  for (int a = 0; a < 3; a++) dir[a] = v[a];
+}
+
+// Seeded 3D line growth over edge points E (n,3). seg_label (n,) gets the
+// line id per member point or -1. Returns the number of lines grown.
+// Brute-force 8-NN (n is a few hundred edge points per scan), PCA seed
+// direction, perpendicular-distance inliers, longest t-run split — the
+// same sequence as the reference's EdgeToLine + ExpandLine.
+int pv_grow_lines(const float* E, int n, int max_lines, float knn_radius,
+                  float inlier_dist, float run_gap, float min_len,
+                  long long* seg_label) {
+  for (int i = 0; i < n; i++) seg_label[i] = -1;
+  if (n < 5) return 0;
+  std::vector<unsigned char> used(n, 0);
+  std::vector<float> d2(n);
+  std::vector<int> nn;
+  std::vector<double> tval;
+  std::vector<int> inl;
+  int n_lines = 0;
+  const int K = n < 8 ? n : 8;
+  for (int seed = 0; seed < n && n_lines < max_lines; seed++) {
+    if (used[seed]) continue;
+    for (int j = 0; j < n; j++) {
+      float s = 0;
+      for (int a = 0; a < 3; a++) {
+        float d = E[3 * j + a] - E[3 * seed + a];
+        s += d * d;
+      }
+      d2[j] = s;
+    }
+    // K smallest by partial selection
+    std::vector<int> cand(n);
+    for (int j = 0; j < n; j++) cand[j] = j;
+    std::partial_sort(cand.begin(), cand.begin() + K, cand.end(),
+                      [&](int x, int y) { return d2[x] < d2[y]; });
+    nn.clear();
+    for (int j = 0; j < K; j++)
+      if (d2[cand[j]] < knn_radius * knn_radius) nn.push_back(cand[j]);
+    if ((int)nn.size() < 3) continue;
+    double c[3] = {0, 0, 0};
+    for (int j : nn)
+      for (int a = 0; a < 3; a++) c[a] += E[3 * j + a];
+    for (int a = 0; a < 3; a++) c[a] /= nn.size();
+    double dir[3];
+    principal_dir(E, nn.data(), (int)nn.size(), c, dir);
+    // perpendicular distance of ALL points to the seed line
+    inl.clear();
+    for (int j = 0; j < n; j++) {
+      if (used[j]) continue;
+      double d[3];
+      for (int a = 0; a < 3; a++) d[a] = E[3 * j + a] - c[a];
+      double cx = d[1] * dir[2] - d[2] * dir[1];
+      double cy = d[2] * dir[0] - d[0] * dir[2];
+      double cz = d[0] * dir[1] - d[1] * dir[0];
+      if (sqrt(cx * cx + cy * cy + cz * cz) < inlier_dist) inl.push_back(j);
+    }
+    if ((int)inl.size() < 5) continue;
+    tval.resize(inl.size());
+    for (size_t j = 0; j < inl.size(); j++) {
+      double t = 0;
+      for (int a = 0; a < 3; a++)
+        t += (E[3 * inl[j] + a] - c[a]) * dir[a];
+      tval[j] = t;
+    }
+    std::vector<double> srt(tval);
+    std::sort(srt.begin(), srt.end());
+    // longest contiguous run (gaps > run_gap split)
+    size_t best_lo = 0, best_hi = 0, lo = 0;
+    for (size_t j = 1; j <= srt.size(); j++) {
+      if (j == srt.size() || srt[j] - srt[j - 1] > run_gap) {
+        if (j - 1 - lo > best_hi - best_lo) { best_lo = lo; best_hi = j - 1; }
+        lo = j;
+      }
+    }
+    double lo_t = srt[best_lo], hi_t = srt[best_hi];
+    int mem_cnt = 0;
+    for (size_t j = 0; j < inl.size(); j++)
+      if (tval[j] >= lo_t && tval[j] <= hi_t) mem_cnt++;
+    bool ok = mem_cnt >= 5 && hi_t - lo_t >= min_len;
+    for (size_t j = 0; j < inl.size(); j++) {
+      if (tval[j] >= lo_t && tval[j] <= hi_t) {
+        used[inl[j]] = 1;
+        if (ok) seg_label[inl[j]] = n_lines;
+      }
+    }
+    if (ok) n_lines++;
+  }
+  return n_lines;
 }
 
 }  // extern "C"

@@ -7,4 +7,5 @@ the data axis (frames / scan pairs / residual observations), parameters
 normal-equation reductions in the LM solver. DCN-free: everything rides ICI.
 """
 
-from .sharding import make_mesh, shard_leading_axis, replicated  # noqa: F401
+from .sharding import (make_mesh, pad_leading_to_multiple,  # noqa: F401
+                       replicated, shard_blocks, shard_leading_axis)

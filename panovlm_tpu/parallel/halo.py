@@ -44,24 +44,31 @@ def ring_halo_right(x, h: int, axis_name: str = DATA_AXIS):
 
 
 def _windowed_pairs_local(batch_halo, poses, g0, n_loc: int, window: int,
-                          n_scans):
+                          n_scans, bidirectional: bool = False):
     """Associate every temporal pair (g, g+d), d=1..window, for the n_loc
     scans owned by this shard. batch_halo: feature dict with leading axis
     n_loc + window (right halo attached). poses replicated (N, 6).
     Returns (assoc pytree, pair_r, pair_n, pair_valid), leading axis
-    n_loc * window."""
+    n_loc * window (x2 when bidirectional: the reversed-role pairs
+    (g+d, g) follow the forward block — association is asymmetric, so the
+    production neighbor graph needs both directions,
+    LidarFeatureAssociate.cpp:19-111 adds (i,j) and (j,i) separately)."""
     from ..models import association
 
     li = jnp.repeat(jnp.arange(n_loc), window)             # local ref index
     dd = jnp.tile(jnp.arange(1, window + 1), n_loc)        # temporal delta
-    pair_r = g0 + li
-    pair_n = g0 + li + dd
-    pair_valid = pair_n < n_scans                          # wrap/pad masked
+    lr, ln = li, li + dd                                   # local roles
+    if bidirectional:
+        lr = jnp.concatenate([li, li + dd])
+        ln = jnp.concatenate([li + dd, li])
+    pair_r = g0 + lr
+    pair_n = g0 + ln
+    pair_valid = jnp.maximum(pair_r, pair_n) < n_scans     # wrap/pad masked
 
     def one(args):
-        l, d, pr, pn, ok = args
+        l, ld, pr, pn, ok = args
         fr = jax.tree_util.tree_map(lambda a: a[l], batch_halo)
-        fn = jax.tree_util.tree_map(lambda a: a[l + d], batch_halo)
+        fn = jax.tree_util.tree_map(lambda a: a[ld], batch_halo)
         # clip pose rows for wrapped pairs; their outputs are masked out
         pr_c = jnp.clip(pr, 0, poses.shape[0] - 1)
         pn_c = jnp.clip(pn, 0, poses.shape[0] - 1)
@@ -75,21 +82,23 @@ def _windowed_pairs_local(batch_halo, poses, g0, n_loc: int, window: int,
             fam["mask"] = fam["mask"] & ok
         return {"p2l": p2l, "p2p": p2p, "l2l": l2l}
 
-    assoc = jax.lax.map(one, (li, dd, pair_r, pair_n, pair_valid),
+    assoc = jax.lax.map(one, (lr, ln, pair_r, pair_n, pair_valid),
                         batch_size=8)
     return assoc, pair_r, pair_n, pair_valid
 
 
 def associate_windowed_sharded(batch, poses, n_scans: int, window: int,
-                               mesh, axis_name: str = DATA_AXIS):
+                               mesh, axis_name: str = DATA_AXIS,
+                               bidirectional: bool = False):
     """Temporal-window association over a scan-sharded trajectory.
 
     batch: stacked per-scan feature dict, leading axis N (padded to a
     multiple of the mesh size; feature masks already encode validity).
     poses (N, 6) replicated. Returns (assoc, pair_r, pair_n, pair_valid)
-    with leading axis N * window, ordered (scan 0 deltas 1..w, scan 1 ...),
-    matching `associate_all_pairs(batch, poses, pair_r, pair_n)` restricted
-    by pair_valid.
+    with leading axis N * window (x2 when bidirectional: each shard emits
+    its forward pairs then its reversed-role pairs), matching
+    `associate_all_pairs(batch, poses, pair_r, pair_n)` restricted by
+    pair_valid.
 
     Communication: one ppermute of the window-sized feature block per
     shard — O(window / n_loc) of the feature bytes, independent of
@@ -122,7 +131,7 @@ def associate_windowed_sharded(batch, poses, n_scans: int, window: int,
         halo = jax.tree_util.tree_map(
             lambda a: ring_halo_right(a, window, axis_name), batch_loc)
         return _windowed_pairs_local(halo, poses_rep, g0, n_loc, window,
-                                     n_scans)
+                                     n_scans, bidirectional=bidirectional)
 
     return jax.jit(run)(batch, jnp.asarray(poses, jnp.float32))
 

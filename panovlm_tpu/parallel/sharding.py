@@ -43,6 +43,29 @@ def replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
+def shard_blocks(blocks, mesh: Mesh, axis: str = DATA_AXIS):
+    """Shard solver ResidualBlocks' observation axes over the mesh.
+
+    Pads every block's per-observation arrays (indices, data, weight, mask)
+    to a multiple of the mesh size — masks pad False, so padded rows
+    contribute nothing — and places them with the leading axis sharded.
+    Parameter groups stay replicated; under jit the JtJ/Jtr contractions in
+    solver/lm.py then lower to psum over the mesh (SURVEY.md §2.8: the
+    multi-chip form of Ceres' threaded normal-equation assembly,
+    util/Optimization.cpp:615,661)."""
+    import jax.numpy as jnp
+    n_dev = mesh.devices.size
+    out = []
+    for b in blocks:
+        arrs = pad_leading_to_multiple(
+            (b.indices, b.data, b.weight, b.mask), n_dev)
+        idx, data, w, m = shard_leading_axis(
+            jax.tree_util.tree_map(jnp.asarray, arrs), mesh, axis)
+        out.append(type(b)(b.fn, b.groups, idx, data, w, m,
+                           b.loss, b.loss_scale, b.name))
+    return tuple(out)
+
+
 def pad_leading_to_multiple(tree, multiple: int):
     """Pad leading axes to a multiple (so they shard evenly); masks in the
     tree must already encode validity — padding adds False/0 rows."""

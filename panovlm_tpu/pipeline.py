@@ -34,6 +34,18 @@ def _list_files(path, exts):
     return sorted(out)
 
 
+def _data_mesh():
+    """1-D data mesh over the attached devices, or None on a single chip.
+    Production stages pass this into their solves/associations so the CLI
+    engages the multi-chip path whenever >1 device is attached (the
+    multi-chip form of the reference's OpenMP loops, SURVEY.md §2.8)."""
+    import jax
+    if len(jax.devices()) <= 1:
+        return None
+    from .parallel import make_mesh
+    return make_mesh()
+
+
 def load_images(cfg: Config, scale_override=None, color: bool = False):
     """Load panoramas as float [0,1] (+ names): grayscale (H,W) by default,
     RGB (H,W,3) with color=True (Frame::GetImageColor). Applies the config
@@ -440,7 +452,8 @@ def init_lidar_pose(cfg: Config, tr: TimeReport | None = None):
             point_to_line=cfg.point_to_line_residual,
             line_to_line=cfg.line_to_line_residual,
             point_to_plane=cfg.point_to_plane_residual)
-        poses, infos = lidar_odometry.estimate_poses(batch, poses0, valid, ocfg)
+        poses, infos = lidar_odometry.estimate_poses(batch, poses0, valid, ocfg,
+                                                     mesh=_data_mesh())
     with tr.phase("export"):
         from .utils import visualization as viz
         R, t = pose_util.params_to_world(np.asarray(poses))
@@ -569,7 +582,8 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
         point_to_line=cfg.point_to_line_residual,
         line_to_line=cfg.line_to_line_residual,
         point_to_plane=cfg.point_to_plane_residual)
-    poses2, _ = lidar_odometry.estimate_poses(batch, poses, valid, ocfg)
+    poses2, _ = lidar_odometry.estimate_poses(batch, poses, valid, ocfg,
+                                              mesh=_data_mesh())
     R, t = pose_util.params_to_world(np.asarray(poses2))
     artifacts.export_pose_t(
         os.path.join(cfg.odo_result_path, "lidar_pose_undis_refined.txt"),

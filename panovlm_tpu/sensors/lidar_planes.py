@@ -23,6 +23,16 @@ gathers), so the whole scan is one fused elementwise program:
      by size window, >= 2 rings, and fit RMS — the same acceptance
      criteria PlaneSegmentation2 applies point-by-point, applied once
      per converged cluster.
+
+Production status: mirror of dead reference code. The reference declares
+`Velodyne::ExtractPlanes` (sensors/Velodyne.h:189) but never calls it from
+any stage — its point-to-plane association instead fits planes from 10-NN
+neighborhoods on the fly (lidar_mapping/LidarFeatureAssociate.cpp:550-629),
+and so does ours (models/association.py). This module is therefore
+test-covered library surface (tests/test_velodyne.py) with no pipeline
+caller, exactly like its reference counterpart; wire `segment_planes`'s
+labels/normals into association as an extra candidate gate if a dataset
+ever warrants it.
 """
 
 from __future__ import annotations

@@ -77,6 +77,16 @@ class LMOptions(NamedTuple):
     init_lambda: float = 1e-4    # ceres default initial trust-region radius^-1
     max_lambda: float = 1e10
     min_lambda: float = 1e-12
+    # Observation-axis chunk for residual/Jacobian evaluation. Per-observation
+    # temporaries carry trailing (3,3)/(3,) shapes that TPU tiling pads ~40-60x
+    # (a (655360,3,3) f32 temp costs 1.25 GB of HBM for 22.5 MB of data); at
+    # Room-scale observation counts the unchunked program exceeds HBM at
+    # compile time. lax.map over obs_chunk-sized slices bounds the live
+    # padded temporaries while computing identical sums. None disables.
+    obs_chunk: int | None = 65536
+    # jacfwd pushes W tangent copies of those temporaries, so the
+    # preconditioner pass chunks W-times finer.
+    jac_chunk: int | None = 8192
 
 
 # ----------------------------------------------------------------------------
@@ -107,57 +117,117 @@ def _safe_data(block: ResidualBlock):
     return tuple(out)
 
 
-def _raw_residuals(block: ResidualBlock, groups: dict):
-    params = _gather_params(block, groups)
+def _chunk_arrays(tree, chunk: int):
+    """Reshape every (M, ...) array in the pytree to (K, chunk, ...), padding
+    M up with copies of row 0 (callers mask the pad rows out; row-0 copies
+    keep every AD partial finite, same rationale as _safe_data)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    M = leaves[0].shape[0] if leaves else 0
+    K = -(-M // chunk)
+    pad = K * chunk - M
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        return a.reshape((K, chunk) + a.shape[1:])
+
+    return jax.tree_util.tree_map(prep, tree), K, pad
+
+
+def _use_chunk(block: ResidualBlock, chunk):
+    """Chunk only when the observation axis exceeds the chunk. Callers with
+    mesh-sharded blocks pass obs_chunk=None (per-device temporaries are
+    already mesh-size smaller, and lax.map over a sharded axis would insert
+    collectives per step)."""
+    return chunk is not None and block.mask.shape[0] > chunk
+
+
+def _raw_residuals(block: ResidualBlock, groups: dict, chunk=None):
     data = _safe_data(block)
-    r = jax.vmap(block.fn)(*params, *data)  # (M, r_dim)
-    r = r * block.weight[:, None]
-    # final safety net (Ceres drops residual blocks with invalid jacobians;
-    # we zero non-finite residuals the same way)
-    r = jnp.where(jnp.isfinite(r), r, 0.0)
-    return jnp.where(block.mask[:, None], r, 0.0)
+
+    def eval_rows(idxs, datas, w, m):
+        params = [groups[g][i] for g, i in zip(block.groups, idxs)]
+        r = jax.vmap(block.fn)(*params, *datas)  # (m, r_dim)
+        r = r * w[:, None]
+        # final safety net (Ceres drops residual blocks with invalid
+        # jacobians; we zero non-finite residuals the same way)
+        r = jnp.where(jnp.isfinite(r), r, 0.0)
+        return jnp.where(m[:, None], r, 0.0)
+
+    if not _use_chunk(block, chunk):
+        return eval_rows(block.indices, data, block.weight, block.mask)
+    M = block.mask.shape[0]
+    (idxs, datas, w, m), K, pad = _chunk_arrays(
+        (block.indices, data, block.weight, block.mask), chunk)
+    body = jax.checkpoint(lambda args: eval_rows(*args))
+    r = jax.lax.map(body, (idxs, datas, w, m))
+    r = r.reshape((K * chunk,) + r.shape[2:])
+    return r[:M] if pad else r
 
 
-def _block_cost_and_irls(block: ResidualBlock, groups: dict):
-    r = _raw_residuals(block, groups)
+def _block_cost_and_irls(block: ResidualBlock, groups: dict, chunk=None):
+    r = _raw_residuals(block, groups, chunk)
     s = jnp.sum(r * r, axis=-1)
     cost = 0.5 * jnp.sum(jnp.where(block.mask, robust.rho(block.loss, s, block.loss_scale), 0.0))
     w = jnp.sqrt(robust.rho_prime(block.loss, s, block.loss_scale))
     return cost, jax.lax.stop_gradient(w)
 
 
-def _whitened_flat(groups: dict, blocks: tuple, irls: tuple):
+def _whitened_flat(groups: dict, blocks: tuple, irls: tuple, chunk=None):
     """Concatenated IRLS-weighted residual vector (the 'F(x)' of GN)."""
     outs = []
     for block, w in zip(blocks, irls):
-        r = _raw_residuals(block, groups)
+        r = _raw_residuals(block, groups, chunk)
         outs.append((r * w[:, None]).ravel())
     return jnp.concatenate(outs) if outs else jnp.zeros((0,))
 
 
-def _total_cost(groups: dict, blocks: tuple):
+def _total_cost(groups: dict, blocks: tuple, chunk=None):
     total = 0.0
     for block in blocks:
-        c, _ = _block_cost_and_irls(block, groups)
+        c, _ = _block_cost_and_irls(block, groups, chunk)
         total = total + c
     return total
 
 
-def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict):
+def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict,
+                    chunk=None):
     """Block-diagonal JtJ: one (W,W) block per parameter row of each group."""
     out = {g: jnp.zeros(v.shape + (v.shape[-1],), v.dtype) for g, v in groups.items()}
     for block, w in zip(blocks, irls):
-        params = _gather_params(block, groups)
         data = _safe_data(block)
         scale = (block.weight * w * block.mask.astype(w.dtype))  # (M,)
         for k, (g, idx) in enumerate(zip(block.groups, block.indices)):
             jac_fn = jax.jacfwd(block.fn, argnums=k)
-            J = jax.vmap(jac_fn)(*params, *data)  # (M, r_dim, W)
-            J = jnp.where(jnp.isfinite(J), J, 0.0)
-            J = J * scale[:, None, None]
-            JtJ = jnp.einsum("mri,mrj->mij", J, J,
-                             precision=jax.lax.Precision.HIGHEST)
-            out[g] = out[g].at[idx].add(JtJ)
+
+            def jtj_rows(idxs, datas, sc):
+                params = [groups[gg][ii]
+                          for gg, ii in zip(block.groups, idxs)]
+                J = jax.vmap(jac_fn)(*params, *datas)  # (m, r_dim, W)
+                J = jnp.where(jnp.isfinite(J), J, 0.0)
+                J = J * sc[:, None, None]
+                return jnp.einsum("mri,mrj->mij", J, J,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+            if not _use_chunk(block, chunk):
+                out[g] = out[g].at[idx].add(
+                    jtj_rows(block.indices, data, scale))
+            else:
+                (idxs, datas, sc, idx_c), K, _ = _chunk_arrays(
+                    (block.indices, data, scale, idx), chunk)
+                # pad rows scatter with weight 0 (scale pads row 0's value
+                # but _chunk_arrays pads every array with row 0, so the pad
+                # rows duplicate row 0's contribution — mask it explicitly)
+                row = jnp.arange(K * chunk).reshape(K, chunk)
+                sc = jnp.where(row < block.mask.shape[0], sc, 0.0)
+
+                def body(acc, args):
+                    ii, dd, ss, ix = args
+                    return acc.at[ix].add(jtj_rows(ii, dd, ss)), None
+
+                out[g], _ = jax.lax.scan(body, out[g],
+                                         (idxs, datas, sc, idx_c))
     # zero out fixed coordinates (identity on them)
     for g in out:
         f = free[g].astype(out[g].dtype)  # (N, W) 1=free
@@ -215,14 +285,15 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
 
     def lm_iteration(x, lam):
         # cost, IRLS weights, gradient, preconditioner at x
-        irls = tuple(_block_cost_and_irls(b, x)[1] for b in blocks)
-        cost = _total_cost(x, blocks)
+        irls = tuple(_block_cost_and_irls(b, x, options.obs_chunk)[1]
+                     for b in blocks)
+        cost = _total_cost(x, blocks, options.obs_chunk)
 
-        F = lambda p: _whitened_flat(p, blocks, irls)
+        F = lambda p: _whitened_flat(p, blocks, irls, options.obs_chunk)
         r, pullback = jax.vjp(F, x)
         g = project(pullback(r)[0])  # J^T r
 
-        B = _precond_blocks(x, blocks, irls, free)
+        B = _precond_blocks(x, blocks, irls, free, options.jac_chunk)
         # Marquardt scaling: D^2 = diag(JtJ)
         D2 = {k: jnp.diagonal(v, axis1=-2, axis2=-1) for k, v in B.items()}
         eps = 1e-10
@@ -255,7 +326,7 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
         delta = project(delta)
 
         x_new = {k: x[k] + delta[k] for k in x}
-        cost_new = _total_cost(x_new, blocks)
+        cost_new = _total_cost(x_new, blocks, options.obs_chunk)
 
         # predicted reduction: 0.5 * delta^T (lam D^2 delta - g)
         pred = 0.5 * (sum(jnp.vdot(delta[k], lam * (D2[k] + eps) * delta[k] - g[k])
@@ -282,14 +353,14 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
         done = accept & (rel_drop < options.ftol)
         return (x, lam, it + 1, done, nu)
 
-    init_cost = _total_cost(groups, blocks)
+    init_cost = _total_cost(groups, blocks, options.obs_chunk)
     lam_init = jnp.asarray(options.init_lambda, init_cost.dtype) \
         if lam0 is None else jnp.asarray(lam0, init_cost.dtype)
     nu_init = jnp.asarray(2.0, init_cost.dtype) \
         if nu0 is None else jnp.asarray(nu0, init_cost.dtype)
     state = (groups, lam_init, jnp.asarray(0), jnp.asarray(False), nu_init)
     x, lam, iters, done, nu = jax.lax.while_loop(cond, body, state)
-    final_cost = _total_cost(x, blocks)
+    final_cost = _total_cost(x, blocks, options.obs_chunk)
     info = {"initial_cost": init_cost, "final_cost": final_cost,
             "iterations": iters, "lambda": lam, "nu": nu, "done": done}
     return x, info

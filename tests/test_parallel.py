@@ -109,6 +109,44 @@ def test_halo_windowed_association_matches_replicated():
                 err_msg=f"{fam}.{k}")
 
 
+def test_production_odometry_sharded_matches_single(monkeypatch):
+    """The PRODUCTION odometry entry (lidar_odometry.estimate_poses, the
+    compute core of the init_lidar_pose CLI stage) must produce the same
+    poses with a >1-device mesh (halo-ring windowed association + LM solve
+    with the observation axis sharded) as single-device. Same observation
+    set by construction; agreement to f32 reduction order."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import make_trajectory_scans
+    from panovlm_tpu.models import lidar_odometry
+    from panovlm_tpu.sensors import velodyne as vd
+
+    scans, poses_gt = make_trajectory_scans(n_scans=8, step=(0.2, 0.05, 0.0),
+                                            yaw_step=0.03, noise=0.002,
+                                            h_steps=450)
+    feats = []
+    for pts_lidar in scans:
+        pts, _ = vd.preprocess_cloud(pts_lidar)
+        p, m = vd.pad_points(pts, 8192)
+        f, _, _ = vd.extract_features(jnp.asarray(p), jnp.asarray(m))
+        feats.append(f)
+    batch = lidar_odometry.stack_features(feats)
+    poses0 = np.zeros((8, 6), np.float32)
+    poses0[:, 3] = -np.arange(8) * 0.2
+    poses0[1:, :3] += 0.01   # perturb so the solve has real work
+    valid = np.ones(8, bool)
+    cfg = lidar_odometry.OdometryConfig(num_iteration_lidar=2, max_lm_iters=8)
+
+    p_single, info_s = lidar_odometry.estimate_poses(batch, poses0, valid, cfg)
+    p_shard, info_m = lidar_odometry.estimate_poses(batch, poses0, valid, cfg,
+                                                    mesh=make_mesh())
+    assert len(info_s) == len(info_m)   # same early-stop trajectory
+    np.testing.assert_allclose(np.asarray(p_shard), np.asarray(p_single),
+                               atol=2e-4)
+    np.testing.assert_allclose(info_m[-1]["final_cost"],
+                               info_s[-1]["final_cost"], rtol=1e-3)
+
+
 def test_ground_linefit(rng):
     from panovlm_tpu.sensors.ground import segment_ground_linefit
     # ground plane at y=+1.2 (camera convention) + a wall at x=3

@@ -274,3 +274,47 @@ def test_solve_lm_chunked_matches_single(rng):
     np.testing.assert_allclose(np.asarray(out1["poses"]),
                                np.asarray(out2["poses"]), atol=1e-6)
     assert abs(float(info1["final_cost"]) - float(info2["final_cost"])) < 1e-6
+
+
+def test_obs_chunked_solve_matches_unchunked(rng):
+    """The observation-axis chunked evaluation (LMOptions.obs_chunk /
+    jac_chunk — the HBM-bounding path for Room-scale problems) must
+    reproduce the unchunked LM trajectory, including a non-multiple
+    observation count (pad rows masked)."""
+    n_obs = 1000          # not a multiple of the chunk
+    gt = np.zeros((3, 6), np.float32)
+    gt[:, 3] = [0.0, 0.1, 0.2]
+    pl = np.array([[1, 0, 0, -2.0], [0, 1, 0, -1.5], [0, 0, 1, -3.0]],
+                  np.float32)
+    pair_r = rng.integers(0, 3, n_obs).astype(np.int32)
+    pair_n = (pair_r + 1) % 3
+    p = pl[rng.integers(0, 3, n_obs)]
+    pts_w = rng.uniform(-2, 2, (n_obs, 3)).astype(np.float32)
+    pts_w -= ((pts_w * p[:, :3]).sum(1) + p[:, 3])[:, None] * p[:, :3]
+    pts_n = pts_w + gt[pair_n][:, 3:]
+    pl_r = p.copy()
+    pl_r[:, 3] = p[:, 3] - (p[:, :3] * gt[pair_r][:, 3:]).sum(1)
+    poses0 = gt + rng.normal(size=gt.shape).astype(np.float32) * 0.05
+    poses0[0] = gt[0]
+    fixed = {"poses": jnp.asarray(
+        np.array([[True] * 6, [False] * 6, [False] * 6]))}
+    mask = np.ones(n_obs, bool)
+    mask[::17] = False    # masked rows must stay ignored in both paths
+    block = ResidualBlock(
+        residuals.point2plane_meter, ("poses", "poses"),
+        (jnp.asarray(pair_r), jnp.asarray(pair_n)),
+        (jnp.asarray(pts_n), jnp.asarray(pl_r)),
+        jnp.ones((n_obs,), jnp.float32), jnp.asarray(mask),
+        loss="huber", loss_scale=0.2)
+    base = LMOptions(max_iters=10, cg_iters=25,
+                     obs_chunk=None, jac_chunk=None)
+    chunked = base._replace(obs_chunk=256, jac_chunk=128)
+    out1, info1 = solve_lm({"poses": jnp.asarray(poses0)}, (block,),
+                           fixed, base)
+    out2, info2 = solve_lm({"poses": jnp.asarray(poses0)}, (block,),
+                           fixed, chunked)
+    np.testing.assert_allclose(np.asarray(out2["poses"]),
+                               np.asarray(out1["poses"]), atol=5e-6)
+    np.testing.assert_allclose(float(info2["final_cost"]),
+                               float(info1["final_cost"]),
+                               rtol=1e-5, atol=1e-8)
