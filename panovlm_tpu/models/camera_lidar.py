@@ -320,9 +320,12 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             weight=cfg.lidar_weight, group="lidar")
 
         groups = {"cam": cam_poses, "lidar": lidar_poses, "pts": points}
+        from ..solver import make_schur_spec
+        all_blocks = cl_blocks + (cam_block,) + l_blocks
+        spec = make_schur_spec(groups, all_blocks, "pts")
         out, info = solve_lm_chunked(
-            groups, cl_blocks + (cam_block,) + l_blocks, fixed,
-            LMOptions(max_iters=cfg.max_lm_iters), chunk=5)
+            groups, all_blocks, fixed,
+            LMOptions(max_iters=cfg.max_lm_iters), chunk=5, schur=spec)
         cam_poses, lidar_poses, points = out["cam"], out["lidar"], out["pts"]
         infos.append({k: float(v) for k, v in info.items()})
     return cam_poses, lidar_poses, points, infos

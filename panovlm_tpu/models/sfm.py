@@ -450,10 +450,12 @@ def global_ba(poses_cw, points, track_img, track_feat, track_mask, bearings,
             jnp.ones((len(obs_img),), jnp.float32), jnp.asarray(obs_mask),
             loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg)),
             name="reproj")
+    from ..solver import make_schur_spec
+    spec = make_schur_spec(groups, (block,), "pts")
     out, info = solve_lm_chunked(
         groups, (block,),
         {"poses": jnp.asarray(fixed_p), "pts": jnp.asarray(fixed_x)},
-        LMOptions(max_iters=max_iters), chunk=10)
+        LMOptions(max_iters=max_iters), chunk=10, schur=spec)
     return np.asarray(out["poses"]), np.asarray(out["pts"]), info
 
 

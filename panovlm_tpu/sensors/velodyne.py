@@ -72,11 +72,142 @@ def pad_points(pts: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ----------------------------------------------------------------------------
+# packet-order conflict repair (ReOrderVLP2)
+# ----------------------------------------------------------------------------
+
+# VLP-16 interleaved firing order (Velodyne.cpp:246-254): within one firing
+# column the rings arrive as 0,8,1,9,...,7,15. SCAN_TO_ORDER[ring] = position
+# in the firing sequence; ORDER_TO_SCAN is the canonical ring sequence.
+_S2O = np.empty(16, np.int32)
+_S2O[:8] = 2 * np.arange(8)
+_S2O[8:] = 2 * np.arange(8, 16) - 15
+_O2S = np.empty(16, np.int32)
+_O2S[_S2O] = np.arange(16)
+
+
+def _lcs_len(seq, seq_valid, ref):
+    """Longest common subsequence length between a masked <=16 sequence and
+    the fixed 16-element reference (LongestCommonSubsequence,
+    Velodyne.cpp:188-211) as a 16x16 lax.scan DP."""
+    R = ref.shape[0]
+
+    def row(dp, sv):
+        s, v = sv
+
+        def cell(carry, k):
+            left = carry            # new[k-1]
+            diag = dp[k - 1]
+            up = dp[k]
+            val = jnp.where(ref[k - 1] == s, diag + 1, jnp.maximum(up, left))
+            return val, val
+
+        _, new_tail = jax.lax.scan(cell, jnp.int32(0), jnp.arange(1, R + 1))
+        new = jnp.concatenate([jnp.zeros((1,), jnp.int32), new_tail])
+        return jnp.where(v, new, dp), None
+
+    dp0 = jnp.zeros((R + 1,), jnp.int32)
+    dp, _ = jax.lax.scan(row, dp0, (seq, seq_valid))
+    return dp[R]
+
+
+@functools.partial(jax.jit, static_argnames=("n_scans", "max_cols"))
+def repair_ring_conflicts(pts, mask, n_scans: int = N_SCANS,
+                          max_cols: int = 4096):
+    """ReOrderVLP2 (Velodyne.cpp:213-369): when two points of one firing
+    column land on the same computed ring (elevation noise at a ring
+    boundary), decide which is wrong by trying ring-1 for the first
+    occurrence vs ring+1 for the second and keeping the assignment whose
+    column ring-sequence has the longer LCS against the canonical
+    interleave order. Returns a repaired per-point ring array (-1 invalid).
+
+    TPU design: the reference's sequential packet walk becomes (1) firing
+    columns from the wrap of the interleave order (cummax segmentation),
+    (2) a (max_cols, 16) slot matrix by scatter, (3) conflict candidates
+    scored by a vmapped 16x16 LCS DP over all columns at once. Like the
+    reference, only the most-occupied conflict per column is repaired
+    (Velodyne.cpp:283 handles conflicts pairwise under the same
+    one-bad-point assumption)."""
+    P = pts.shape[0]
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    vert_deg = jnp.degrees(jnp.arctan2(-y, jnp.sqrt(x * x + z * z)))
+    ring = jnp.floor((vert_deg + 15.0) / 2.0 + 0.5).astype(jnp.int32)
+    ok = mask & (ring >= 0) & (ring < n_scans)
+    ring_c = jnp.clip(ring, 0, n_scans - 1)
+    order = jnp.asarray(_S2O)[ring_c]
+
+    # previous valid point's order: cummax of (valid ? i : -1) gives the
+    # index of the last valid point at or before i
+    idx = jnp.arange(P)
+    pv = jax.lax.associative_scan(jnp.maximum, jnp.where(ok, idx, -1))
+    prev_i = jnp.where(idx > 0, pv[jnp.maximum(idx - 1, 0)], -1)
+    prev_order = jnp.where(prev_i >= 0, order[jnp.maximum(prev_i, 0)], -1)
+    boundary = ok & (order < prev_order)          # new column starts here
+    # column id = number of boundaries at or before i (the first column has
+    # id 0: prev_order starts at -1 so it carries no boundary flag)
+    col = jnp.cumsum(boundary.astype(jnp.int32))
+    col = jnp.where(ok & (col < max_cols), col, -1)
+
+    # slot within column: valid-prefix count minus the column's first count
+    c = jnp.cumsum(ok.astype(jnp.int32))          # 1-indexed
+    col_first = jnp.full((max_cols,), 2 ** 30, jnp.int32).at[col].min(
+        jnp.where(ok, c, 2 ** 30), mode="drop")
+    slot = jnp.where(ok, c - col_first[jnp.maximum(col, 0)], 16)
+    in_col = ok & (slot < 16) & (col >= 0)
+
+    # (max_cols, 16) matrices of ring and point index
+    big = jnp.int32(-1)
+    ring_m = jnp.full((max_cols, 16), big).at[col, slot].set(
+        jnp.where(in_col, ring_c, big), mode="drop")
+    pidx_m = jnp.full((max_cols, 16), big).at[col, slot].set(
+        jnp.where(in_col, idx.astype(jnp.int32), big), mode="drop")
+    valid_m = ring_m >= 0
+
+    # conflicts: per-column ring occupation
+    occ = jnp.zeros((max_cols, n_scans), jnp.int32).at[
+        jnp.arange(max_cols)[:, None].repeat(16, 1), ring_m].add(
+        valid_m.astype(jnp.int32), mode="drop")
+    conflict_ring = jnp.argmax(occ, axis=1).astype(jnp.int32)  # most occupied
+    has_conflict = jnp.take_along_axis(
+        occ, conflict_ring[:, None], axis=1)[:, 0] >= 2
+
+    # first / second occurrence slots of the conflicted ring
+    is_conf = valid_m & (ring_m == conflict_ring[:, None])
+    slot_iota = jnp.arange(16)[None, :]
+    first_s = jnp.argmax(is_conf, axis=1)
+    after = is_conf & (slot_iota > first_s[:, None])
+    second_s = jnp.argmax(after, axis=1)
+
+    o2s = jnp.asarray(_O2S)
+
+    def score(col_rings, col_valid, cslot, new_ring):
+        seq = col_rings.at[cslot].set(new_ring)
+        return _lcs_len(seq, col_valid, o2s)
+
+    s1 = jax.vmap(score)(ring_m, valid_m, first_s, conflict_ring - 1)
+    s2 = jax.vmap(score)(ring_m, valid_m, second_s, conflict_ring + 1)
+    s1 = jnp.where(conflict_ring - 1 >= 0, s1, 0)
+    s2 = jnp.where(conflict_ring + 1 < n_scans, s2, 0)
+
+    use_first = s1 > s2
+    fix_slot = jnp.where(use_first, first_s, second_s)
+    fix_ring = jnp.where(use_first, conflict_ring - 1, conflict_ring + 1)
+    fix_pt = jnp.take_along_axis(pidx_m, fix_slot[:, None], axis=1)[:, 0]
+    do_fix = (has_conflict & (fix_ring >= 0) & (fix_ring < n_scans)
+              & (fix_pt >= 0))
+
+    out = jnp.where(ok, ring_c, -1)
+    out = out.at[jnp.where(do_fix, fix_pt, P)].set(
+        jnp.where(do_fix, fix_ring, -1), mode="drop")
+    return out
+
+
+# ----------------------------------------------------------------------------
 # range image
 # ----------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_scans", "horizon"))
-def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON):
+def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON,
+                      ring: jnp.ndarray | None = None):
     """Scatter points into the (n_scans, horizon) range image.
 
     Ring id via the VLP-16 elevation formula (VerticalAngleToScanID,
@@ -95,9 +226,11 @@ def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON)
     assert P <= 65536, "point index must fit the packed key's low 16 bits"
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     rng = jnp.sqrt(x * x + y * y + z * z)
-    vert_deg = jnp.degrees(jnp.arctan2(-y, jnp.sqrt(x * x + z * z)))
-    ring = jnp.floor((vert_deg + 15.0) / 2.0 + 0.5).astype(jnp.int32)
+    if ring is None:
+        vert_deg = jnp.degrees(jnp.arctan2(-y, jnp.sqrt(x * x + z * z)))
+        ring = jnp.floor((vert_deg + 15.0) / 2.0 + 0.5).astype(jnp.int32)
     ring_ok = (ring >= 0) & (ring < n_scans)
+    ring = jnp.clip(ring, 0, n_scans - 1)
 
     ori = jnp.arctan2(x, z)
     ori = jnp.where(ori < 0, ori + 2 * jnp.pi, ori)
@@ -713,10 +846,11 @@ def gather_masked(values, mask, cap: int, fill=0.0):
     return out, out_mask
 
 
-@functools.partial(jax.jit, static_argnames=("max_curvature", "intersect_angle_threshold", "segment", "method"))
+@functools.partial(jax.jit, static_argnames=("max_curvature", "intersect_angle_threshold", "segment", "method", "repair_rings"))
 def extract_features(pts, mask, max_curvature: float = 5.0,
                      intersect_angle_threshold: float = 5.0,
-                     segment: bool = True, method: int = 3):
+                     segment: bool = True, method: int = 3,
+                     repair_rings: bool = False):
     """Feature extraction pipeline (ExtractFeatures, Velodyne.cpp:531-769).
 
     method=3 ADAPTIVE (the Room/Floor config choice, config/Room.txt
@@ -731,7 +865,11 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
     """
     from . import lidar_lines
 
-    img = build_range_image(pts, mask)
+    # repair_rings: ReOrderVLP2's LCS conflict resolution (the robust
+    # variant the reference uses where packet order may be corrupted,
+    # mvs/MVS.cpp:518) instead of plain elevation binning (ReOrderVLP)
+    ring = repair_ring_conflicts(pts, mask) if repair_rings else None
+    img = build_range_image(pts, mask, ring=ring)
     ground = mark_ground(img)
     if segment:
         _, keep = segment_range_image(img["range"], img["valid"])

@@ -8,6 +8,7 @@ entirely on device: matrix-free JtJ products via jvp/vjp, block-Jacobi
 preconditioned CG, IRLS robust-loss weighting.
 """
 
-from .lm import ResidualBlock, LMOptions, solve_lm, solve_lm_chunked  # noqa: F401
+from .lm import (ResidualBlock, LMOptions, SchurSpec, make_schur_spec,  # noqa: F401
+                 solve_lm, solve_lm_chunked)
 from . import residuals, robust  # noqa: F401
 from . import l1_admm  # noqa: F401

@@ -31,6 +31,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import robust
 
@@ -87,6 +88,19 @@ class LMOptions(NamedTuple):
     # jacfwd pushes W tangent copies of those temporaries, so the
     # preconditioner pass chunks W-times finer.
     jac_chunk: int | None = 8192
+    # Track-axis chunk for the Schur elimination pass.
+    schur_t_chunk: int = 1024
+    # When the total free parameter dimension P = sum(N_g * W_g) is at most
+    # this, materialize the full dense normal equations H = J^T J (one
+    # chunked Jacobian pass scatter-added into a (P, P) matrix) and solve
+    # (H + lam D^2) delta = -g with a single dense factorization on the MXU,
+    # instead of matrix-free PCG. PCG costs 2 full residual passes per CG
+    # iteration (~200 passes per LM iteration at cg_iters=100); dense-H costs
+    # ~3 passes total per LM iteration. This mirrors Ceres' solver tiering
+    # (SetOptionsLidar, util/Optimization.cpp:638-666: dense below 50 poses,
+    # sparse below 2000, iterative Schur above) and bounds per-dispatch device
+    # time, which the axon remote worker requires. 0 disables.
+    dense_max_params: int = 6144
 
 
 # ----------------------------------------------------------------------------
@@ -235,6 +249,249 @@ def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict,
     return out
 
 
+def _flat_layout(groups: dict):
+    """Deterministic flattening of {g: (N, W)} into one P-vector."""
+    keys = sorted(groups)
+    offs, P = {}, 0
+    for g in keys:
+        N, W = groups[g].shape
+        offs[g] = P
+        P += N * W
+    return keys, offs, P
+
+
+def _flatten_tree(tree, keys):
+    return jnp.concatenate([tree[g].reshape(-1) for g in keys])
+
+
+def _unflatten_vec(v, groups, keys, offs):
+    out = {}
+    for g in keys:
+        N, W = groups[g].shape
+        out[g] = jax.lax.dynamic_slice_in_dim(v, offs[g], N * W).reshape(N, W)
+    return out
+
+
+def _dense_hessian(groups: dict, blocks: tuple, irls: tuple, offs: dict,
+                   P: int, chunk=None, skip_group: str | None = None):
+    """Materialize the full whitened J^T J as a dense (P, P) matrix.
+
+    One chunked Jacobian pass per residual block: per-observation jacfwd
+    w.r.t. every parameter argument, then W_a x W_b outer-product blocks
+    scatter-added at flat (row, col) offsets. Equals what matrix-free CG
+    applies implicitly; materializing it turns the linear solve into one
+    MXU factorization instead of ~2*cg_iters residual passes.
+
+    skip_group: parameter arguments of this group are excluded (their rows
+    live in the eliminated half of a Schur split)."""
+    Hf = jnp.zeros((P * P,), jnp.float32)
+    for block, w in zip(blocks, irls):
+        args_k = [k for k in range(len(block.groups))
+                  if block.groups[k] != skip_group]
+        if not args_k:
+            continue
+        data = _safe_data(block)
+        scale = block.weight * w * block.mask.astype(w.dtype)
+        jac_fns = {k: jax.jacfwd(block.fn, argnums=k) for k in args_k}
+
+        def hess_rows(idxs, datas, sc):
+            params = [groups[g][i] for g, i in zip(block.groups, idxs)]
+            Js, rows = {}, {}
+            for k in args_k:
+                J = jax.vmap(jac_fns[k])(*params, *datas)  # (m, r, Wk)
+                J = jnp.where(jnp.isfinite(J), J, 0.0) * sc[:, None, None]
+                Js[k] = J
+                Wk = J.shape[-1]
+                rows[k] = (offs[block.groups[k]]
+                           + idxs[k][:, None] * Wk + jnp.arange(Wk)[None, :])
+            fidx, vals = [], []
+            for a in args_k:
+                for b in args_k:
+                    blk = jnp.einsum("mra,mrb->mab", Js[a], Js[b],
+                                     precision=jax.lax.Precision.HIGHEST)
+                    f = rows[a][:, :, None] * P + rows[b][:, None, :]
+                    fidx.append(f.reshape(-1))
+                    vals.append(blk.reshape(-1))
+            return jnp.concatenate(fidx), jnp.concatenate(vals)
+
+        if not _use_chunk(block, chunk):
+            f, v = hess_rows(block.indices, data, scale)
+            Hf = Hf.at[f].add(v)
+        else:
+            (idxs, datas, sc), K, _ = _chunk_arrays(
+                (block.indices, data, scale), chunk)
+            row = jnp.arange(K * chunk).reshape(K, chunk)
+            sc = jnp.where(row < block.mask.shape[0], sc, 0.0)
+
+            def body(acc, args):
+                ii, dd, ss = args
+                f, v = hess_rows(ii, dd, ss)
+                return acc.at[f].add(v), None
+
+            Hf, _ = jax.lax.scan(body, Hf, (idxs, datas, sc))
+    return Hf.reshape(P, P)
+
+
+class SchurSpec(NamedTuple):
+    """Static description of a Schur elimination: `group` appears in exactly
+    one residual block (index `block`), exactly once per observation, with
+    the observation axis laid out as repeat(arange(T), L) — i.e. row t of
+    the group owns observations [t*L, (t+1)*L). That makes H[group, group]
+    block-diagonal (W_E x W_E per row), the classic BA structure Ceres
+    exploits with SCHUR solvers (SetOptionsSfM, util/Optimization.cpp:611)."""
+    group: str
+    block: int
+    T: int
+    L: int
+
+
+def make_schur_spec(groups: dict, blocks: tuple, group: str = "pts"):
+    """Host-side layout check; returns a SchurSpec or None if the problem
+    does not have the eliminable structure."""
+    if group not in groups:
+        return None
+    refs = [i for i, b in enumerate(blocks) if group in b.groups]
+    if len(refs) != 1:
+        return None
+    b = blocks[refs[0]]
+    if sum(g == group for g in b.groups) != 1:
+        return None
+    if all(g == group for g in b.groups):  # no coupling to eliminate against
+        return None
+    idx = np.asarray(b.indices[b.groups.index(group)])
+    T = groups[group].shape[0]
+    if T == 0 or idx.shape[0] % T:
+        return None
+    L = idx.shape[0] // T
+    if not np.array_equal(idx, np.repeat(np.arange(T), L)):
+        return None
+    return SchurSpec(group=group, block=refs[0], T=T, L=L)
+
+
+def _schur_pass(groups: dict, block: ResidualBlock, w, free, spec,
+                offs: dict, Pr: int, lam, gE, t_chunk: int, dxf=None):
+    """Per-track elimination of the E-group from the one block referencing
+    it (the RCS/Schur trick of BA solvers; Ceres SPARSE_SCHUR,
+    util/Optimization.cpp:611).
+
+    dxf=None (reduction pass): returns (S_corr (Pr,Pr), rhs_corr (Pr,),
+    dV (T,WE)) where S_corr = U V'^-1 U^T and rhs_corr = U V'^-1 gE.
+    dxf given (back-substitution pass): recomputes the per-track factors
+    and returns dp = V'^-1 (-gE - U^T dxf), shape (T, WE).
+
+    TPU design: never materialize per-observation-pair (L, L, Wa, Wb)
+    blocks — with long tracks those tile-pad to tens of GB. Instead each
+    track scatters its U and Y = U V'^-1 rows into a (WE, Pr) slab and the
+    chunk's S contribution is ONE batched matmul sum_t Y_t U_t^T over the
+    (track, WE) axes — MXU-shaped, O(Pr^2) memory. Back-substitution
+    recomputes Jacobians in a second pass instead of storing (T, L, Wa, WE)
+    coupling blocks (which would tile-pad ~40x)."""
+    eps = 1e-10
+    T, L = spec.T, spec.L
+    data = _safe_data(block)
+    scale = block.weight * w * block.mask.astype(w.dtype)
+    nargs = len(block.groups)
+    ke = block.groups.index(spec.group)
+    ks = [k for k in range(nargs) if k != ke]
+    jac_fns = {k: jax.jacfwd(block.fn, argnums=k) for k in range(nargs)}
+    WE = groups[spec.group].shape[1]
+
+    # bound per-chunk observation rows: tc*L <= ~32k keeps the padded
+    # (rows, r, W) Jacobian temporaries in the low hundreds of MB
+    t_chunk = max(1, min(t_chunk, 32768 // max(L, 1)))
+
+    def tl(a):  # (T*L, ...) -> (T, L, ...)
+        return a.reshape((T, L) + a.shape[1:])
+
+    tree = (tuple(tl(i) for i in block.indices),
+            tuple(tl(d) for d in data), tl(scale),
+            free[spec.group].astype(jnp.float32), gE)
+    K = -(-T // t_chunk)
+    pad = K * t_chunk - T
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        return a.reshape((K, t_chunk) + a.shape[1:])
+
+    idxs_c, datas_c, sc_c, fE_c, gE_c = jax.tree_util.tree_map(prep, tree)
+    if pad:  # pad tracks contribute nothing
+        trow = jnp.arange(K * t_chunk).reshape(K, t_chunk)
+        sc_c = jnp.where(trow[..., None] < T, sc_c, 0.0)
+        gE_c = jnp.where(trow[..., None] < T, gE_c, 0.0)
+    chunks = (idxs_c, datas_c, sc_c, fE_c, gE_c)
+
+    def factors(ii, dd, ss, fE):
+        """Per-chunk track factors: U rows concatenated over rest-args
+        ((tc, R, WE) with R = L * sum(Wa)), their flat row ids (tc, R),
+        V'^-1 (tc, WE, WE) and diag(V) (tc, WE)."""
+        tc = ss.shape[0]
+        flat = lambda a: a.reshape((tc * L,) + a.shape[2:])
+        params = [groups[g][flat(i)] for g, i in zip(block.groups, ii)]
+        datas = [flat(d) for d in dd]
+        sflat = flat(ss)
+        Js = {}
+        for k in range(nargs):
+            J = jax.vmap(jac_fns[k])(*params, *datas)
+            J = jnp.where(jnp.isfinite(J), J, 0.0) * sflat[:, None, None]
+            Js[k] = J.reshape((tc, L) + J.shape[1:])
+        JE = Js[ke] * fE[:, None, None, :]               # (tc, L, r, WE)
+        V = jnp.einsum("tlra,tlrb->tab", JE, JE,
+                       precision=jax.lax.Precision.HIGHEST)
+        dV = jnp.einsum("tii->ti", V)
+        Vd = V + jax.vmap(jnp.diag)(lam * (dV + eps) + (1.0 - fE))
+        Vinv = jnp.linalg.inv(Vd)
+        Ucat, rowcat = [], []
+        for a in ks:
+            Ja = Js[a]                                    # (tc, L, r, Wa)
+            Wa = Ja.shape[-1]
+            # zero coupling into gauge-fixed rest coordinates (the dense
+            # path zeroes those H rows; U must match)
+            fa = free[block.groups[a]].astype(Ja.dtype)[ii[a]]  # (tc, L, Wa)
+            Ja = Ja * fa[:, :, None, :]
+            U = jnp.einsum("tlra,tlrb->tlab", Ja, JE,
+                           precision=jax.lax.Precision.HIGHEST)
+            ra = (offs[block.groups[a]] + ii[a][..., None] * Wa
+                  + jnp.arange(Wa))                       # (tc, L, Wa)
+            Ucat.append(U.reshape(tc, L * Wa, WE))
+            rowcat.append(ra.reshape(tc, L * Wa))
+        U = jnp.concatenate(Ucat, axis=1)
+        rows = jnp.concatenate(rowcat, axis=1)
+        return U, rows, Vinv, dV
+
+    if dxf is not None:
+        def body_bs(_, args):
+            ii, dd, ss, fE, gg = args
+            U, rows, Vinv, _ = factors(ii, dd, ss, fE)
+            acc = -gg - jnp.einsum("tre,tr->te", U, dxf[rows])
+            return None, jnp.einsum("tef,tf->te", Vinv, acc)
+
+        _, dp = jax.lax.scan(body_bs, None, chunks)
+        return dp.reshape(K * t_chunk, WE)[:T]
+
+    def body(carry, args):
+        Sf, rhs = carry
+        ii, dd, ss, fE, gg = args
+        U, rows, Vinv, dV = factors(ii, dd, ss, fE)
+        Y = jnp.einsum("tre,tef->trf", U, Vinv)          # (tc, R, WE)
+
+        def scat(rows_t, M_t):  # (R,), (R, WE) -> (WE, Pr)
+            return jnp.zeros((WE, Pr), jnp.float32).at[:, rows_t].add(M_t.T)
+
+        Wt = jax.vmap(scat)(rows, Y)                     # (tc, WE, Pr)
+        Ut = jax.vmap(scat)(rows, U)
+        Sf = Sf + jnp.einsum("tep,teq->pq", Wt, Ut,
+                             precision=jax.lax.Precision.HIGHEST)
+        rhs = rhs + jnp.einsum("tep,te->p", Wt, gg)
+        return (Sf, rhs), dV
+
+    (Sf, rhs), dV = jax.lax.scan(
+        body, (jnp.zeros((Pr, Pr), jnp.float32), jnp.zeros((Pr,), jnp.float32)),
+        chunks)
+    return Sf, rhs, dV.reshape(K * t_chunk, WE)[:T]
+
+
 def _tree_dot(a, b):
     return sum(jnp.vdot(x, y) for x, y in zip(jax.tree_util.tree_leaves(a),
                                               jax.tree_util.tree_leaves(b)))
@@ -270,15 +527,27 @@ def _pcg(Hv, b, Minv, iters: int, tol: float):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("options",))
+@functools.partial(jax.jit, static_argnames=("options", "schur"))
 def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
-             options: LMOptions = LMOptions(), lam0=None, nu0=None):
+             options: LMOptions = LMOptions(), lam0=None, nu0=None,
+             schur: SchurSpec | None = None):
     """Run LM. groups: {name: (N, W) array}. fixed: {name: (N, W) bool}
     marking frozen coordinates (gauge fixing). lam0/nu0 optionally resume
-    the damping state (solve_lm_chunked). Returns (groups, info)."""
+    the damping state (solve_lm_chunked). schur: optional SchurSpec (from
+    make_schur_spec) eliminating one large block-diagonal group (BA points)
+    so the reduced system solves densely. Returns (groups, info)."""
     if fixed is None:
         fixed = {g: jnp.zeros(v.shape, bool) for g, v in groups.items()}
     free = {g: ~fixed[g] for g in groups}
+    keys, offs, P = _flat_layout(groups)
+    if schur is not None:
+        rest = {g: v for g, v in groups.items() if g != schur.group}
+        keys_r, offs_r, Pr = _flat_layout(rest)
+        if not rest or not options.dense_max_params \
+                or Pr > options.dense_max_params:
+            schur = None
+    dense = (schur is None and bool(options.dense_max_params)
+             and P <= options.dense_max_params)
 
     def project(tree):
         return {g: jnp.where(free[g], tree[g], 0.0) for g in tree}
@@ -292,6 +561,55 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
         F = lambda p: _whitened_flat(p, blocks, irls, options.obs_chunk)
         r, pullback = jax.vjp(F, x)
         g = project(pullback(r)[0])  # J^T r
+
+        if schur is not None:
+            eps = 1e-10
+            A = _dense_hessian(x, blocks, irls, offs_r, Pr,
+                               options.jac_chunk, skip_group=schur.group)
+            fvec = _flatten_tree(
+                {k: free[k].astype(jnp.float32) for k in keys_r}, keys_r)
+            A = A * fvec[:, None] * fvec[None, :]
+            grf = _flatten_tree({k: g[k] for k in keys_r}, keys_r)
+            gE = g[schur.group]
+            Sf, rhs_c, dV = _schur_pass(
+                x, blocks[schur.block], irls[schur.block],
+                free, schur, offs_r, Pr, lam, gE,
+                options.schur_t_chunk)
+            D2A = jnp.diagonal(A)
+            Ad = A + jnp.diag(lam * (D2A + eps) + (1.0 - fvec))
+            S = Ad - Sf
+            c, low = jax.scipy.linalg.cho_factor(S, lower=True)
+            dxf = jax.scipy.linalg.cho_solve((c, low), -grf + rhs_c)
+            # back-substitution: dp = V'^-1 (-gE - U^T dx)
+            dp = _schur_pass(
+                x, blocks[schur.block], irls[schur.block],
+                free, schur, offs_r, Pr, lam, gE,
+                options.schur_t_chunk, dxf=dxf)
+            delta = _unflatten_vec(dxf, rest, keys_r, offs_r)
+            delta[schur.group] = dp
+            delta = project(delta)
+            x_new = {k: x[k] + delta[k] for k in x}
+            cost_new = _total_cost(x_new, blocks, options.obs_chunk)
+            pred = (0.5 * jnp.vdot(dxf, lam * (D2A + eps) * dxf - grf)
+                    + 0.5 * jnp.vdot(dp, lam * (dV + eps) * dp - gE))
+            return x_new, cost, cost_new, pred
+
+        if dense:
+            eps = 1e-10
+            H = _dense_hessian(x, blocks, irls, offs, P, options.jac_chunk)
+            fvec = _flatten_tree(
+                {k: free[k].astype(jnp.float32) for k in free}, keys)
+            H = H * fvec[:, None] * fvec[None, :]
+            gflat = _flatten_tree(g, keys)
+            D2f = jnp.diagonal(H)
+            A = H + jnp.diag(lam * (D2f + eps) + (1.0 - fvec))
+            c, low = jax.scipy.linalg.cho_factor(A, lower=True)
+            dflat = jax.scipy.linalg.cho_solve((c, low), -gflat)
+            delta = project(_unflatten_vec(dflat, x, keys, offs))
+            x_new = {k: x[k] + delta[k] for k in x}
+            cost_new = _total_cost(x_new, blocks, options.obs_chunk)
+            pred = 0.5 * jnp.vdot(dflat, lam * (D2f + eps) * dflat - gflat)
+            return x_new, cost, cost_new, pred
 
         B = _precond_blocks(x, blocks, irls, free, options.jac_chunk)
         # Marquardt scaling: D^2 = diag(JtJ)
@@ -367,7 +685,8 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
 
 
 def solve_lm_chunked(groups: dict, blocks: tuple, fixed: dict | None = None,
-                     options: LMOptions = LMOptions(), chunk: int = 5):
+                     options: LMOptions = LMOptions(), chunk: int = 5,
+                     schur: SchurSpec | None = None):
     """solve_lm split into several shorter device programs (chunk LM
     iterations each), carrying the damping state (lambda, nu) across so
     the LM trajectory is identical to one long program. Bounds
@@ -382,9 +701,10 @@ def solve_lm_chunked(groups: dict, blocks: tuple, fixed: dict | None = None,
         it_chunk = min(chunk, options.max_iters - done_iters)
         opts = options._replace(max_iters=it_chunk)
         if first:
-            x, info_c = solve_lm(x, blocks, fixed, opts)
+            x, info_c = solve_lm(x, blocks, fixed, opts, schur=schur)
         else:
-            x, info_c = solve_lm(x, blocks, fixed, opts, lam0=lam, nu0=nu)
+            x, info_c = solve_lm(x, blocks, fixed, opts, lam0=lam, nu0=nu,
+                                 schur=schur)
         lam, nu = info_c["lambda"], info_c["nu"]
         done_iters += int(info_c["iterations"])
         if info is None:

@@ -318,3 +318,102 @@ def test_obs_chunked_solve_matches_unchunked(rng):
     np.testing.assert_allclose(float(info2["final_cost"]),
                                float(info1["final_cost"]),
                                rtol=1e-5, atol=1e-8)
+
+
+def _ba_single_block(rng, n_pts=40, n_masked=5):
+    """Two-view BA as ONE residual block in track-major layout
+    (pts indices = repeat(arange(T), L)) — the Schur-eliminable structure."""
+    pts, (aa1, t1), (aa2, t2), rays1, rays2 = _make_two_view_problem(rng, n_pts)
+    T = n_pts
+    poses0 = np.stack([
+        np.concatenate([aa1, t1]),
+        np.concatenate([aa2 + 0.03, t2 + np.array([0.05, -0.05, 0.1], np.float32)]),
+    ]).astype(np.float32)
+    pts0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.03
+    cam_idx = np.tile(np.array([0, 1], np.int32), T)
+    pt_idx = np.repeat(np.arange(T, dtype=np.int32), 2)
+    rays = np.stack([rays1, rays2], axis=1).reshape(2 * T, 3)
+    mask = np.ones(2 * T, bool)
+    mask[rng.choice(2 * T, n_masked, replace=False)] = False
+    block = ResidualBlock(
+        residuals.reproj_chordal, ("poses", "pts"),
+        (jnp.asarray(cam_idx), jnp.asarray(pt_idx)),
+        (jnp.asarray(rays),),
+        jnp.ones((2 * T,), jnp.float32), jnp.asarray(mask),
+        loss="huber", loss_scale=np.radians(4.0))
+    groups = {"poses": jnp.asarray(poses0), "pts": jnp.asarray(pts0)}
+    fixed = {"poses": jnp.asarray(np.array([[True] * 6, [False] * 6])),
+             "pts": jnp.zeros((T, 3), bool)}
+    return groups, block, fixed, (aa2, t2)
+
+
+def test_dense_and_schur_tiers_match_pcg(rng):
+    """The three linear-solver tiers (matrix-free PCG, dense normal
+    equations, Schur-eliminated dense) must agree: dense and Schur solve
+    the SAME damped system exactly so their LM trajectories coincide
+    tightly; PCG is inexact but must land in the same optimum."""
+    from panovlm_tpu.solver import make_schur_spec
+    groups, block, fixed, (aa2, t2) = _ba_single_block(rng)
+    opts = LMOptions(max_iters=15)
+
+    spec = make_schur_spec(groups, (block,), "pts")
+    assert spec is not None and spec.T == 40 and spec.L == 2
+
+    out_pcg, info_pcg = solve_lm(groups, (block,), fixed,
+                                 opts._replace(dense_max_params=0))
+    out_den, info_den = solve_lm(groups, (block,), fixed, opts)
+    out_sch, info_sch = solve_lm(groups, (block,), fixed, opts, schur=spec)
+
+    # dense vs schur: identical algorithm, different factorization order
+    np.testing.assert_allclose(np.asarray(out_sch["poses"]),
+                               np.asarray(out_den["poses"]), atol=2e-4)
+    np.testing.assert_allclose(float(info_sch["final_cost"]),
+                               float(info_den["final_cost"]),
+                               rtol=1e-3, atol=1e-10)
+    # all three recover the pose
+    for out in (out_pcg, out_den, out_sch):
+        pose2 = np.asarray(out["poses"][1])
+        np.testing.assert_allclose(pose2[:3], aa2, atol=1e-3)
+        np.testing.assert_allclose(pose2[3:] / np.linalg.norm(pose2[3:]),
+                                   t2 / np.linalg.norm(t2), atol=1e-3)
+    # and reach (near-)zero cost on this noiseless problem
+    for info in (info_pcg, info_den, info_sch):
+        assert float(info["final_cost"]) < float(info["initial_cost"]) * 1e-4
+
+
+def test_schur_t_chunked_matches_unchunked(rng):
+    """Track-axis chunking of the Schur passes (the HBM bound at Room
+    scale) must not change the step."""
+    from panovlm_tpu.solver import make_schur_spec
+    groups, block, fixed, _ = _ba_single_block(rng, n_pts=50)
+    spec = make_schur_spec(groups, (block,), "pts")
+    opts = LMOptions(max_iters=8)
+    out1, info1 = solve_lm(groups, (block,), fixed,
+                           opts._replace(schur_t_chunk=1024), schur=spec)
+    out2, info2 = solve_lm(groups, (block,), fixed,
+                           opts._replace(schur_t_chunk=7), schur=spec)
+    np.testing.assert_allclose(np.asarray(out1["poses"]),
+                               np.asarray(out2["poses"]), atol=2e-4)
+    # structure is compared loosely: chunk-order fp noise shifts weakly
+    # constrained points along their rays without moving the poses
+    np.testing.assert_allclose(np.asarray(out1["pts"]),
+                               np.asarray(out2["pts"]), atol=5e-3)
+
+
+def test_make_schur_spec_rejects_bad_layouts(rng):
+    """Spec detection must refuse non-eliminable structures (group in two
+    blocks, non-track-major index layout) so callers fall back safely."""
+    from panovlm_tpu.solver import make_schur_spec
+    groups, block, fixed, _ = _ba_single_block(rng)
+    # two blocks referencing pts
+    assert make_schur_spec(groups, (block, block), "pts") is None
+    # shuffled (non repeat(arange)) layout
+    perm = np.random.default_rng(0).permutation(block.mask.shape[0])
+    bad = ResidualBlock(block.fn, block.groups,
+                        tuple(i[perm] for i in block.indices),
+                        tuple(d[perm] for d in block.data),
+                        block.weight[perm], block.mask[perm],
+                        loss=block.loss, loss_scale=block.loss_scale)
+    assert make_schur_spec(groups, (bad,), "pts") is None
+    # unknown group
+    assert make_schur_spec(groups, (block,), "nope") is None

@@ -244,3 +244,56 @@ def test_extract_features_double_extraction(scan):
     lab = np.asarray(f2.point_to_segment)
     em = np.asarray(f2.less_sharp_mask)
     assert ((lab >= 0) <= em).all() or n3 == 0
+
+
+def _firing_column(az, rings):
+    """Points of one firing column at azimuth az, in the given ring order
+    (ring r sits at elevation -15 + 2r degrees, VLP-16)."""
+    els = np.radians(np.asarray(rings, np.float64) * 2.0 - 15.0)
+    y = -np.sin(els)
+    h = np.cos(els)
+    return np.stack([h * np.sin(az), y, h * np.cos(az)], 1).astype(np.float32)
+
+
+def test_repair_ring_conflicts_lcs():
+    """ReOrderVLP2 parity (Velodyne.cpp:213-369): a sparse firing column
+    where elevation noise lands a ring-5 return on ring 6 (duplicating the
+    true ring-6 return) is repaired by the LCS vote; clean columns and all
+    other points keep their elevation-binned rings."""
+    order_to_ring = [0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15]
+    cols = []
+    for k in range(5):
+        az = 0.01 + 0.3 * k
+        if k == 2:
+            # firing positions 0..9 canonical, position 10 = corrupted
+            # (true ring 5 measured at ring 6's elevation), position 11
+            # (ring 13) missing, then canonical 12..15
+            rings = order_to_ring[:10] + [6] + order_to_ring[12:]
+        else:
+            rings = order_to_ring
+        cols.append(_firing_column(az, rings))
+    pts = np.concatenate(cols, 0)
+    mask = np.ones(len(pts), bool)
+    out = np.asarray(vd.repair_ring_conflicts(jnp.asarray(pts), jnp.asarray(mask)))
+
+    expect = []
+    for k in range(5):
+        if k == 2:
+            expect += order_to_ring[:10] + [5] + order_to_ring[12:]
+        else:
+            expect += order_to_ring
+    np.testing.assert_array_equal(out, np.asarray(expect, np.int32))
+
+
+def test_repair_ring_conflicts_noop_on_clean(scan):
+    """On a clean synthetic sweep the repaired rings equal plain elevation
+    binning (no conflicts -> no changes)."""
+    pts, mask = vd.pad_points(scan, 32768)
+    pts, mask = jnp.asarray(pts), jnp.asarray(mask)
+    out = np.asarray(vd.repair_ring_conflicts(pts, mask))
+    x, y, z = np.asarray(pts).T
+    vert = np.degrees(np.arctan2(-y, np.sqrt(x * x + z * z)))
+    ring = np.floor((vert + 15.0) / 2.0 + 0.5).astype(np.int32)
+    ok = np.asarray(mask) & (ring >= 0) & (ring < 16)
+    np.testing.assert_array_equal(out[ok], ring[ok])
+    assert np.all(out[~ok] == -1)
