@@ -4,6 +4,11 @@
 
 stages: init_camera_pose | init_lidar_pose | joint_optimization |
         colorize_lidar_map | joint_mvs
+
+pair surgery (patch a persisted pair set without recomputing the stage):
+
+    python -m panovlm_tpu add_pair <config.txt> <i> <j>
+    python -m panovlm_tpu recompute_pairs <config.txt> <idx1> <idx2>
 """
 
 from __future__ import annotations
@@ -29,6 +34,15 @@ def _enable_compile_cache():
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    surgery = {"add_pair", "recompute_pairs"}
+    if len(argv) == 4 and argv[0] in surgery:
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s %(levelname)s %(message)s")
+        _enable_compile_cache()
+        from . import pair_surgery
+        getattr(pair_surgery, argv[0])(load_config(argv[1]),
+                                       int(argv[2]), int(argv[3]))
+        return 0
     if len(argv) != 2 or argv[0] not in STAGES:
         print(__doc__)
         return 2

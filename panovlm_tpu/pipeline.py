@@ -145,6 +145,89 @@ def extract_all_features(scans, cap: int = 32768, cfg: Config = None,
 # ----------------------------------------------------------------------------
 
 
+def _sfm_config(cfg: Config, cap: int):
+    from .models import sfm as sfm_mod
+    return sfm_mod.SfMConfig(
+        num_sift=cap, sift_match_dist_threshold=cfg.sift_match_dist_threshold,
+        sift_match_num_threshold=cfg.sift_match_num_threshold,
+        triangulate_angle_threshold=cfg.triangulate_angle_threshold,
+        upper_scale_ratio=cfg.upper_scale_ratio,
+        lower_scale_ratio=cfg.lower_scale_ratio)
+
+
+def _match_pairs_cached(cfg: Config, scfg, cap: int, desc, fmask, pi, pj):
+    """Row-based match-pair cache (main.cpp:194-248, plus the pair-surgery
+    contract of SfM_test.cpp): rows in cfg.match_pair_path whose (i, j) key
+    is in the proposed pair set are reused, missing rows are matched fresh,
+    and cached rows flagged `extra` (written by pair_surgery.add_pair /
+    recompute_pairs) are appended even though the proposer would not
+    regenerate them. Returns (pi, pj, matches) with the possibly-extended
+    pair list."""
+    import jax.numpy as jnp
+    from .models import sfm as sfm_mod
+
+    mcache = os.path.join(cfg.match_pair_path, "match_pairs.npz") \
+        if cfg.match_pair_path else ""
+    K = min(int(scfg.max_matches), cap)  # match_descriptors pads to this
+    mc = None
+    if mcache and os.path.exists(mcache):
+        mc = artifacts.load_npz(mcache)
+        if int(mc["num_sift"]) != cap or mc["idx"].shape[1] != K \
+                or mc["idx"].shape[0] != mc["pi"].shape[0]:
+            log.info("cached match pairs are stale, re-matching")
+            mc = None
+    if mc is None:
+        matches = sfm_mod.match_all_pairs(jnp.asarray(desc),
+                                          jnp.asarray(fmask), pi, pj, scfg)
+        if mcache:
+            os.makedirs(cfg.match_pair_path, exist_ok=True)
+            artifacts.save_npz(mcache, pi=pi, pj=pj, num_sift=cap,
+                               idx=np.asarray(matches["idx"]),
+                               mask=np.asarray(matches["mask"]),
+                               pair_ok=np.asarray(matches["pair_ok"]),
+                               extra=np.zeros(len(pi), bool))
+        return pi, pj, matches
+
+    cpi, cpj = mc["pi"], mc["pj"]
+    rowmap = {(int(a), int(b)): r for r, (a, b) in enumerate(zip(cpi, cpj))}
+    cextra = mc["extra"].astype(bool) if "extra" in mc \
+        else np.zeros(len(cpi), bool)
+    gen = set(zip(pi.tolist(), pj.tolist()))
+    keep_extra = [r for r in range(len(cpi))
+                  if cextra[r] and (int(cpi[r]), int(cpj[r])) not in gen]
+    pi = np.concatenate([pi, cpi[keep_extra].astype(pi.dtype)])
+    pj = np.concatenate([pj, cpj[keep_extra].astype(pj.dtype)])
+    hit = np.asarray([rowmap.get((int(a), int(b)), -1)
+                      for a, b in zip(pi, pj)], np.int64)
+    have = hit >= 0
+    P = len(pi)
+    idx = np.zeros((P, K, 2), np.int32)
+    msk = np.zeros((P, K), bool)
+    pok = np.zeros((P,), bool)
+    idx[have] = mc["idx"][hit[have]]
+    msk[have] = mc["mask"][hit[have]]
+    pok[have] = mc["pair_ok"][hit[have]]
+    miss = np.nonzero(~have)[0]
+    if len(miss):
+        log.info("match-pair cache: %d/%d rows reused, %d re-matched",
+                 int(have.sum()), P, len(miss))
+        mm = sfm_mod.match_all_pairs(jnp.asarray(desc), jnp.asarray(fmask),
+                                     pi[miss], pj[miss], scfg)
+        idx[miss] = np.asarray(mm["idx"])
+        msk[miss] = np.asarray(mm["mask"])
+        pok[miss] = np.asarray(mm["pair_ok"])
+    else:
+        log.info("Use existing match pairs in %s", cfg.match_pair_path)
+    extra = np.asarray([(int(a), int(b)) not in gen
+                        for a, b in zip(pi, pj)], bool)
+    if len(miss) or len(keep_extra) != int(cextra.sum()) or len(pi) != len(cpi):
+        artifacts.save_npz(mcache, pi=pi, pj=pj, num_sift=cap, idx=idx,
+                           mask=msk, pair_ok=pok, extra=extra)
+    matches = {"idx": jnp.asarray(idx), "mask": jnp.asarray(msk),
+               "pair_ok": jnp.asarray(pok)}
+    return pi, pj, matches
+
+
 def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
     """LiDAR-assisted global SfM (InitCameraPose, main.cpp:91-370)."""
     import jax.numpy as jnp
@@ -222,12 +305,7 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                 artifacts.export_depth_u16(
                     os.path.join(cfg.depth_path, f"{i}.npy"), depth_maps[i])
 
-    scfg = sfm_mod.SfMConfig(
-        num_sift=cap, sift_match_dist_threshold=cfg.sift_match_dist_threshold,
-        sift_match_num_threshold=cfg.sift_match_num_threshold,
-        triangulate_angle_threshold=cfg.triangulate_angle_threshold,
-        upper_scale_ratio=cfg.upper_scale_ratio,
-        lower_scale_ratio=cfg.lower_scale_ratio)
+    scfg = _sfm_config(cfg, cap)
     with tr.phase("match pairs"):
         # FrameMatchMethod bitmask (sfm/SfM.h:56-63; main.cpp:202 uses
         # VLAD|CONTIGUOUS). VLAD embeddings come from the SIFT descriptors
@@ -250,30 +328,8 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                 gps_xyz = None
         pi, pj = sfm_mod.init_image_pairs(n, scfg, embeddings=embeddings,
                                           gps_xyz=gps_xyz, methods=fm)
-        # match-pair cache (main.cpp:194-248): reuse cfg.match_pair_path
-        # when it holds the same pair set
-        mcache = os.path.join(cfg.match_pair_path, "match_pairs.npz") \
-            if cfg.match_pair_path else ""
-        matches = None
-        if mcache and os.path.exists(mcache):
-            mc = artifacts.load_npz(mcache)
-            if len(mc["pi"]) == len(pi) and (mc["pi"] == pi).all() \
-                    and (mc["pj"] == pj).all() \
-                    and int(mc["num_sift"]) == cap:
-                log.info("Use existing match pairs in %s",
-                         cfg.match_pair_path)
-                matches = {"idx": jnp.asarray(mc["idx"]),
-                           "mask": jnp.asarray(mc["mask"]),
-                           "pair_ok": jnp.asarray(mc["pair_ok"])}
-        if matches is None:
-            matches = sfm_mod.match_all_pairs(jnp.asarray(desc),
-                                              jnp.asarray(fmask), pi, pj, scfg)
-            if mcache:
-                os.makedirs(cfg.match_pair_path, exist_ok=True)
-                artifacts.save_npz(mcache, pi=pi, pj=pj, num_sift=cap,
-                                   idx=np.asarray(matches["idx"]),
-                                   mask=np.asarray(matches["mask"]),
-                                   pair_ok=np.asarray(matches["pair_ok"]))
+        pi, pj, matches = _match_pairs_cached(cfg, scfg, cap, desc, fmask,
+                                              pi, pj)
         with open(os.path.join(cfg.sfm_result_path,
                                "after_sift_match.txt"), "w") as f:
             for k in range(len(pi)):

@@ -1,0 +1,95 @@
+"""Pair-surgery round trip (ReComputePairs / AddPair,
+sfm/SfM_test.cpp:7-41,155-249): patch a persisted pair set on disk, then
+verify the stage-side row-based cache merge reuses / keeps / rematches
+the right rows."""
+
+import numpy as np
+import pytest
+
+from panovlm_tpu import pair_surgery
+from panovlm_tpu.config import Config
+from panovlm_tpu.io import artifacts
+from panovlm_tpu.pipeline import _match_pairs_cached, _sfm_config
+
+
+N, CAP = 6, 64
+
+
+def _features(rng):
+    """Frames with planted correspondences: frame k's descriptors are a
+    shared dictionary plus noise, so SIFT ratio-matching finds them."""
+    base = rng.normal(size=(CAP, 128)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    desc = np.stack([base + 0.02 * rng.normal(size=base.shape).astype(np.float32)
+                     for _ in range(N)])
+    desc /= np.linalg.norm(desc, axis=2, keepdims=True)
+    uv = rng.uniform(0, 256, (N, CAP, 2)).astype(np.float32)
+    fmask = np.ones((N, CAP), bool)
+    return uv, desc, fmask
+
+
+@pytest.fixture
+def setup(tmp_path, rng):
+    cfg = Config(frame_path=str(tmp_path / "frames"),
+                 match_pair_path=str(tmp_path / "pairs"),
+                 num_sift=CAP)
+    uv, desc, fmask = _features(rng)
+    artifacts.save_npz(str(tmp_path / "frames" / "frames_sift.npz"),
+                       uv=uv, desc=desc, fmask=fmask)
+    # contiguous-window pair proposal, as the stage would generate
+    pi, pj = [], []
+    for i in range(N):
+        for j in range(i + 1, min(i + 3, N)):
+            pi.append(i)
+            pj.append(j)
+    pi = np.asarray(pi, np.int32)
+    pj = np.asarray(pj, np.int32)
+    scfg = _sfm_config(cfg, CAP)
+    pi0, pj0, matches = _match_pairs_cached(cfg, scfg, CAP, desc, fmask,
+                                            pi, pj)
+    assert len(pi0) == len(pi)
+    return cfg, scfg, desc, fmask, pi, pj, matches
+
+
+def test_add_pair_roundtrip(setup):
+    cfg, scfg, desc, fmask, pi, pj, _ = setup
+    out = pair_surgery.add_pair(cfg, 5, 0)  # reversed ids get sorted
+    assert (int(out["pi"][-1]), int(out["pj"][-1])) == (0, 5)
+    assert bool(out["extra"][-1])
+    assert len(out["pi"]) == len(pi) + 1
+    # the stage merge keeps the surgical pair and reuses every cached row
+    pi2, pj2, m2 = _match_pairs_cached(cfg, scfg, CAP, desc, fmask, pi, pj)
+    assert len(pi2) == len(pi) + 1
+    assert (int(pi2[-1]), int(pj2[-1])) == (0, 5)
+    # idempotent across another run
+    pi3, pj3, m3 = _match_pairs_cached(cfg, scfg, CAP, desc, fmask, pi, pj)
+    np.testing.assert_array_equal(pi2, pi3)
+    np.testing.assert_array_equal(np.asarray(m2["idx"]), np.asarray(m3["idx"]))
+
+
+def test_recompute_pairs_roundtrip(setup):
+    cfg, scfg, desc, fmask, pi, pj, matches = setup
+    before = artifacts.load_npz(f"{cfg.match_pair_path}/match_pairs.npz")
+    out = pair_surgery.recompute_pairs(cfg, 1, 4)
+    # quadratic set over [1,4] = 6 pairs; window rows inside were replaced
+    inside = [(int(a), int(b)) for a, b in zip(out["pi"], out["pj"])
+              if 1 <= a <= 4 and 1 <= b <= 4]
+    assert sorted(inside) == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # rows outside the range are byte-identical to before
+    keymap = {(int(a), int(b)): r
+              for r, (a, b) in enumerate(zip(before["pi"], before["pj"]))}
+    for r, (a, b) in enumerate(zip(out["pi"], out["pj"])):
+        if (int(a), int(b)) in keymap and not (1 <= a <= 4 and 1 <= b <= 4):
+            np.testing.assert_array_equal(out["idx"][r],
+                                          before["idx"][keymap[(a, b)]])
+    # merge: proposer pairs all hit the cache; extras (1,3),(1,4),(2,4) kept
+    pi2, pj2, _ = _match_pairs_cached(cfg, scfg, CAP, desc, fmask, pi, pj)
+    got = set(zip(pi2.tolist(), pj2.tolist()))
+    assert {(1, 3), (1, 4), (2, 4)} <= got
+
+
+def test_surgery_requires_artifacts(tmp_path):
+    cfg = Config(frame_path=str(tmp_path / "nope"),
+                 match_pair_path=str(tmp_path / "nope2"))
+    with pytest.raises(FileNotFoundError):
+        pair_surgery.add_pair(cfg, 0, 1)
