@@ -1,5 +1,14 @@
 """Standalone LiDAR plane segmentation + per-point normal maps.
 
+Parity status: like its reference counterpart, this module has NO
+production caller. The reference declares Velodyne::ExtractPlanes
+(sensors/Velodyne.h:189) but never calls it from any pipeline stage; this
+module mirrors that surface (and is exercised by tests/test_velodyne.py /
+test_parallel.py) so a user porting code that calls ExtractPlanes finds
+the equivalent here. The production point-to-plane association instead
+fits planes from 10-NN candidates on the fly (models/association.py),
+exactly as the reference's LidarFeatureAssociate does.
+
 Replaces sensors/LidarPlaneExtraction.{h,cpp} (reference, 391 LoC):
   * ComputeNormals (:91-197): per-point normals from range-image
     neighborhoods (~70% same-ring, rest adjacent rings);
