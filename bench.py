@@ -436,31 +436,36 @@ def _mvs_views():
     centers = [np.array([0.0, 0.4, 0.0]), np.array([0.7, 0.4, 0.2]),
                np.array([-0.5, 0.2, -0.4]), np.array([0.2, 0.6, -0.7]),
                np.array([-0.3, 0.5, 0.5])]
-    cache = f"/tmp/panovlm_bench_mvs_{MVS_H}x{MVS_W}.npz"
+    cache = f"/tmp/panovlm_bench_mvs2_{MVS_H}x{MVS_W}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
-        return z["grays"], z["poses"]
+        return z["grays"], z["poses"], z["prior"]
     grays = []
+    prior = None
     for c in centers:
-        g, _ = synthetic.render_panorama(c, MVS_H // 2, MVS_W // 2)
+        g, d = synthetic.render_panorama(c, MVS_H // 2, MVS_W // 2)
         up = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
         grays.append(up.astype(np.float32))
+        if prior is None:
+            prior = d.astype(np.float32)   # depth prior (stands in for the
+                                           # production LiDAR projection)
     poses = np.zeros((len(centers), 6), np.float32)
     for i, c in enumerate(centers):
         poses[i, 3:] = -c    # R = I -> t_cw = -C
     grays = np.stack(grays)
     try:
-        np.savez(cache, grays=grays, poses=poses)
+        np.savez(cache, grays=grays, poses=poses, prior=prior)
     except OSError:
         pass
-    return grays, poses
+    return grays, poses, prior
 
 
-def tpu_mvs(grays_np, poses_np):
+def tpu_mvs(grays_np, poses_np, prior_np=None):
     """Depth maps/min: photometric + geometric PatchMatch per reference
     image with the production Room-profile config (plane-sweep volumes +
-    the Pallas volume-scoring kernel, as pipeline.joint_mvs configures on
-    single-chip TPU)."""
+    the Pallas volume-scoring kernel + the LiDAR-prior sweep-range fit,
+    as pipeline.joint_mvs configures on single-chip TPU; prior_np stands
+    in for the LiDAR depth projection the production stage fits from)."""
     import jax
     import jax.numpy as jnp
     from panovlm_tpu.models import mvs as mvs_mod
@@ -468,10 +473,11 @@ def tpu_mvs(grays_np, poses_np):
     from panovlm_tpu.ops.patchmatch import PatchMatchConfig
 
     use_kernel = jax.default_backend() == "tpu"
-    cfg = mvs_mod.MVSConfig(
-        pm=PatchMatchConfig(min_depth=0.3, max_depth=10.0, sweep_slices=64,
-                            use_volscore_kernel=use_kernel),
-        n_iterations=4, n_neighbors=MVS_VIEWS)
+    pm = PatchMatchConfig(min_depth=0.3, max_depth=10.0, sweep_slices=64,
+                          use_volscore_kernel=use_kernel)
+    if prior_np is not None:
+        pm = mvs_mod.fit_sweep_range(pm, prior_np[::4, ::4])
+    cfg = mvs_mod.MVSConfig(pm=pm, n_iterations=4, n_neighbors=MVS_VIEWS)
     grays = jnp.asarray(grays_np)
     poses = jnp.asarray(poses_np)
     rays = spherical.pixel_ray_grid(MVS_H, MVS_W)
@@ -576,8 +582,8 @@ def cpu_mvs_rate():
 def mvs_main():
     """Subprocess entry: print the MVS metric pair as one JSON line."""
     _enable_compile_cache()
-    grays_np, poses_np = _mvs_views()
-    mvs_tpu = tpu_mvs(grays_np, poses_np)
+    grays_np, poses_np, prior_np = _mvs_views()
+    mvs_tpu = tpu_mvs(grays_np, poses_np, prior_np)
     mvs_cpu = cpu_mvs_rate()
     print(json.dumps({"mvs_depth_maps_per_min": round(mvs_tpu, 2),
                       "mvs_vs_baseline": round(mvs_tpu / mvs_cpu, 2)}))

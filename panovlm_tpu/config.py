@@ -121,6 +121,15 @@ class Config:
                                     # volume slices for gather-free NCC
                                     # scoring (0 = exact per-plane bilinear
                                     # sampling, the reference's semantics)
+    mvs_num_iterations: int = 4     # TPU extension: PatchMatch propagation
+                                    # rounds (the reference hardcodes 4,
+                                    # mvs/MVS.cpp:640)
+    mvs_fit_sweep_range: bool = True  # TPU extension: tighten the sweep
+                                    # depth range (and slice count, at
+                                    # constant displacement resolution) to
+                                    # the LiDAR depth prior's 2-98 pct
+                                    # span — the volume build is the MVS
+                                    # bottleneck and costs O(slices)
 
     # derived (Config.h:249-257)
     sfm_result_path: str = ""

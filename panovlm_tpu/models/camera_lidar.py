@@ -228,12 +228,13 @@ def build_cl_blocks(cl_assoc, arc_batch, fi, li, weight,
 def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
                    track_img, track_feat, track_mask, bearings, points0,
                    point_ok, cfg: JointConfig = JointConfig(),
-                   lidar_valid=None, grays=None):
+                   lidar_valid=None, grays=None, mesh=None):
     """JointOptimize MAPPING mode (CameraLidarOptimizer.cpp:177-298).
 
     grays: optional per-frame grayscale images; when given, image-line
     track matches are filtered by LK optical flow (MatchPanoramaLine,
-    PanoramaLineMatch.cpp:48-118)."""
+    PanoramaLineMatch.cpp:48-118). mesh: optional device mesh — shards
+    the solve's observation axes over the attached chips."""
     n_frames = len(np.asarray(cam_poses0))
     n_lidars = len(np.asarray(lidar_poses0))
     if lidar_valid is None:
@@ -320,12 +321,27 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             weight=cfg.lidar_weight, group="lidar")
 
         groups = {"cam": cam_poses, "lidar": lidar_poses, "pts": points}
-        from ..solver import make_schur_spec
         all_blocks = cl_blocks + (cam_block,) + l_blocks
-        spec = make_schur_spec(groups, all_blocks, "pts")
-        out, info = solve_lm_chunked(
-            groups, all_blocks, fixed,
-            LMOptions(max_iters=cfg.max_lm_iters), chunk=5, schur=spec)
+        opts = LMOptions(max_iters=cfg.max_lm_iters)
+        fx = fixed
+        if mesh is not None:
+            # multi-chip: shard every residual family's observation axis
+            # over the data mesh (SURVEY.md §2.8 / §5.7) and solve
+            # matrix-free — JtJ/Jtr contractions psum over ICI. The Schur
+            # scan is a single-chip program (its track-chunked scan would
+            # serialize a sharded leading axis), so the sharded path takes
+            # the PCG tier instead.
+            from ..parallel import replicated, shard_blocks
+            all_blocks = shard_blocks(all_blocks, mesh)
+            groups = {k: replicated(v, mesh) for k, v in groups.items()}
+            fx = {k: replicated(v, mesh) for k, v in fixed.items()}
+            opts = opts._replace(obs_chunk=None, jac_chunk=None)
+            spec = None
+        else:
+            from ..solver import make_schur_spec
+            spec = make_schur_spec(groups, all_blocks, "pts")
+        out, info = solve_lm_chunked(groups, all_blocks, fx, opts,
+                                     chunk=5, schur=spec)
         cam_poses, lidar_poses, points = out["cam"], out["lidar"], out["pts"]
         infos.append({k: float(v) for k, v in info.items()})
     return cam_poses, lidar_poses, points, infos

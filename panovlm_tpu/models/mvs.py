@@ -141,6 +141,38 @@ def relative_to_neighbors(poses_cw, ref: int, nei_idx):
     return R_nr, t_nr
 
 
+def fit_sweep_range(pm: PatchMatchConfig, depth_samples) -> PatchMatchConfig:
+    """Tighten the plane-sweep depth range — and slice count, at CONSTANT
+    displacement resolution — to a scene depth prior (TPU extension;
+    config mvs_fit_sweep_range).
+
+    Sweep slices are uniform in inverse depth, i.e. uniform in warp
+    displacement, so the volume's hat-interpolation error is set by the
+    displacement step (inverse-depth span / slices). Fitting [min, max]
+    to the LiDAR prior's 2-98 pct span (0.7x / 1.3x margins) keeps that
+    step constant with proportionally fewer slices; the volume build is
+    V*D*H*W gathers at ~131 M/s (PERF.md) — the stage bottleneck — and
+    costs O(slices). Measured at the 720x1440 Room bench profile:
+    fitted [0.6, 6] m D~30 vs configured [0.3, 10] m D=64 gives 1.6x
+    maps/min at BETTER median depth error (0.094 vs 0.209 — the tighter
+    random-init range helps too)."""
+    v = np.asarray(depth_samples).ravel()
+    v = v[(v > 0) & np.isfinite(v)]
+    if not pm.sweep_slices or v.size < 1024:
+        return pm
+    lo, hi = np.percentile(v, [2.0, 98.0])
+    fit_min = max(pm.min_depth, 0.7 * float(lo))
+    fit_max = min(pm.max_depth, 1.3 * float(hi))
+    if not fit_max > fit_min:
+        return pm
+    full = 1.0 / pm.min_depth - 1.0 / pm.max_depth
+    part = 1.0 / fit_min - 1.0 / fit_max
+    slices = int(np.clip(np.ceil(pm.sweep_slices * part / max(full, 1e-9)),
+                         16, pm.sweep_slices))
+    return pm._replace(min_depth=fit_min, max_depth=fit_max,
+                       sweep_slices=slices)
+
+
 def init_depth_normal(key, rays, lidar_depth=None,
                       cfg: MVSConfig = MVSConfig()):
     """InitDepthNormal (MVS.cpp:496-584): LiDAR depth where available +

@@ -715,7 +715,7 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
             tracks["track_img"], tracks["track_feat"], tracks["track_mask"],
             frames["bearings"], tracks["points"], point_ok, jcfg,
             lidar_valid=lidar_valid & pose_ok[:len(lidar_valid)],
-            grays=grays)
+            grays=grays, mesh=_data_mesh())
     with tr.phase("export"):
         R_c, t_c = pose_util.params_to_world(np.asarray(cam_poses))
         artifacts.export_pose_t(
@@ -852,6 +852,7 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             ncc_half_window=cfg.ncc_half_window, ncc_step=cfg.ncc_step,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
             sweep_slices=cfg.mvs_sweep_slices),
+        n_iterations=cfg.mvs_num_iterations,
         propagate=cfg.propagate_strategy,
         keep_lidar_constant=cfg.keep_lidar_constant,
         mvs_use_geometric=cfg.mvs_use_geometric,
@@ -900,6 +901,19 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                     H, W, max_depth=cfg.max_depth)))
         else:
             lidar_depths = [None] * n
+
+    if cfg.mvs_fit_sweep_range and mcfg.pm.sweep_slices \
+            and lidar_depths[0] is not None:
+        # one global fit (per-frame ranges would recompile per frame);
+        # subsampled — the percentiles don't need every texel
+        samples = np.stack([d[::4, ::4] for d in lidar_depths])
+        pm_fit = mvs_mod.fit_sweep_range(mcfg.pm, samples)
+        if pm_fit is not mcfg.pm:
+            log.info("sweep range fit: [%.2f, %.2f] m -> [%.2f, %.2f] m, "
+                     "%d -> %d slices", mcfg.pm.min_depth, mcfg.pm.max_depth,
+                     pm_fit.min_depth, pm_fit.max_depth,
+                     mcfg.pm.sweep_slices, pm_fit.sweep_slices)
+            mcfg = mcfg._replace(pm=pm_fit)
 
     depths = np.zeros((n, H, W), np.float32)
     normals = np.zeros((n, H, W, 3), np.float32)

@@ -140,7 +140,10 @@ def test_calibrate_recovers_extrinsic(rng):
     assert np.abs(T[:3, 3]).max() < 0.04, T[:3, 3]
 
 
-def test_joint_optimize_improves_lidar_poses(rng):
+def make_joint_scene(rng):
+    """Shared joint-optimize fixture: GT cam/lidar trajectories, line arcs,
+    lidar features, point tracks, and a perturbed lidar init. Also used by
+    test_parallel.py's sharded-vs-single production-path check."""
     starts, ends = make_line_scene(rng, n_lines=14)
     n_cam, n_lid = 3, 3
     cam_gt = np.zeros((n_cam, 6), np.float32)
@@ -186,15 +189,22 @@ def test_joint_optimize_improves_lidar_poses(rng):
     lid0 = lid_gt.copy()
     lid0[:, :3] += rng.normal(size=(n_lid, 3)).astype(np.float32) * 0.01
     lid0[:, 3:] += rng.normal(size=(n_lid, 3)).astype(np.float32) * 0.03
+    return dict(arc_batch=arc_batch, lidar_batch=lidar_batch, cam_gt=cam_gt,
+                lid_gt=lid_gt, lid0=lid0, timg=timg, tfeat=tfeat,
+                tmask=tmask, bearings=bearings, pts3d=pts3d)
 
+
+def test_joint_optimize_improves_lidar_poses(rng):
+    s = make_joint_scene(rng)
     cfg = cl.JointConfig(num_iteration_joint=2, lidar_weight=0.01,
                          camera_lidar_weight=5.0)
     cam_out, lid_out, pts_out, infos = cl.joint_optimize(
-        arc_batch, lidar_batch, cam_gt, lid0, timg, tfeat, tmask,
-        bearings, pts3d, np.ones(60, bool), cfg)
+        s["arc_batch"], s["lidar_batch"], s["cam_gt"], s["lid0"], s["timg"],
+        s["tfeat"], s["tmask"], s["bearings"], s["pts3d"],
+        np.ones(60, bool), cfg)
     lid_out = np.asarray(lid_out)
-    err0 = np.abs(lid0 - lid_gt).max()
-    err1 = np.abs(lid_out - lid_gt).max()
+    err0 = np.abs(s["lid0"] - s["lid_gt"]).max()
+    err1 = np.abs(lid_out - s["lid_gt"]).max()
     assert err1 < err0 * 0.5, (err0, err1)
 
 

@@ -362,3 +362,31 @@ def test_select_neighbor_sfm_beats_knn_on_loop():
     assert sfm_sel[0, 0] == 2        # co-visibility picks the right one
     assert sfm_sel[2, 0] == 0        # and symmetrically for view 2
     assert sfm_sel[1, 0] == -1       # view 1 shares nothing -> padded
+
+
+def test_fit_sweep_range_constant_displacement_step():
+    """fit_sweep_range keeps the displacement step (inverse-depth span per
+    slice) no coarser than the configured one, clamps to the configured
+    bounds, and refuses degenerate priors."""
+    from panovlm_tpu.models.mvs import fit_sweep_range
+    from panovlm_tpu.ops.patchmatch import PatchMatchConfig
+    pm = PatchMatchConfig(min_depth=0.3, max_depth=10.0, sweep_slices=64)
+    rng = np.random.default_rng(0)
+    prior = rng.uniform(1.0, 4.0, (64, 64)).astype(np.float32)
+    out = fit_sweep_range(pm, prior)
+    assert pm.min_depth <= out.min_depth < out.max_depth <= pm.max_depth
+    assert 16 <= out.sweep_slices < 64
+    step_cfg = (1 / pm.min_depth - 1 / pm.max_depth) / pm.sweep_slices
+    step_fit = (1 / out.min_depth - 1 / out.max_depth) / out.sweep_slices
+    assert step_fit <= step_cfg * 1.01
+    # margins cover the prior span
+    assert out.min_depth <= 1.0 and out.max_depth >= 4.0
+    # too few samples: no-op
+    assert fit_sweep_range(pm, prior.ravel()[:100]) is pm
+    # zeros/invalids ignored
+    mixed = np.concatenate([prior.ravel(), np.zeros(5000, np.float32)])
+    out2 = fit_sweep_range(pm, mixed)
+    assert abs(out2.min_depth - out.min_depth) < 1e-6
+    # sweep disabled: no-op
+    pm0 = pm._replace(sweep_slices=0)
+    assert fit_sweep_range(pm0, prior) is pm0

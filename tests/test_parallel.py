@@ -276,3 +276,32 @@ def test_initialize_distributed_noop_single_process(monkeypatch):
     from panovlm_tpu.parallel import multihost
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert multihost.initialize_distributed() is False
+
+
+def test_production_joint_sharded_matches_single(rng):
+    """The PRODUCTION joint-optimization entry (camera_lidar.joint_optimize,
+    the compute core of the joint_optimization CLI stage) must converge to
+    the same solution with a >1-device mesh (every residual family's
+    observation axis sharded, matrix-free solve with psum'd contractions)
+    as single-device. The single-device run takes the Schur/dense tier and
+    the sharded run the PCG tier — same damped objective, different linear
+    solver — so the comparison is convergence-level, not bitwise."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_camera_lidar import make_joint_scene
+    from panovlm_tpu.models import camera_lidar as cl
+
+    s = make_joint_scene(rng)
+    cfg = cl.JointConfig(num_iteration_joint=2, lidar_weight=0.01,
+                         camera_lidar_weight=5.0)
+    args = (s["arc_batch"], s["lidar_batch"], s["cam_gt"], s["lid0"],
+            s["timg"], s["tfeat"], s["tmask"], s["bearings"], s["pts3d"],
+            np.ones(60, bool), cfg)
+    cam1, lid1, _, info1 = cl.joint_optimize(*args)
+    cam8, lid8, _, info8 = cl.joint_optimize(*args, mesh=make_mesh())
+    err0 = np.abs(s["lid0"] - s["lid_gt"]).max()
+    for lid in (lid1, lid8):
+        err = np.abs(np.asarray(lid) - s["lid_gt"]).max()
+        assert err < err0 * 0.5, (err0, err)
+    np.testing.assert_allclose(np.asarray(lid8), np.asarray(lid1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cam8), np.asarray(cam1), atol=2e-3)

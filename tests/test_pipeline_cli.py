@@ -16,7 +16,15 @@ from synthetic import make_dataset
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("room"))
-    cfg_path, gt = make_dataset(root, n_frames=6, h_steps=900)
+    # CI-shape overrides: the CLI CONTRACT (stages, artifacts, accuracy
+    # floors) is what this file checks, not the production iteration
+    # profile — 2 PatchMatch rounds and 3 odometry association rounds
+    # converge on this 6-frame scene and cut the file's wall ~3x
+    # (VERDICT r2 item 4); production defaults stay 4/5.
+    cfg_path, gt = make_dataset(root, n_frames=6, h_steps=900,
+                                config_overrides=(
+                                    "mvs_num_iterations = 2\n"
+                                    "num_iteration_lidar = 3\n"))
     return load_config(cfg_path), gt
 
 
