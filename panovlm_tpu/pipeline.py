@@ -110,6 +110,15 @@ def load_scans(cfg: Config, path: str | None = None):
     return scans, np.asarray(valid), names
 
 
+def _scan_cap(scans, quantum: int = 8192, max_cap: int = 32768) -> int:
+    """Static per-dataset point cap: the longest scan rounded up to a
+    quantum (at most 4 distinct program shapes across datasets). VLP-16
+    scans at test horizon counts are ~14k points; padding them to the full
+    32k cap doubles every per-point program for no information."""
+    longest = max((len(s) for s in scans), default=max_cap)
+    return int(min(max_cap, max(quantum, -(-longest // quantum) * quantum)))
+
+
 def extract_all_features(scans, cap: int = 32768, cfg: Config = None,
                          chunk: int = 32):
     """Batched feature extraction: one vmapped device program per CHUNK of
@@ -282,8 +291,9 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
     with tr.phase("compute depth images"):
         scans, lidar_valid, _ = load_scans(cfg)
         depth_maps = []
+        dcap = _scan_cap(scans)
         for pts in scans[:n]:
-            p, m = vd.pad_points(pts, 32768)
+            p, m = vd.pad_points(pts, dcap)
             depth_maps.append(np.asarray(compute_depth_image(
                 jnp.asarray(p), jnp.asarray(m), jnp.asarray(cfg.T_cl, jnp.float32),
                 H, W, max_depth=cfg.max_depth)))
@@ -499,7 +509,7 @@ def init_lidar_pose(cfg: Config, tr: TimeReport | None = None):
             np.where(pose_ok[:, None, None], R_wl, np.eye(3)),
             np.where(pose_ok[:, None], t_wl, 0.0))
     with tr.phase("extract features"):
-        batch = extract_all_features(scans, cfg=cfg)
+        batch = extract_all_features(scans, cap=_scan_cap(scans), cfg=cfg)
     with tr.phase("estimate poses"):
         ocfg = lidar_odometry.OdometryConfig(
             num_iteration_lidar=cfg.num_iteration_lidar,
@@ -549,7 +559,7 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
     os.makedirs(cfg.lidar_path_undistort, exist_ok=True)
     n = len(scans)
     valid_ids = [i for i in range(n) if valid[i]]
-    CAP = 32768
+    CAP = _scan_cap(scans)
 
     # Chunk table: raw scan lengths vary, so every scan is split into
     # fixed-CAP padded chunks (oversized 32+ beam scans get several; no
@@ -630,7 +640,7 @@ def _undistort_round(cfg: Config, tr: TimeReport, scans, valid, names, poses):
                              intensity=frac if len(raw) else
                              np.zeros(1, np.float32), binary=True)
 
-    batch = extract_all_features(undist, cfg=cfg)
+    batch = extract_all_features(undist, cap=_scan_cap(undist), cfg=cfg)
     ocfg = lidar_odometry.OdometryConfig(
         num_iteration_lidar=cfg.num_iteration_lidar,
         angle_residual=cfg.angle_residual,
@@ -682,7 +692,7 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
         arc_batch = {k: jnp.asarray(np.stack([a[k] for a in arc_list]))
                      for k in arc_list[0]}
     with tr.phase("extract lidar features"):
-        lidar_batch = extract_all_features(scans, cfg=cfg)
+        lidar_batch = extract_all_features(scans, cap=_scan_cap(scans), cfg=cfg)
     with tr.phase("load poses"):
         odo = undis_pose if use_undis else os.path.join(
             cfg.odo_result_path, "lidar_pose_refined.txt")
@@ -765,7 +775,7 @@ def colorize_lidar_map(cfg: Config, tr: TimeReport | None = None):
         os.path.join(cfg.joint_result_path, "camera_pose_joint.txt"))
     lidar_params = pose_util.world_to_params(R_l, t_l)
     cam_params = pose_util.world_to_params(R_c, t_c)
-    cap = 32768
+    cap = _scan_cap(scans)
     pts = np.zeros((len(scans), cap, 3), np.float32)
     msk = np.zeros((len(scans), cap), bool)
     for i, s in enumerate(scans):
@@ -889,7 +899,7 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                 # (sfm/SfM.cpp:174-178). We clamp instead of erroring so a
                 # trailing frame without a scan still gets an init.
                 j = min(i, len(scans) - 1)
-                p, m = vd.pad_points(scans[j], 32768)
+                p, m = vd.pad_points(scans[j], _scan_cap(scans))
                 T_ci = np.eye(4)
                 T_wl = np.eye(4)
                 T_wl[:3, :3], T_wl[:3, 3] = R_l[j], t_l[j]

@@ -61,8 +61,17 @@ def raycast_room(origins, dirs, half_extents=(3.0, 2.0, 1.5),
             t1 = (lo - o) / d
             t2 = (hi - o) / d
             t1, t2 = np.minimum(t1, t2), np.maximum(t1, t2)
-            t_near = np.max(np.where(np.isfinite(t1), t1, -np.inf), axis=1)
-            t_far = np.min(np.where(np.isfinite(t2), t2, np.inf), axis=1)
+            # d == 0 on an axis: the ray never crosses that slab — constraint
+            # is "origin inside" (t = -inf..inf) or "never" (inf..-inf), NOT
+            # ignored (the old isfinite() filtering dropped the axis, letting
+            # rays with an exactly-zero component hit boxes they never reach:
+            # phantom returns pinned to the sensor at azimuth 0 / pi)
+            par = np.abs(d) < 1e-12
+            inside = (o > lo) & (o < hi)
+            t1 = np.where(par, np.where(inside, -np.inf, np.inf), t1)
+            t2 = np.where(par, np.where(inside, np.inf, -np.inf), t2)
+            t_near = np.max(t1, axis=1)
+            t_far = np.min(t2, axis=1)
             hit = (t_near <= t_far) & (t_near > 0)
             t = np.where(hit & (t_near < t), t_near, t)
     return t

@@ -169,3 +169,69 @@ def test_fuse_world(traj):
     # fused surf points should lie near the room surfaces (|x|<=3.05 etc)
     f = np.asarray(fused)[np.asarray(fmask)]
     assert (np.abs(f[:, 0]) < 3.3).all()
+
+
+def test_undistort_scan_exact_with_gt_poses():
+    """Convention audit for the 1.7% undistortion scale question (VERDICT
+    r2 item 5): with GROUND-TRUTH poses and the matching time model
+    (frac scaled by alpha = duration/(duration+gap)), undistort_scan must
+    invert the synthetic sweep-motion distortion exactly — every
+    undistorted point back on a scene surface to noise level. Proves the
+    frac origin, slerp direction, alpha scaling, and frame conventions
+    are consistent end to end; any residual odometry scale bias is a
+    pose-ESTIMATION effect (first-round poses are estimated from still-
+    distorted clouds), not an undistortion-math bug."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from scipy.spatial.transform import Rotation as ScR
+    from synthetic import make_trajectory_scans, DEFAULT_BOXES
+    from panovlm_tpu.sensors import velodyne as vd
+    from panovlm_tpu.models.lidar_odometry import undistort_scan
+
+    S = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
+    step, yaw, alpha = (0.2, 0.05, 0.0), 0.03, 0.5
+    scans, poses = make_trajectory_scans(
+        n_scans=2, step=step, yaw_step=yaw, noise=0.0, sweep_alpha=alpha,
+        h_steps=900)
+
+    def params_T_lw(R_wl_z, t_wl_z):
+        R = S @ R_wl_z @ S.T
+        t = S @ t_wl_z
+        return np.concatenate([ScR.from_matrix(R.T).as_rotvec(),
+                               -R.T @ t]).astype(np.float32)
+
+    p0, p1 = params_T_lw(*poses[0]), params_T_lw(*poses[1])
+    pts_cam, ok = vd.preprocess_cloud(scans[0])
+    assert ok
+    pts = jnp.asarray(pts_cam)
+    start = float(jnp.arctan2(pts[0, 0], pts[0, 2]))
+    start += 2 * np.pi if start < 0 else 0.0
+    frac = np.asarray(vd.sweep_fraction_from(pts, start))
+
+    he = np.array([3.0, 2.0, 1.5])
+
+    def surface_err(pts_scan0):
+        R_lw = ScR.from_rotvec(p0[:3]).as_matrix()
+        pw = (pts_scan0 - p0[3:]) @ R_lw  # R_lw^T (p - t_lw)
+        pz = pw @ S                       # back to the z-up scene frame
+        ratio = np.abs(pz) / he
+        face = np.argmax(ratio, 1)
+        err = np.abs(np.abs(pz[np.arange(len(pz)), face]) - he[face])
+        for center, half in DEFAULT_BOXES:  # interior obstacles
+            c = np.asarray(center, np.float64)
+            h = np.minimum(np.asarray(half, np.float64), he)
+            q = np.abs(pz - c) - h
+            sdf = np.linalg.norm(np.maximum(q, 0), axis=1) \
+                + np.minimum(q.max(1), 0)
+            err = np.minimum(err, np.abs(sdf))
+        return err
+
+    e_raw = surface_err(np.asarray(pts_cam))
+    und = np.asarray(undistort_scan(pts, jnp.asarray(frac * alpha),
+                                    jnp.asarray(p0), jnp.asarray(p1)))
+    e_und = surface_err(und)
+    # distortion moves points ~alpha*|step| off the surfaces...
+    assert np.percentile(e_raw, 90) > 0.01, np.percentile(e_raw, 90)
+    # ...and the undistortion puts ALL of them back (sub-mm)
+    assert np.percentile(e_und, 99) < 1e-3, np.percentile(e_und, 99)
+    assert e_und.max() < 5e-3, e_und.max()
