@@ -361,22 +361,53 @@ def estimate_structure(poses_cw, bearings, track_img, track_feat, track_mask,
 
 
 def filter_tracks_too_far(poses_cw, track_img, track_mask, X, ok,
-                          threshold: float = 8.0):
+                          threshold: float = 8.0, chunk: int = 512):
     """FilterTracksToFar (sfm/Structure.cpp:87-119): drop points whose mean
     distance to their observing cameras exceeds threshold x the track's
-    baseline (furthest camera-center pair). Returns updated ok."""
+    baseline (furthest camera-center pair). Returns updated ok.
+
+    The pairwise center distances use the Gram identity |a-b|^2 =
+    |a|^2+|b|^2-2ab (one MXU matmul per track chunk) instead of a
+    (T, L, L, 3) difference tensor — at Room-454 track lengths that
+    tensor exceeds HBM outright. Chunked over tracks to bound the
+    (chunk, L, L) Gram blocks."""
     poses_j = jnp.asarray(poses_cw)
     R_cw = se3.exp_so3(poses_j[:, :3])
     C = -se3.einsum("nji,nj->ni", R_cw, poses_j[:, 3:])     # camera centers
-    c_obs = jnp.asarray(C)[jnp.asarray(track_img)]          # (T, L, 3)
+
+    def body(args):
+        ti, m, x = args
+        c_obs = C[ti]                                       # (c, L, 3)
+        sq = jnp.sum(c_obs * c_obs, axis=-1)                # (c, L)
+        G = se3.einsum("tla,tma->tlm", c_obs, c_obs)
+        d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * G
+        pair_ok = m[:, :, None] & m[:, None, :]
+        baseline = jnp.sqrt(jnp.maximum(
+            jnp.max(jnp.where(pair_ok, d2, 0.0), axis=(1, 2)), 0.0))
+        dist = jnp.linalg.norm(x[:, None] - c_obs, axis=-1)
+        mean_d = jnp.sum(jnp.where(m, dist, 0.0), axis=1) / \
+            jnp.maximum(jnp.sum(m, axis=1), 1)
+        return mean_d <= threshold * baseline
+
+    ti = jnp.asarray(track_img)
     m = jnp.asarray(track_mask)
-    d2 = jnp.sum((c_obs[:, :, None] - c_obs[:, None]) ** 2, axis=-1)
-    pair_ok = m[:, :, None] & m[:, None, :]
-    baseline = jnp.sqrt(jnp.max(jnp.where(pair_ok, d2, 0.0), axis=(1, 2)))
-    dist = jnp.linalg.norm(jnp.asarray(X)[:, None] - c_obs, axis=-1)
-    mean_d = jnp.sum(jnp.where(m, dist, 0.0), axis=1) / \
-        jnp.maximum(jnp.sum(m, axis=1), 1)
-    return jnp.asarray(ok) & (mean_d <= threshold * baseline)
+    x = jnp.asarray(X)
+    T = ti.shape[0]
+    if T <= chunk:
+        good = body((ti, m, x))
+    else:
+        K = -(-T // chunk)
+        pad = K * chunk - T
+
+        def prep(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+            return a.reshape((K, chunk) + a.shape[1:])
+
+        good = jax.lax.map(body, (prep(ti), prep(m), prep(x)))
+        good = good.reshape(K * chunk)[:T]
+    return jnp.asarray(ok) & good
 
 
 def filter_tracks_pixel_residual(poses_cw, X, track_img, track_feat,

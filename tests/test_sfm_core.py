@@ -361,3 +361,23 @@ def test_rotation_averaging_least_square(rng):
                      for i, j in zip(pi2, pj2)]).astype(np.float32)
     aa2, valid2, _ = ra.rotation_averaging_l2(6, pi2, pj2, rel2, x84=False)
     assert np.isfinite(aa2).all()
+
+
+def test_filter_tracks_too_far_chunked_matches(rng):
+    """The track-chunked Gram-matrix FilterTracksToFar (the Room-454 HBM
+    fix) must agree with itself across chunk sizes, including the padded
+    last chunk."""
+    from panovlm_tpu.models.sfm import filter_tracks_too_far
+    n_f, T, L = 12, 777, 9
+    poses = rng.normal(0, 0.5, (n_f, 6)).astype(np.float32)
+    timg = rng.integers(0, n_f, (T, L)).astype(np.int32)
+    tmask = rng.random((T, L)) < 0.8
+    tmask[:, 0] = True
+    X = rng.normal(0, 5.0, (T, 3)).astype(np.float32)
+    ok = np.ones(T, bool)
+    a = np.asarray(filter_tracks_too_far(poses, timg, tmask, X, ok, 8.0,
+                                         chunk=10000))
+    b = np.asarray(filter_tracks_too_far(poses, timg, tmask, X, ok, 8.0,
+                                         chunk=64))
+    np.testing.assert_array_equal(a, b)
+    assert a.sum() < T  # the filter actually rejects something here
