@@ -44,6 +44,11 @@ class Config:
 
     # LiDAR feature extraction (Config.h:70-77)
     extraction_method: int = 3      # 3 = ADAPTIVE
+    lidar_ring_repair: bool = False  # ReOrderVLP2's LCS packet-order
+                                    # conflict repair instead of plain
+                                    # elevation binning (the reference
+                                    # ships both; production default is
+                                    # ReOrderVLP, LidarOdometry.cpp:142-143)
     max_curvature: float = 5.0
     intersection_angle_threshold: float = 5.0
     ground_segment: bool = True

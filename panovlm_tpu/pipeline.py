@@ -135,7 +135,8 @@ def extract_all_features(scans, cap: int = 32768, cfg: Config = None,
         max_curvature=cfg.max_curvature if cfg else 5.0,
         intersect_angle_threshold=cfg.intersection_angle_threshold if cfg else 5.0,
         segment=cfg.lidar_segmentation if cfg else True,
-        method=cfg.extraction_method if cfg else 3)
+        method=cfg.extraction_method if cfg else 3,
+        repair_rings=cfg.lidar_ring_repair if cfg else False)
     n = len(scans)
     chunk = min(chunk, max(n, 1))
     extract = jax.jit(jax.vmap(lambda p, m: vd.extract_features(p, m, **kw)[0]))
