@@ -336,13 +336,24 @@ def joint_optimize(arc_batch, lidar_batch, cam_poses0, lidar_poses0,
             groups = {k: replicated(v, mesh) for k, v in groups.items()}
             fx = {k: replicated(v, mesh) for k, v in fixed.items()}
             opts = opts._replace(obs_chunk=None, jac_chunk=None)
-            spec = None
+            spec, reasm = None, None
         else:
-            from ..solver import make_schur_spec
-            spec = make_schur_spec(groups, all_blocks, "pts")
+            # short/long track buckets: the padded (T, L) layout is sized
+            # by the longest track; bucketing cuts the Schur passes' dead
+            # slots (Room-454: L=213, mean length ~19)
+            from ..solver import bucket_schur_points
+            groups, all_blocks, fx, spec, reasm = bucket_schur_points(
+                groups, all_blocks, fx, track_mask, "pts")
+        # program-duration bound: the axon remote worker kills single
+        # device programs that run multiple minutes; at Room-454 obs
+        # counts one LM iteration is already a long program, so dispatch
+        # one iteration per program there (identical trajectory)
+        n_obs = sum(int(b.mask.shape[0]) for b in all_blocks)
         out, info = solve_lm_chunked(groups, all_blocks, fx, opts,
-                                     chunk=5, schur=spec)
-        cam_poses, lidar_poses, points = out["cam"], out["lidar"], out["pts"]
+                                     chunk=5 if n_obs < 1_500_000 else 1,
+                                     schur=spec)
+        cam_poses, lidar_poses = out["cam"], out["lidar"]
+        points = jnp.asarray(reasm(out)) if reasm is not None else out["pts"]
         infos.append({k: float(v) for k, v in info.items()})
     return cam_poses, lidar_poses, points, infos
 

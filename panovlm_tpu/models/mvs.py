@@ -405,8 +405,12 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
     else:
         depths_pk = confs_pk = None
 
+    # the full-trajectory stacks are jit ARGUMENTS, not closure captures:
+    # captured concrete arrays lower to HLO constants, and at Room scale
+    # (454 frames) the serialized program blows past the remote-compile
+    # request limit (observed: HTTP 413 at N=454, 256x512)
     @jax.jit
-    def one(ref, depth_ref, conf_ref, nei_idx):
+    def one(ref, depth_ref, conf_ref, nei_idx, poses_cw, dstack, cstack):
         R_nr, t_nr = relative_to_neighbors(poses_cw, ref, nei_idx)
         X = depth_ref[..., None] * rays
 
@@ -416,12 +420,12 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
             uv = spherical.cam_to_image(x_n, H, W)
             if cfg.packed_sampling:
                 d_n = spherical.bilinear_sample_packed_u16(
-                    depths_pk[nei_idx[v]], 256.0, uv)
+                    dstack[nei_idx[v]], 256.0, uv)
                 c_n = spherical.bilinear_sample_packed_u16(
-                    confs_pk[nei_idx[v]], 16384.0, uv) - 1.0
+                    cstack[nei_idx[v]], 16384.0, uv) - 1.0
             else:
-                d_n = spherical.bilinear_sample(depths[nei_idx[v]], uv)
-                c_n = spherical.bilinear_sample(confs[nei_idx[v]], uv)
+                d_n = spherical.bilinear_sample(dstack[nei_idx[v]], uv)
+                c_n = spherical.bilinear_sample(cstack[nei_idx[v]], uv)
             rel = jnp.abs(d_n - d_at_n) / jnp.maximum(d_at_n, 1e-6)
             support = (d_n > 0) & (rel < cfg.depth_diff_threshold * 3)
             # occlusion: the neighbor sees a CLOSER surface along this ray
@@ -445,9 +449,13 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
               & (jnp.sum(occluded, axis=0) < nei_idx.shape[0] - 1))
         return jnp.where(ok, d_avg, 0.0), jnp.where(ok, conf_ref, -1.0)
 
+    dstack = depths_pk if cfg.packed_sampling else depths
+    cstack = confs_pk if cfg.packed_sampling else confs
+    poses_dev = jnp.asarray(poses_cw)
     out_d, out_c = [], []
     for ref in range(N):
-        d, c = one(ref, depths[ref], confs[ref], jnp.asarray(nei_table[ref]))
+        d, c = one(ref, depths[ref], confs[ref], jnp.asarray(nei_table[ref]),
+                   poses_dev, dstack, cstack)
         out_d.append(d)
         out_c.append(c)
     return jnp.stack(out_d), jnp.stack(out_c)

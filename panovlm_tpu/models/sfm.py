@@ -481,13 +481,18 @@ def global_ba(poses_cw, points, track_img, track_feat, track_mask, bearings,
             jnp.ones((len(obs_img),), jnp.float32), jnp.asarray(obs_mask),
             loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg)),
             name="reproj")
-    from ..solver import make_schur_spec
-    spec = make_schur_spec(groups, (block,), "pts")
-    out, info = solve_lm_chunked(
+    # Schur-eliminate the structure; short/long track buckets avoid paying
+    # the longest track's padding in every elimination pass
+    from ..solver import bucket_schur_points
+    g2, blocks2, fx2, spec, reasm = bucket_schur_points(
         groups, (block,),
         {"poses": jnp.asarray(fixed_p), "pts": jnp.asarray(fixed_x)},
-        LMOptions(max_iters=max_iters), chunk=10, schur=spec)
-    return np.asarray(out["poses"]), np.asarray(out["pts"]), info
+        track_mask, "pts")
+    out, info = solve_lm_chunked(
+        g2, blocks2, fx2, LMOptions(max_iters=max_iters), chunk=10,
+        schur=spec)
+    pts = reasm(out) if reasm is not None else np.asarray(out["pts"])
+    return np.asarray(out["poses"]), pts, info
 
 
 def set_to_origin(poses_cw, frame_valid):

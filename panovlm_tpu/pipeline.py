@@ -825,8 +825,28 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         points_npz = os.path.join(cfg.sfm_result_path, "points.npz")
         joint_lidar = os.path.join(cfg.joint_result_path,
                                    "lidar_pose_joint.txt")
+        refine_txt = os.path.join(cfg.mvs_result_path,
+                                  "camera_pose_after_refine.txt")
         R_l = t_l = l_ok = None
-        if os.path.exists(frames_npz) and os.path.exists(points_npz):
+        if os.path.exists(refine_txt):
+            # stage-internal resume (same contract as the cross-stage result
+            # files, SURVEY.md §5.4): a prior run already refined the poses;
+            # re-derive the rigid lidar move from the SAVED refine result
+            R_c2, t_c2, _, c_ok2 = artifacts.read_pose_t(refine_txt)
+            if os.path.exists(joint_lidar):
+                R_l, t_l, _, l_ok = artifacts.read_pose_t(joint_lidar)
+                for i in range(min(len(R_l), n)):
+                    T_wc = np.eye(4)
+                    T_wc[:3, :3], T_wc[:3, 3] = R_c[i], t_c[i]
+                    T_wl = np.eye(4)
+                    T_wl[:3, :3], T_wl[:3, 3] = R_l[i], t_l[i]
+                    T_wc2 = np.eye(4)
+                    T_wc2[:3, :3], T_wc2[:3, 3] = R_c2[i], t_c2[i]
+                    T_wl2 = T_wc2 @ np.linalg.inv(T_wc) @ T_wl
+                    R_l[i], t_l[i] = T_wl2[:3, :3], T_wl2[:3, 3]
+            R_c, t_c = R_c2, t_c2
+            poses = pose_util.world_to_params(R_c, t_c)
+        elif os.path.exists(frames_npz) and os.path.exists(points_npz):
             from .models import sfm as sfm_mod
             frames = artifacts.load_npz(frames_npz)
             tracks = artifacts.read_point_tracks(points_npz)
@@ -884,9 +904,27 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             log.warning("SFM_POINTS neighbor selection requested but %s "
                         "missing; using KNN", points_npz)
 
+    # pass-level resume: if every frame already has final-pass depth+conf
+    # artifacts (u16, the same quantization the stage exports and the
+    # reference stores on disk), skip LiDAR init + both PatchMatch passes
+    # and go straight to filter/fuse — rescues a Room-scale run that died
+    # downstream of the ~20-min depth computation
+    pass_suffix = "geo" if cfg.mvs_use_geometric else "pho"
+    resume_pass = n > 0 and all(
+        os.path.exists(os.path.join(cfg.mvs_depth_path,
+                                    f"{i:06d}_{pass_suffix}.npy"))
+        and os.path.exists(os.path.join(cfg.mvs_conf_path,
+                                        f"{i:06d}_{pass_suffix}.npy"))
+        for i in range(n))
+    if resume_pass:
+        log.info("MVS resume: all %d _%s depth/conf artifacts present; "
+                 "skipping PatchMatch passes", n, pass_suffix)
+
     with tr.phase("lidar depth init"):
         lidar_depths = []
-        if cfg.mvs_use_lidar:
+        if resume_pass:
+            lidar_depths = [None] * n
+        elif cfg.mvs_use_lidar:
             scans, _, _ = load_scans(cfg, path=cfg.lidar_path_undistort)
             if R_l is None:  # no refine round: read the joint lidar poses
                 R_l, t_l, _, l_ok = artifacts.read_pose_t(
@@ -1004,23 +1042,33 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             for b, i in enumerate(live):
                 depths[i], normals[i], confs[i] = d[b], nm[b], cf[b]
 
-    with tr.phase("photometric pass"):
-        def pho_init(i):
-            d0, n0, fixed = mvs_mod.init_depth_normal(
-                jax.random.PRNGKey(i), rays,
-                None if lidar_depths[i] is None
-                else jnp.asarray(lidar_depths[i]),
-                mcfg)
-            return np.asarray(d0), np.asarray(n0), np.asarray(fixed)
-        batched_pass(pho_init, None, seed=0)
-        for i in range(my.start, my.stop):
-            # per-pass artifacts, _pho suffix (MVS.cpp:185-189)
-            artifacts.export_depth_u16(
-                os.path.join(cfg.mvs_depth_path, f"{i:06d}_pho.npy"), depths[i])
-            artifacts.export_conf_u16(
-                os.path.join(cfg.mvs_conf_path, f"{i:06d}_pho.npy"), confs[i])
-        _merge_pass("pho")  # geometric pass reads every frame's depth
-    if cfg.mvs_use_geometric:
+    if resume_pass:
+        with tr.phase("load cached depth maps"):
+            for i in range(n):
+                depths[i] = artifacts.read_depth_u16(os.path.join(
+                    cfg.mvs_depth_path, f"{i:06d}_{pass_suffix}.npy"))
+                confs[i] = artifacts.read_conf_u16(os.path.join(
+                    cfg.mvs_conf_path, f"{i:06d}_{pass_suffix}.npy"))
+    if not resume_pass:
+        with tr.phase("photometric pass"):
+            def pho_init(i):
+                d0, n0, fixed = mvs_mod.init_depth_normal(
+                    jax.random.PRNGKey(i), rays,
+                    None if lidar_depths[i] is None
+                    else jnp.asarray(lidar_depths[i]),
+                    mcfg)
+                return np.asarray(d0), np.asarray(n0), np.asarray(fixed)
+            batched_pass(pho_init, None, seed=0)
+            for i in range(my.start, my.stop):
+                # per-pass artifacts, _pho suffix (MVS.cpp:185-189)
+                artifacts.export_depth_u16(
+                    os.path.join(cfg.mvs_depth_path, f"{i:06d}_pho.npy"),
+                    depths[i])
+                artifacts.export_conf_u16(
+                    os.path.join(cfg.mvs_conf_path, f"{i:06d}_pho.npy"),
+                    confs[i])
+            _merge_pass("pho")  # geometric pass reads every frame's depth
+    if cfg.mvs_use_geometric and not resume_pass:
         with tr.phase("geometric pass"):
             depths_pho = depths.copy()
             normals_pho = normals.copy()

@@ -9,6 +9,6 @@ preconditioned CG, IRLS robust-loss weighting.
 """
 
 from .lm import (ResidualBlock, LMOptions, SchurSpec, make_schur_spec,  # noqa: F401
-                 solve_lm, solve_lm_chunked)
+                 bucket_schur_points, solve_lm, solve_lm_chunked)
 from . import residuals, robust  # noqa: F401
 from . import l1_admm  # noqa: F401

@@ -273,7 +273,7 @@ def _unflatten_vec(v, groups, keys, offs):
 
 
 def _dense_hessian(groups: dict, blocks: tuple, irls: tuple, offs: dict,
-                   P: int, chunk=None, skip_group: str | None = None):
+                   P: int, chunk=None, skip_groups: frozenset = frozenset()):
     """Materialize the full whitened J^T J as a dense (P, P) matrix.
 
     One chunked Jacobian pass per residual block: per-observation jacfwd
@@ -282,12 +282,12 @@ def _dense_hessian(groups: dict, blocks: tuple, irls: tuple, offs: dict,
     applies implicitly; materializing it turns the linear solve into one
     MXU factorization instead of ~2*cg_iters residual passes.
 
-    skip_group: parameter arguments of this group are excluded (their rows
-    live in the eliminated half of a Schur split)."""
+    skip_groups: parameter arguments of these groups are excluded (their
+    rows live in the eliminated half of a Schur split)."""
     Hf = jnp.zeros((P * P,), jnp.float32)
     for block, w in zip(blocks, irls):
         args_k = [k for k in range(len(block.groups))
-                  if block.groups[k] != skip_group]
+                  if block.groups[k] not in skip_groups]
         if not args_k:
             continue
         data = _safe_data(block)
@@ -366,6 +366,88 @@ def make_schur_spec(groups: dict, blocks: tuple, group: str = "pts"):
     if not np.array_equal(idx, np.repeat(np.arange(T), L)):
         return None
     return SchurSpec(group=group, block=refs[0], T=T, L=L)
+
+
+def bucket_schur_points(groups: dict, blocks: tuple, fixed: dict,
+                        track_mask, group: str = "pts",
+                        short_cap: int = 48):
+    """Split a Schur-eliminable track group into short/long length buckets.
+
+    The padded (T, L) track layout is sized by the LONGEST track while the
+    median is ~10x shorter (Room-454: L=213, mean 18.8 — 91% masked
+    slots), and the Schur passes pay for every slot. Rewrites `group` into
+    `<group>_s` (tracks with <= short_cap valid obs, truncated to
+    short_cap columns — lossless, tracks are front-packed) and
+    `<group>_l` (the rest at full L), each with its own residual block and
+    SchurSpec; elimination stays exact because no block references both.
+
+    track_mask: the (T, L) FRONT-PACKED track validity used for lengths
+    (the block's own mask may carry interior holes from frame gating).
+    Returns (groups, blocks, fixed, specs, reassemble) where
+    reassemble(out_groups) -> full (T, W) array of the eliminated group;
+    specs is () when the layout is not eliminable (callers fall back)."""
+    spec = make_schur_spec(groups, blocks, group)
+    if spec is None:
+        return groups, blocks, fixed, (), None
+    T, L = spec.T, spec.L
+    tm = np.asarray(track_mask)
+    assert tm.shape == (T, L), (tm.shape, T, L)
+    lens = tm.sum(1)
+    Lc = int(min(short_cap, L))
+    idx_s = np.nonzero(lens <= Lc)[0]
+    idx_l = np.nonzero(lens > Lc)[0]
+    b = blocks[spec.block]
+    ke = b.groups.index(group)
+    # lossless-truncation guard: no live observation of a short track may
+    # sit beyond the truncation point (holds when tracks are front-packed)
+    bm = np.asarray(b.mask).reshape(T, L)
+    if Lc < L and len(idx_s) and bm[idx_s, Lc:].any():
+        return groups, blocks, fixed, (spec,), None
+
+    def sub_block(bidx, Lc2, gname):
+        def cut(a):
+            a2 = np.asarray(a).reshape((T, L) + np.asarray(a).shape[1:])
+            return jnp.asarray(
+                a2[bidx][:, :Lc2].reshape((-1,) + a2.shape[2:]))
+
+        idxs = tuple(
+            jnp.asarray(np.repeat(np.arange(len(bidx), dtype=np.int32), Lc2))
+            if k == ke else cut(ik)
+            for k, ik in enumerate(b.indices))
+        gnames = tuple(gname if k == ke else gk
+                       for k, gk in enumerate(b.groups))
+        return ResidualBlock(b.fn, gnames, idxs,
+                             tuple(cut(d) for d in b.data),
+                             cut(b.weight), cut(b.mask),
+                             loss=b.loss, loss_scale=b.loss_scale,
+                             name=f"{b.name}_{gname}")
+
+    buckets = [(idx_s, Lc, f"{group}_s")] if len(idx_s) else []
+    if len(idx_l):
+        buckets.append((idx_l, L, f"{group}_l"))
+    if len(buckets) < 2 and not (len(buckets) == 1 and buckets[0][1] < L):
+        return groups, blocks, fixed, (spec,), None  # nothing to gain
+
+    g2 = {k: v for k, v in groups.items() if k != group}
+    f2 = {k: v for k, v in fixed.items() if k != group}
+    b2 = [bb for i, bb in enumerate(blocks) if i != spec.block]
+    specs = []
+    for bidx, Lc2, gname in buckets:
+        g2[gname] = jnp.asarray(np.asarray(groups[group])[bidx])
+        f2[gname] = jnp.asarray(np.asarray(fixed[group])[bidx])
+        specs.append(SchurSpec(group=gname, block=len(b2),
+                               T=len(bidx), L=Lc2))
+        b2.append(sub_block(bidx, Lc2, gname))
+
+    W = np.asarray(groups[group]).shape[1]
+
+    def reassemble(out: dict):
+        full = np.zeros((T, W), np.asarray(groups[group]).dtype)
+        for bidx, _, gname in buckets:
+            full[bidx] = np.asarray(out[gname])
+        return full
+
+    return g2, tuple(b2), f2, tuple(specs), reassemble
 
 
 def _schur_pass(groups: dict, block: ResidualBlock, w, free, spec,
@@ -464,8 +546,10 @@ def _schur_pass(groups: dict, block: ResidualBlock, w, free, spec,
         def body_bs(_, args):
             ii, dd, ss, fE, gg = args
             U, rows, Vinv, _ = factors(ii, dd, ss, fE)
-            acc = -gg - jnp.einsum("tre,tr->te", U, dxf[rows])
-            return None, jnp.einsum("tef,tf->te", Vinv, acc)
+            acc = -gg - jnp.einsum("tre,tr->te", U, dxf[rows],
+                                    precision=jax.lax.Precision.HIGHEST)
+            return None, jnp.einsum("tef,tf->te", Vinv, acc,
+                                    precision=jax.lax.Precision.HIGHEST)
 
         _, dp = jax.lax.scan(body_bs, None, chunks)
         return dp.reshape(K * t_chunk, WE)[:T]
@@ -474,7 +558,8 @@ def _schur_pass(groups: dict, block: ResidualBlock, w, free, spec,
         Sf, rhs = carry
         ii, dd, ss, fE, gg = args
         U, rows, Vinv, dV = factors(ii, dd, ss, fE)
-        Y = jnp.einsum("tre,tef->trf", U, Vinv)          # (tc, R, WE)
+        Y = jnp.einsum("tre,tef->trf", U, Vinv,          # (tc, R, WE)
+                       precision=jax.lax.Precision.HIGHEST)
 
         def scat(rows_t, M_t):  # (R,), (R, WE) -> (WE, Pr)
             return jnp.zeros((WE, Pr), jnp.float32).at[:, rows_t].add(M_t.T)
@@ -483,7 +568,8 @@ def _schur_pass(groups: dict, block: ResidualBlock, w, free, spec,
         Ut = jax.vmap(scat)(rows, U)
         Sf = Sf + jnp.einsum("tep,teq->pq", Wt, Ut,
                              precision=jax.lax.Precision.HIGHEST)
-        rhs = rhs + jnp.einsum("tep,te->p", Wt, gg)
+        rhs = rhs + jnp.einsum("tep,te->p", Wt, gg,
+                               precision=jax.lax.Precision.HIGHEST)
         return (Sf, rhs), dV
 
     (Sf, rhs), dV = jax.lax.scan(
@@ -533,20 +619,24 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
              schur: SchurSpec | None = None):
     """Run LM. groups: {name: (N, W) array}. fixed: {name: (N, W) bool}
     marking frozen coordinates (gauge fixing). lam0/nu0 optionally resume
-    the damping state (solve_lm_chunked). schur: optional SchurSpec (from
-    make_schur_spec) eliminating one large block-diagonal group (BA points)
-    so the reduced system solves densely. Returns (groups, info)."""
+    the damping state (solve_lm_chunked). schur: optional SchurSpec — or
+    tuple of specs over DISJOINT groups/blocks (e.g. short/long track
+    buckets) — eliminating large block-diagonal groups (BA points) so the
+    reduced system solves densely. Returns (groups, info)."""
     if fixed is None:
         fixed = {g: jnp.zeros(v.shape, bool) for g, v in groups.items()}
     free = {g: ~fixed[g] for g in groups}
     keys, offs, P = _flat_layout(groups)
-    if schur is not None:
-        rest = {g: v for g, v in groups.items() if g != schur.group}
+    specs = (schur,) if isinstance(schur, SchurSpec) else tuple(schur or ())
+    specs = tuple(s for s in specs if s is not None)
+    if specs:
+        sgroups = frozenset(s.group for s in specs)
+        rest = {g: v for g, v in groups.items() if g not in sgroups}
         keys_r, offs_r, Pr = _flat_layout(rest)
         if not rest or not options.dense_max_params \
                 or Pr > options.dense_max_params:
-            schur = None
-    dense = (schur is None and bool(options.dense_max_params)
+            specs = ()
+    dense = (not specs and bool(options.dense_max_params)
              and P <= options.dense_max_params)
 
     def project(tree):
@@ -562,36 +652,42 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
         r, pullback = jax.vjp(F, x)
         g = project(pullback(r)[0])  # J^T r
 
-        if schur is not None:
+        if specs:
             eps = 1e-10
             A = _dense_hessian(x, blocks, irls, offs_r, Pr,
-                               options.jac_chunk, skip_group=schur.group)
+                               options.jac_chunk, skip_groups=sgroups)
             fvec = _flatten_tree(
                 {k: free[k].astype(jnp.float32) for k in keys_r}, keys_r)
             A = A * fvec[:, None] * fvec[None, :]
             grf = _flatten_tree({k: g[k] for k in keys_r}, keys_r)
-            gE = g[schur.group]
-            Sf, rhs_c, dV = _schur_pass(
-                x, blocks[schur.block], irls[schur.block],
-                free, schur, offs_r, Pr, lam, gE,
-                options.schur_t_chunk)
+            Sf_sum = jnp.zeros((Pr, Pr), jnp.float32)
+            rhs_sum = jnp.zeros((Pr,), jnp.float32)
+            dVs = {}
+            for s in specs:
+                Sf, rhs_c, dV = _schur_pass(
+                    x, blocks[s.block], irls[s.block], free, s, offs_r,
+                    Pr, lam, g[s.group], options.schur_t_chunk)
+                Sf_sum += Sf
+                rhs_sum += rhs_c
+                dVs[s.group] = dV
             D2A = jnp.diagonal(A)
             Ad = A + jnp.diag(lam * (D2A + eps) + (1.0 - fvec))
-            S = Ad - Sf
+            S = Ad - Sf_sum
             c, low = jax.scipy.linalg.cho_factor(S, lower=True)
-            dxf = jax.scipy.linalg.cho_solve((c, low), -grf + rhs_c)
-            # back-substitution: dp = V'^-1 (-gE - U^T dx)
-            dp = _schur_pass(
-                x, blocks[schur.block], irls[schur.block],
-                free, schur, offs_r, Pr, lam, gE,
-                options.schur_t_chunk, dxf=dxf)
+            dxf = jax.scipy.linalg.cho_solve((c, low), -grf + rhs_sum)
             delta = _unflatten_vec(dxf, rest, keys_r, offs_r)
-            delta[schur.group] = dp
+            pred = 0.5 * jnp.vdot(dxf, lam * (D2A + eps) * dxf - grf)
+            for s in specs:
+                # back-substitution: dp = V'^-1 (-gE - U^T dx)
+                dp = _schur_pass(
+                    x, blocks[s.block], irls[s.block], free, s, offs_r,
+                    Pr, lam, g[s.group], options.schur_t_chunk, dxf=dxf)
+                delta[s.group] = dp
+                pred = pred + 0.5 * jnp.vdot(
+                    dp, lam * (dVs[s.group] + eps) * dp - g[s.group])
             delta = project(delta)
             x_new = {k: x[k] + delta[k] for k in x}
             cost_new = _total_cost(x_new, blocks, options.obs_chunk)
-            pred = (0.5 * jnp.vdot(dxf, lam * (D2A + eps) * dxf - grf)
-                    + 0.5 * jnp.vdot(dp, lam * (dV + eps) * dp - gE))
             return x_new, cost, cost_new, pred
 
         if dense:

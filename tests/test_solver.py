@@ -417,3 +417,92 @@ def test_make_schur_spec_rejects_bad_layouts(rng):
     assert make_schur_spec(groups, (bad,), "pts") is None
     # unknown group
     assert make_schur_spec(groups, (block,), "nope") is None
+
+
+def _ba_mixed_length_block(rng, n_cam=5, T=36, L=8, short_cap=3):
+    """Multi-view BA, ONE track-major block with FRONT-PACKED variable
+    track lengths (mix of <=short_cap and full-L tracks) — the layout
+    bucket_schur_points splits."""
+    pts = rng.uniform(-3, 3, size=(T, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    aa = (rng.normal(size=(n_cam, 3)) * 0.05).astype(np.float32)
+    tt = (rng.normal(size=(n_cam, 3)) * 0.3).astype(np.float32)
+    lens = np.where(np.arange(T) % 3 == 0, L, 2 + (np.arange(T) % 2))
+    cam_idx = np.zeros((T, L), np.int32)
+    rays = np.zeros((T, L, 3), np.float32)
+    mask = np.zeros((T, L), bool)
+    for t in range(T):
+        for sl in range(int(lens[t])):
+            c = (t + sl) % n_cam
+            R = np.asarray(se3.exp_so3(jnp.asarray(aa[c])))
+            p_c = pts[t] @ R.T + tt[c]
+            rays[t, sl] = p_c / np.linalg.norm(p_c)
+            cam_idx[t, sl] = c
+            mask[t, sl] = True
+    pt_idx = np.repeat(np.arange(T, dtype=np.int32), L)
+    block = ResidualBlock(
+        residuals.reproj_chordal, ("poses", "pts"),
+        (jnp.asarray(cam_idx.ravel()), jnp.asarray(pt_idx)),
+        (jnp.asarray(rays.reshape(-1, 3)),),
+        jnp.ones((T * L,), jnp.float32), jnp.asarray(mask.ravel()),
+        loss="huber", loss_scale=np.radians(4.0))
+    poses0 = np.concatenate([aa, tt], axis=1) \
+        + rng.normal(size=(n_cam, 6)).astype(np.float32) * 0.02
+    pts0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    # full 7-DoF gauge: camera 0 pose + camera 1 tz (chordal residuals are
+    # scale-invariant; an unpinned scale leaves a solution MANIFOLD, and
+    # two exact solvers may converge to different points on it)
+    poses0[1, 5] = tt[1, 2]
+    groups = {"poses": jnp.asarray(poses0, jnp.float32),
+              "pts": jnp.asarray(pts0)}
+    fx = np.zeros((n_cam, 6), bool)
+    fx[0] = True  # gauge
+    fx[1, 5] = True  # scale gauge
+    fixed = {"poses": jnp.asarray(fx), "pts": jnp.zeros((T, 3), bool)}
+    return groups, block, fixed, mask
+
+
+def test_bucket_schur_matches_single_spec(rng):
+    """Short/long track bucketing (bucket_schur_points) must reproduce the
+    single-spec Schur solve: per-track elimination is exact, so splitting
+    the track set into length buckets — truncating the short bucket's dead
+    padding — may only change fp summation order."""
+    from panovlm_tpu.solver import make_schur_spec, bucket_schur_points
+    groups, block, fixed, tmask = _ba_mixed_length_block(rng)
+    opts = LMOptions(max_iters=10)
+    spec = make_schur_spec(groups, (block,), "pts")
+    assert spec is not None
+    out1, info1 = solve_lm(groups, (block,), fixed, opts, schur=spec)
+
+    g2, b2, f2, specs, reasm = bucket_schur_points(
+        groups, (block,), fixed, tmask, "pts", short_cap=3)
+    assert reasm is not None and len(specs) == 2, "bucketing must engage"
+    assert {s.group for s in specs} == {"pts_s", "pts_l"}
+    # short bucket truncated: fewer padded slots than the full layout
+    s_short = next(s for s in specs if s.group == "pts_s")
+    assert s_short.L == 3
+    out2, info2 = solve_lm(g2, b2, f2, opts, schur=specs)
+    np.testing.assert_allclose(np.asarray(out1["poses"]),
+                               np.asarray(out2["poses"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out1["pts"]), reasm(out2),
+                               atol=5e-3)
+    np.testing.assert_allclose(float(info1["final_cost"]),
+                               float(info2["final_cost"]),
+                               rtol=1e-3, atol=1e-10)
+
+
+def test_bucket_schur_guard_rejects_unpacked(rng):
+    """A live observation past short_cap (non-front-packed interior hole)
+    must trip the lossless-truncation guard -> single-spec fallback."""
+    from panovlm_tpu.solver import bucket_schur_points
+    groups, block, fixed, tmask = _ba_mixed_length_block(rng)
+    T, L = tmask.shape
+    # claim track 1 is short while its block mask has a live slot at L-1
+    bm = np.asarray(block.mask).reshape(T, L).copy()
+    bm[1, L - 1] = True
+    bad = ResidualBlock(block.fn, block.groups, block.indices, block.data,
+                        block.weight, jnp.asarray(bm.ravel()),
+                        loss=block.loss, loss_scale=block.loss_scale)
+    g2, b2, f2, specs, reasm = bucket_schur_points(
+        groups, (bad,), fixed, tmask, "pts", short_cap=3)
+    assert reasm is None and len(specs) == 1  # fallback, unbucketed
