@@ -12,11 +12,22 @@ import sys, os, shutil
 sys.path.insert(0, "tests")
 from synthetic import make_dataset
 root = "$ROOT"
-if not os.path.exists(os.path.join(root, "config.txt")):
+n = $N
+if not os.path.exists(os.path.join(root, "gt_poses.npz")):
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
-    make_dataset(root, n_frames=$N, H=256, W=512, h_steps=1800,
-                 step=(0.04, 0.01, 0.0), yaw_step=0.01, sweep_alpha=0.5)
+    if n > 120:
+        # Long runs must LOOP inside the 6x4 m room: body-frame steps on a
+        # radius-0.8 m circle (clears the y=2 wall by 0.4 m and the column
+        # at (1.5,0.8) by ~0.35 m), 2.5 revolutions over n frames.
+        import math
+        yaw = 2.5 * 2 * math.pi / n
+        make_dataset(root, n_frames=n, H=256, W=512, h_steps=1800,
+                     step=(0.8 * yaw, 0.0, 0.0), yaw_step=yaw,
+                     sweep_alpha=0.5, body_step=True)
+    else:
+        make_dataset(root, n_frames=n, H=256, W=512, h_steps=1800,
+                     step=(0.04, 0.01, 0.0), yaw_step=0.01, sweep_alpha=0.5)
 print("dataset ok", flush=True)
 PYEOF
 for stage in init_camera_pose init_lidar_pose joint_optimization colorize_lidar_map joint_mvs; do

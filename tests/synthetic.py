@@ -143,7 +143,8 @@ def _texture(p):
 
 def make_dataset(root, n_frames=6, H=128, W=256, step=(0.22, 0.06, 0.0),
                  yaw_step=0.03, origin=(0.0, 0.0, -1.0), noise=0.002,
-                 h_steps=1800, sweep_alpha=0.0, config_overrides=""):
+                 h_steps=1800, sweep_alpha=0.0, body_step=False,
+                 config_overrides=""):
     """Write a synthetic Room-style dataset: images/ pcd/ config.txt.
 
     T_cl = identity, time_offset = 0: frames and scans are colocated.
@@ -161,7 +162,8 @@ def make_dataset(root, n_frames=6, H=128, W=256, step=(0.22, 0.06, 0.0),
     S = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
     scans, poses_l = make_trajectory_scans(
         n_scans=n_frames, step=step, yaw_step=yaw_step, origin=origin,
-        noise=noise, h_steps=h_steps, sweep_alpha=sweep_alpha)
+        noise=noise, h_steps=h_steps, sweep_alpha=sweep_alpha,
+        body_step=body_step)
     R_wc_all, C_all = [], []
     for i, ((R_l, t_l), scan) in enumerate(zip(poses_l, scans)):
         R_wc = S @ R_l @ S.T
@@ -173,6 +175,10 @@ def make_dataset(root, n_frames=6, H=128, W=256, step=(0.22, 0.06, 0.0),
                   intensity=np.zeros(len(scan), np.float32))
         R_wc_all.append(R_wc)
         C_all.append(C)
+    np.savez(f"{root}/gt_poses.npz", R_wc=np.stack(R_wc_all),
+             C=np.stack(C_all),
+             R_wl=np.stack([p[0] for p in poses_l]),
+             t_wl=np.stack([p[1] for p in poses_l]))
     cfg_path = f"{root}/config.txt"
     with open(cfg_path, "w") as f:
         f.write(f"""
@@ -223,9 +229,15 @@ def render_panorama(origin_cam, H, W, R_wc=None, **room_kw):
 
 def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
                           noise=0.003, seed=0, origin=(0.0, 0.0, -1.0),
-                          sweep_alpha=0.0, **kw):
+                          sweep_alpha=0.0, body_step=False, **kw):
     """Scans along a straight-ish trajectory. Returns (scans, poses) where
     poses are (R_wl, t_wl) ground truth in the LIDAR (z-up) world frame.
+
+    body_step: apply `step` in the SENSOR frame (t_{i+1} = t_i + R_i step)
+    instead of the world frame — with yaw_step != 0 the path is a circle of
+    radius |step_xy| / yaw_step, letting a long trajectory loop inside the
+    room instead of exiting through a wall (room half-extent is 3 m; a
+    454-frame world-frame line leaves the geometry at frame ~75).
 
     sweep_alpha: fraction of the inter-scan motion covered DURING one sweep
     — simulates spinning-sensor motion distortion. Matches the pipeline /
@@ -251,9 +263,14 @@ def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
         return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
 
     scans, poses = [], []
+    t_cum = np.asarray(origin, np.float64).copy()
     for i in range(n_scans):
         R = yaw_R(yaw_step * i)
-        t = np.asarray(step) * i + np.asarray(origin)
+        t = t_cum.copy() if body_step \
+            else np.asarray(step) * i + np.asarray(origin)
+        step_i = R @ np.asarray(step) if body_step else np.asarray(step)
+        if body_step:
+            t_cum = t_cum + step_i
         if sweep_alpha == 0.0:
             dirs_w = dirs @ R.T
             tt = raycast_room(t, dirs_w, **room_kw)
@@ -261,12 +278,15 @@ def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
         else:
             # per-point pose at firing time: frac of the sweep elapsed =
             # azimuth index / h_steps (azimuth-major order, start at az=0,
-            # the same convention sweep_fraction recovers downstream)
+            # the same convention sweep_fraction recovers downstream).
+            # Translation interpolates along THIS frame's step (= the
+            # chord t_{i+1} - t_i in both step modes), matching the
+            # constant-velocity geodesic UndistortCloud inverts.
             frac = np.repeat(np.arange(h_steps) / h_steps, 16)
             a = sweep_alpha * frac
             yaw_f = yaw_step * (i + a)
             cf, sf = np.cos(yaw_f), np.sin(yaw_f)
-            t_f = t[None, :] + a[:, None] * np.asarray(step)[None, :]
+            t_f = t[None, :] + a[:, None] * step_i[None, :]
             # world ray dir = R_f @ d, R_f = yaw rotation per point
             dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
             dirs_w = np.stack([cf * dx - sf * dy, sf * dx + cf * dy, dz], -1)
