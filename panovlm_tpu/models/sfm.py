@@ -342,22 +342,48 @@ def largest_biconnected(pi, pj, ok, n_frames):
 
 
 def estimate_structure(poses_cw, bearings, track_img, track_feat, track_mask,
-                       cfg: SfMConfig):
+                       cfg: SfMConfig, chunk: int = 256):
     """TriangulateTracks (sfm/Structure.cpp:8-85): N-view triangulation of
     tracks with the viewing-angle criterion. Returns (points (T,3),
-    ok (T,))."""
+    ok (T,)).
+
+    Chunked over tracks: the angle criterion's (T, L, L) pairwise-cosine
+    tensor is unbounded when loop closures make track length L approach
+    the frame count (Room-454 loop trajectory: ~18 GB), so tracks are
+    processed in (chunk, L, L) blocks like filter_tracks_too_far."""
     poses_j = jnp.asarray(poses_cw)
-    b_obs = jnp.asarray(bearings)[jnp.asarray(track_img),
-                                  jnp.asarray(track_feat)]  # (T, L, 3)
-    p_obs = poses_j[jnp.asarray(track_img)]                 # (T, L, 6)
-    origins, dirs = tri_ops.rays_from_poses(p_obs, b_obs)
-    X, ok = tri_ops.triangulate_rays(origins, dirs, jnp.asarray(track_mask))
-    ang = tri_ops.max_pairwise_ray_angle(dirs, jnp.asarray(track_mask))
-    # reprojection sanity (FilterTracksAngleResidual)
-    rep = tri_ops.reprojection_angles(p_obs, b_obs, X, jnp.asarray(track_mask))
-    ok = ok & (ang <= cfg.triangulate_angle_threshold) & \
-        (jnp.max(rep, axis=-1) < 5.0) & (ang > 1.0)
-    return X, ok
+    bear_j = jnp.asarray(bearings)
+
+    def body(args):
+        ti, tf, m = args
+        b_obs = bear_j[ti, tf]                              # (c, L, 3)
+        p_obs = poses_j[ti]                                 # (c, L, 6)
+        origins, dirs = tri_ops.rays_from_poses(p_obs, b_obs)
+        X, ok = tri_ops.triangulate_rays(origins, dirs, m)
+        ang = tri_ops.max_pairwise_ray_angle(dirs, m)
+        # reprojection sanity (FilterTracksAngleResidual)
+        rep = tri_ops.reprojection_angles(p_obs, b_obs, X, m)
+        ok = ok & (ang <= cfg.triangulate_angle_threshold) & \
+            (jnp.max(rep, axis=-1) < 5.0) & (ang > 1.0)
+        return X, ok
+
+    ti = jnp.asarray(track_img)
+    tf = jnp.asarray(track_feat)
+    m = jnp.asarray(track_mask)
+    T = ti.shape[0]
+    if T <= chunk:
+        return body((ti, tf, m))
+    K = -(-T // chunk)
+    pad = K * chunk - T
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+        return a.reshape((K, chunk) + a.shape[1:])
+
+    X, ok = jax.lax.map(body, (prep(ti), prep(tf), prep(m)))
+    return (X.reshape(K * chunk, 3)[:T], ok.reshape(K * chunk)[:T])
 
 
 def filter_tracks_too_far(poses_cw, track_img, track_mask, X, ok,
@@ -412,21 +438,48 @@ def filter_tracks_too_far(poses_cw, track_img, track_mask, X, ok,
 
 def filter_tracks_pixel_residual(poses_cw, X, track_img, track_feat,
                                  track_mask, uv, ok, threshold: float,
-                                 rows: int, cols: int):
+                                 rows: int, cols: int, chunk: int = 4096):
     """FilterTracksPixelResidual (sfm/Structure.cpp:121-157): drop points
     whose projection misses ANY of their observations by > threshold px
-    (u wrapped across the lon seam). Returns updated ok."""
+    (u wrapped across the lon seam). Returns updated ok. Chunked over
+    tracks: the (T, L, 3, 3) rotation gather is GBs at Room-454 loop
+    track lengths."""
     from ..ops import spherical
     poses_j = jnp.asarray(poses_cw)
-    R_cw = se3.exp_so3(poses_j[:, :3])[jnp.asarray(track_img)]  # (T,L,3,3)
-    t_cw = poses_j[:, 3:][jnp.asarray(track_img)]
-    p_c = se3.einsum("tlij,tj->tli", R_cw, jnp.asarray(X)) + t_cw
-    uv_proj = spherical.cam_to_image(p_c, rows, cols)
-    uv_obs = jnp.asarray(uv)[jnp.asarray(track_img), jnp.asarray(track_feat)]
-    du = jnp.mod(uv_proj[..., 0] - uv_obs[..., 0] + cols / 2, cols) - cols / 2
-    dv = uv_proj[..., 1] - uv_obs[..., 1]
-    sq = du ** 2 + dv ** 2
-    worst = jnp.max(jnp.where(jnp.asarray(track_mask), sq, 0.0), axis=1)
+    R_all = se3.exp_so3(poses_j[:, :3])                     # (N,3,3)
+    t_all = poses_j[:, 3:]
+    uv_j = jnp.asarray(uv)
+
+    def body(args):
+        ti, tf, m, x = args
+        p_c = se3.einsum("tlij,tj->tli", R_all[ti], x) + t_all[ti]
+        uv_proj = spherical.cam_to_image(p_c, rows, cols)
+        uv_obs = uv_j[ti, tf]
+        du = jnp.mod(uv_proj[..., 0] - uv_obs[..., 0] + cols / 2,
+                     cols) - cols / 2
+        dv = uv_proj[..., 1] - uv_obs[..., 1]
+        sq = du ** 2 + dv ** 2
+        return jnp.max(jnp.where(m, sq, 0.0), axis=1)
+
+    ti = jnp.asarray(track_img)
+    tf = jnp.asarray(track_feat)
+    m = jnp.asarray(track_mask)
+    x = jnp.asarray(X)
+    T = ti.shape[0]
+    if T <= chunk:
+        worst = body((ti, tf, m, x))
+    else:
+        K = -(-T // chunk)
+        pad = K * chunk - T
+
+        def prep(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+            return a.reshape((K, chunk) + a.shape[1:])
+
+        worst = jax.lax.map(body, (prep(ti), prep(tf), prep(m), prep(x)))
+        worst = worst.reshape(K * chunk)[:T]
     return jnp.asarray(ok) & (worst <= threshold ** 2)
 
 

@@ -381,3 +381,43 @@ def test_filter_tracks_too_far_chunked_matches(rng):
                                          chunk=64))
     np.testing.assert_array_equal(a, b)
     assert a.sum() < T  # the filter actually rejects something here
+
+
+def test_structure_and_pixel_filter_chunked_match(rng):
+    """estimate_structure and filter_tracks_pixel_residual must agree
+    across chunk sizes (both hit (chunk, L, ...) blocks now — the
+    Room-454 loop-trajectory HBM fix where track length L approaches the
+    frame count)."""
+    from panovlm_tpu.models import sfm
+    from panovlm_tpu.ops import spherical
+    n_f, n_feat, T, L = 8, 40, 533, 7
+    H, W = 128, 256
+    poses = np.zeros((n_f, 6), np.float32)
+    poses[:, 3:] = rng.normal(0, 0.4, (n_f, 3))
+    bearings = rng.normal(size=(n_f, n_feat, 3)).astype(np.float32)
+    bearings /= np.linalg.norm(bearings, axis=-1, keepdims=True)
+    timg = rng.integers(0, n_f, (T, L)).astype(np.int32)
+    tfeat = rng.integers(0, n_feat, (T, L)).astype(np.int32)
+    # front-packed masks of varying length >= 2
+    lens = rng.integers(2, L + 1, T)
+    tmask = np.arange(L)[None, :] < lens[:, None]
+    cfg = sfm.SfMConfig()
+    Xa, oka = sfm.estimate_structure(poses, bearings, timg, tfeat, tmask,
+                                     cfg, chunk=10000)
+    Xb, okb = sfm.estimate_structure(poses, bearings, timg, tfeat, tmask,
+                                     cfg, chunk=100)
+    np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+    np.testing.assert_allclose(np.asarray(Xa), np.asarray(Xb), atol=1e-5)
+
+    uv = np.zeros((n_f, n_feat, 2), np.float32)
+    for i in range(n_f):
+        uv[i] = np.asarray(spherical.cam_to_image(
+            jnp.asarray(bearings[i] * 3.0 + poses[i, 3:]), H, W))
+    ok0 = np.ones(T, bool)
+    X = rng.normal(0, 3.0, (T, 3)).astype(np.float32)
+    fa = np.asarray(sfm.filter_tracks_pixel_residual(
+        poses, X, timg, tfeat, tmask, uv, ok0, 40.0, H, W, chunk=10000))
+    fb = np.asarray(sfm.filter_tracks_pixel_residual(
+        poses, X, timg, tfeat, tmask, uv, ok0, 40.0, H, W, chunk=128))
+    np.testing.assert_array_equal(fa, fb)
+    assert fa.any() and not fa.all()
