@@ -42,7 +42,7 @@ for name, path, is_lidar in (
     ("joint cam", "/tmp/e2e_room2/result/joint/camera_pose_joint.txt", False),
     ("joint lidar", "/tmp/e2e_room2/result/joint/lidar_pose_joint.txt", True)):
     R, t, names, ok = artifacts.read_pose_t(path)
-    C = np.stack([-R[i].T @ t[i] for i in range(len(R))])
+    C = t.copy()  # pose txt stores [R_wc | C]: t IS the world position
     if is_lidar: C = (S @ C.T).T
     n = min(len(C), len(Cg))
     s, Ra, ta = umeyama(C[:n], Cg[:n])

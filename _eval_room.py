@@ -47,10 +47,12 @@ for name, rel, is_lidar in CANDIDATES:
         continue
     R, t, names, ok = artifacts.read_pose_t(path)
     n = len(R)
-    C = np.stack([-R[i].T @ t[i] for i in range(n)])
+    # pose txt stores [R_wc | C]: the t column IS the world position
+    # (export_pose_t receives params_to_world output, pipeline.py)
+    C = t[ok]
     if is_lidar:
         C = (S @ C.T).T
-    Cg = Cg_all[:n]
+    Cg = Cg_all[:n][ok]
     s, Ra, ta = umeyama(C, Cg)
     err = np.linalg.norm((s * (Ra @ C.T).T + ta) - Cg, axis=1)
     s1, R1, t1 = umeyama(C, Cg, with_scale=False)

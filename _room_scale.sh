@@ -13,7 +13,9 @@ sys.path.insert(0, "tests")
 from synthetic import make_dataset
 root = "$ROOT"
 n = $N
-if not os.path.exists(os.path.join(root, "gt_poses.npz")):
+# guard on config.txt (NOT gt_poses.npz): pre-existing datasets carry
+# completed stage results; rm -rf the root manually to force regeneration
+if not os.path.exists(os.path.join(root, "config.txt")):
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     if n > 120:

@@ -341,6 +341,30 @@ def largest_biconnected(pi, pj, ok, n_frames):
     return keep, frame_valid
 
 
+def _map_tracks_chunked(body, arrays, chunk):
+    """Run `body` over the leading track axis in fixed-size chunks via
+    lax.map, padding the last chunk with row 0 and trimming the result —
+    bounds any (chunk, L, ...) intermediate instead of materializing the
+    full (T, L, ...) tensor. `arrays`: tuple of (T, ...) arrays; `body`
+    maps the tuple of (chunk, ...) blocks to an array or pytree of arrays
+    with a leading chunk axis."""
+    T = arrays[0].shape[0]
+    if T <= chunk:
+        return body(arrays)
+    K = -(-T // chunk)
+    pad = K * chunk - T
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+        return a.reshape((K, chunk) + a.shape[1:])
+
+    out = jax.lax.map(body, tuple(prep(a) for a in arrays))
+    return jax.tree.map(
+        lambda o: o.reshape((K * chunk,) + o.shape[2:])[:T], out)
+
+
 def estimate_structure(poses_cw, bearings, track_img, track_feat, track_mask,
                        cfg: SfMConfig, chunk: int = 256):
     """TriangulateTracks (sfm/Structure.cpp:8-85): N-view triangulation of
@@ -367,23 +391,9 @@ def estimate_structure(poses_cw, bearings, track_img, track_feat, track_mask,
             (jnp.max(rep, axis=-1) < 5.0) & (ang > 1.0)
         return X, ok
 
-    ti = jnp.asarray(track_img)
-    tf = jnp.asarray(track_feat)
-    m = jnp.asarray(track_mask)
-    T = ti.shape[0]
-    if T <= chunk:
-        return body((ti, tf, m))
-    K = -(-T // chunk)
-    pad = K * chunk - T
-
-    def prep(a):
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
-        return a.reshape((K, chunk) + a.shape[1:])
-
-    X, ok = jax.lax.map(body, (prep(ti), prep(tf), prep(m)))
-    return (X.reshape(K * chunk, 3)[:T], ok.reshape(K * chunk)[:T])
+    return _map_tracks_chunked(
+        body, (jnp.asarray(track_img), jnp.asarray(track_feat),
+               jnp.asarray(track_mask)), chunk)
 
 
 def filter_tracks_too_far(poses_cw, track_img, track_mask, X, ok,
@@ -404,35 +414,27 @@ def filter_tracks_too_far(poses_cw, track_img, track_mask, X, ok,
     def body(args):
         ti, m, x = args
         c_obs = C[ti]                                       # (c, L, 3)
+        # center per track before the Gram identity: with raw coordinates
+        # |a|^2+|b|^2-2ab cancels catastrophically in f32 when the baseline
+        # is small relative to the distance from the world origin
+        w = m.astype(c_obs.dtype)
+        mean_c = (jnp.sum(c_obs * w[..., None], axis=1)
+                  / jnp.maximum(jnp.sum(w, axis=1), 1.0)[:, None])
+        c_obs = c_obs - mean_c[:, None, :]
         sq = jnp.sum(c_obs * c_obs, axis=-1)                # (c, L)
         G = se3.einsum("tla,tma->tlm", c_obs, c_obs)
         d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * G
         pair_ok = m[:, :, None] & m[:, None, :]
         baseline = jnp.sqrt(jnp.maximum(
             jnp.max(jnp.where(pair_ok, d2, 0.0), axis=(1, 2)), 0.0))
-        dist = jnp.linalg.norm(x[:, None] - c_obs, axis=-1)
+        dist = jnp.linalg.norm((x - mean_c)[:, None] - c_obs, axis=-1)
         mean_d = jnp.sum(jnp.where(m, dist, 0.0), axis=1) / \
             jnp.maximum(jnp.sum(m, axis=1), 1)
         return mean_d <= threshold * baseline
 
-    ti = jnp.asarray(track_img)
-    m = jnp.asarray(track_mask)
-    x = jnp.asarray(X)
-    T = ti.shape[0]
-    if T <= chunk:
-        good = body((ti, m, x))
-    else:
-        K = -(-T // chunk)
-        pad = K * chunk - T
-
-        def prep(a):
-            if pad:
-                a = jnp.concatenate(
-                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
-            return a.reshape((K, chunk) + a.shape[1:])
-
-        good = jax.lax.map(body, (prep(ti), prep(m), prep(x)))
-        good = good.reshape(K * chunk)[:T]
+    good = _map_tracks_chunked(
+        body, (jnp.asarray(track_img), jnp.asarray(track_mask),
+               jnp.asarray(X)), chunk)
     return jnp.asarray(ok) & good
 
 
@@ -461,25 +463,9 @@ def filter_tracks_pixel_residual(poses_cw, X, track_img, track_feat,
         sq = du ** 2 + dv ** 2
         return jnp.max(jnp.where(m, sq, 0.0), axis=1)
 
-    ti = jnp.asarray(track_img)
-    tf = jnp.asarray(track_feat)
-    m = jnp.asarray(track_mask)
-    x = jnp.asarray(X)
-    T = ti.shape[0]
-    if T <= chunk:
-        worst = body((ti, tf, m, x))
-    else:
-        K = -(-T // chunk)
-        pad = K * chunk - T
-
-        def prep(a):
-            if pad:
-                a = jnp.concatenate(
-                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
-            return a.reshape((K, chunk) + a.shape[1:])
-
-        worst = jax.lax.map(body, (prep(ti), prep(tf), prep(m), prep(x)))
-        worst = worst.reshape(K * chunk)[:T]
+    worst = _map_tracks_chunked(
+        body, (jnp.asarray(track_img), jnp.asarray(track_feat),
+               jnp.asarray(track_mask), jnp.asarray(X)), chunk)
     return jnp.asarray(ok) & (worst <= threshold ** 2)
 
 

@@ -110,6 +110,8 @@ def recompute_pairs(cfg: Config, idx1: int, idx2: int):
     mpath, mc, fs = _load_state(cfg)
     n = len(fs["uv"])
     idx1, idx2 = int(idx1), min(int(idx2), n - 1)
+    if idx1 < 0:
+        raise ValueError(f"frame ids must be in [0, {n})")
     if idx1 > idx2:
         raise ValueError("need idx1 <= idx2")
     inside = ((mc["pi"] >= idx1) & (mc["pi"] <= idx2)

@@ -1109,13 +1109,15 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                              rgb=rgb if rgb.shape[1] == 3 else None,
                              intensity=None if rgb.shape[1] == 3
                              else rgb[:, 0] / 255)
-        for i in range(my.start, my.stop):
-            artifacts.export_depth_u16(
-                os.path.join(cfg.mvs_depth_path, f"{i:06d}_geo.npy"), depths[i])
-            artifacts.export_conf_u16(
-                os.path.join(cfg.mvs_conf_path, f"{i:06d}_geo.npy"), confs[i])
-            np.save(os.path.join(cfg.mvs_normal_path, f"{i:06d}_geo.npy"),
-                    normals[i])
+        # raw _geo depth/conf artifacts were exported by the pass itself —
+        # re-exporting the post-processed maps here would clobber the resume
+        # contract (a rerun would double-apply segment removal / gap
+        # interpolation). Normals exist only in memory during a live pass;
+        # on resume they were never computed, so leave the saved ones alone.
+        if not resume_pass:
+            for i in range(my.start, my.stop):
+                np.save(os.path.join(cfg.mvs_normal_path, f"{i:06d}_geo.npy"),
+                        normals[i])
     return depths, confs
 
 

@@ -106,10 +106,6 @@ class LMOptions(NamedTuple):
 # ----------------------------------------------------------------------------
 
 
-def _gather_params(block: ResidualBlock, groups: dict):
-    return [groups[g][idx] for g, idx in zip(block.groups, block.indices)]
-
-
 def _safe_data(block: ResidualBlock):
     """Replace masked-out observation rows with a copy of some valid row.
 
