@@ -50,15 +50,8 @@ def _bilinear(img, u, v):
             + img[v1, u0] * (1 - fu) * fv + img[v1, u1] * fu * fv)
 
 
-@functools.partial(jax.jit, static_argnames=("n_bands", "band_width",
-                                             "n_samples"))
-def line_band_descriptors(gray, e1, e2, mask, n_bands: int = 9,
-                          band_width: int = 7, n_samples: int = 24):
-    """Descriptors for a batch of great-circle arcs.
-
-    gray (H, W) float; e1/e2 (L, 3) unit endpoint rays; mask (L,).
-    Returns (L, 8 * n_bands) float32, zero rows where mask is False.
-    """
+def _line_band_descriptors(gray, e1, e2, mask, n_bands: int = 9,
+                           band_width: int = 7, n_samples: int = 24):
     H, W = gray.shape
     gx, gy = _gradients(gray)
     rows_total = n_bands * band_width
@@ -107,6 +100,41 @@ def line_band_descriptors(gray, e1, e2, mask, n_bands: int = 9,
 
     desc = jax.vmap(per_line)(e1, e2)
     return jnp.where(mask[:, None], desc, 0.0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bands", "band_width",
+                                             "n_samples"))
+def line_band_descriptors(gray, e1, e2, mask, n_bands: int = 9,
+                          band_width: int = 7, n_samples: int = 24):
+    """Descriptors for a batch of great-circle arcs.
+
+    gray (H, W) float; e1/e2 (L, 3) unit endpoint rays; mask (L,).
+    Returns (L, 8 * n_bands) float32, zero rows where mask is False.
+    """
+    return _line_band_descriptors(gray, e1, e2, mask, n_bands=n_bands,
+                                  band_width=band_width, n_samples=n_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bands", "band_width",
+                                             "n_samples"))
+def line_band_descriptors_batch(grays, e1, e2, mask, n_bands: int = 9,
+                                band_width: int = 7, n_samples: int = 24):
+    """All-frames LBD in ONE device program: grays (N, H, W) float,
+    e1/e2 (N, L, 3), mask (N, L) -> (N, L, 8 * n_bands).
+
+    lax.map (not vmap) over the frame axis so each image's gradient and
+    support-region tensors stay one-frame sized — a per-frame host loop of
+    line_band_descriptors costs a dispatch+sync round trip per frame
+    through the remote-TPU tunnel (~2 s/frame observed at Room-454, 62%
+    of the joint stage; PERF.md 'Room scale'), while this form uploads
+    the stack once and runs N frames per dispatch."""
+    def body(args):
+        g, a, b, m = args
+        return _line_band_descriptors(g, a, b, m, n_bands=n_bands,
+                                      band_width=band_width,
+                                      n_samples=n_samples)
+
+    return jax.lax.map(body, (grays, e1, e2, mask))
 
 
 def lbd_distance_matrix(desc_i, desc_j):

@@ -687,11 +687,9 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
         cfg, path=cfg.lidar_path_undistort if use_undis else None)
     with tr.phase("extract image lines"):
         line_mask = load_mask(cfg, *grays[0].shape[:2])
-        arc_list = [pl.extract_panorama_lines((g * 255).astype(np.uint8),
-                                              mask=line_mask)
-                    for g in grays]
-        arc_batch = {k: jnp.asarray(np.stack([a[k] for a in arc_list]))
-                     for k in arc_list[0]}
+        arc_batch = {k: jnp.asarray(v) for k, v in
+                     pl.extract_panorama_lines_batch(
+                         grays, mask=line_mask).items()}
     with tr.phase("extract lidar features"):
         lidar_batch = extract_all_features(scans, cap=_scan_cap(scans), cfg=cfg)
     with tr.phase("load poses"):

@@ -236,6 +236,36 @@ def pad_arcs(arcs: dict, cap: int):
     return out
 
 
+def extract_panorama_lines_batch(grays, cap: int = 128,
+                                 mask: np.ndarray | None = None,
+                                 with_descriptors: bool = True):
+    """Detect+Fuse for a whole image stack, descriptors in ONE device
+    program. `grays`: iterable of (H, W) uint8 (or float 0..1) panoramas,
+    all the same shape. Host LSD + fusion per frame (ms-scale), then one
+    batched `lbd.line_band_descriptors_batch` call instead of a
+    dispatch+sync round trip per frame. Returns dict of stacked arrays:
+    normal/e1/e2/mid (N, cap, 3), arc/mask (N, cap), desc (N, cap, 72)."""
+    arc_list = []
+    gray_f = []
+    for g in grays:
+        if g.dtype != np.uint8:
+            gu8 = (np.clip(g, 0.0, 1.0) * 255).astype(np.uint8)
+        else:
+            gu8 = g
+        arc_list.append(extract_panorama_lines(gu8, cap=cap, mask=mask,
+                                               with_descriptors=False))
+        if with_descriptors:
+            gray_f.append(gu8.astype(np.float32) / 255.0)
+    out = {k: np.stack([a[k] for a in arc_list]) for k in arc_list[0]}
+    if with_descriptors:
+        import jax.numpy as jnp
+        from ..ops import lbd
+        out["desc"] = np.asarray(lbd.line_band_descriptors_batch(
+            jnp.asarray(np.stack(gray_f)), jnp.asarray(out["e1"]),
+            jnp.asarray(out["e2"]), jnp.asarray(out["mask"])))
+    return out
+
+
 def extract_panorama_lines(gray: np.ndarray, cap: int = 128,
                            mask: np.ndarray | None = None,
                            with_descriptors: bool = True):

@@ -125,6 +125,25 @@ def test_image_line_tracks(rng):
     assert (tid[0, :L] == tid[1, :L])[tid[0, :L] >= 0].all()
 
 
+def test_extract_panorama_lines_batch_matches_per_frame():
+    """extract_panorama_lines_batch (one lax.map device program for all
+    frames' LBD descriptors) must reproduce the per-frame path exactly —
+    it replaces 454 dispatch+sync tunnel round trips in the joint stage."""
+    from synthetic import render_panorama
+    from panovlm_tpu.utils import panorama_line as pl
+
+    H, W = 256, 512
+    gs = [render_panorama(np.array([x, 0.4, 0.05 * i]), H, W)[0]
+          for i, x in enumerate((0.0, 0.2))]
+    batch = pl.extract_panorama_lines_batch(
+        [(g * 255).astype(np.uint8) for g in gs], cap=64)
+    for i, g in enumerate(gs):
+        single = pl.extract_panorama_lines((g * 255).astype(np.uint8), cap=64)
+        for k in single:
+            np.testing.assert_allclose(batch[k][i], single[k],
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_lbd_descriptor_discriminates(rng):
     """The LBD-equivalent band descriptor (ops/lbd.py) must place the same
     physical line closer across viewpoints than different lines."""
