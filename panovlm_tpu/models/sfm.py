@@ -50,6 +50,12 @@ class SfMConfig(NamedTuple):
     match_max_dist_factor: float = 0.8    # SfM.cpp MatchImagePairs filter
     ba_huber_deg: float = 4.0                # Optimization.cpp:104-110
     min_track_length: int = 3                # Structure.cpp:8-85
+    # pairs solved concurrently inside one relative-pose device program
+    # (vmap width of the lax.map body). The per-pair RANSAC+LM ops are tiny
+    # and latency-bound on TPU, so widening the batch runs more pairs in
+    # the same sequential depth; the 32-pair chunk above it bounds program
+    # duration for the remote worker regardless.
+    pair_vmap_width: int = 2
 
 
 # FrameMatchMethod bitmask (sfm/SfM.h:56-63)
@@ -207,7 +213,7 @@ def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig):
                     "tri_mask": pose["good"]}
 
         return jax.lax.map(one, (pi, pj, matches_idx, matches_mask, keys),
-                           batch_size=2)
+                           batch_size=max(1, int(cfg.pair_vmap_width)))
 
     # host-level pair chunking: one bounded device program per chunk (one
     # long program over hundreds of pairs can trip the remote worker's
