@@ -290,14 +290,16 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         bearings = np.asarray(spherical.image_to_cam(jnp.asarray(uv), H, W))
 
     with tr.phase("compute depth images"):
+        from .utils.depth_completion import compute_depth_images
         scans, lidar_valid, _ = load_scans(cfg)
-        depth_maps = []
         dcap = _scan_cap(scans)
-        for pts in scans[:n]:
-            p, m = vd.pad_points(pts, dcap)
-            depth_maps.append(np.asarray(compute_depth_image(
-                jnp.asarray(p), jnp.asarray(m), jnp.asarray(cfg.T_cl, jnp.float32),
-                H, W, max_depth=cfg.max_depth)))
+        pm = [vd.pad_points(pts, dcap) for pts in scans[:n]]
+        stack = np.asarray(compute_depth_images(
+            jnp.asarray(np.stack([p for p, _ in pm])),
+            jnp.asarray(np.stack([m for _, m in pm])),
+            jnp.asarray(cfg.T_cl, jnp.float32), H, W,
+            max_depth=cfg.max_depth))
+        depth_maps = list(stack)
         while len(depth_maps) < n:
             depth_maps.append(np.zeros((H, W), np.float32))
         depth_maps = np.stack(depth_maps)
@@ -928,6 +930,9 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                 R_l, t_l, _, l_ok = artifacts.read_pose_t(
                     os.path.join(cfg.joint_result_path,
                                  "lidar_pose_joint.txt"))
+            from .utils.depth_completion import compute_depth_images
+            scap = _scan_cap(scans)
+            pms, Ts = [], []
             for i in range(n):
                 # Frame i <-> scan i, the reference's own mapping: its MVS
                 # LiDAR depth init reads lidars[ref_id] with the per-frame
@@ -936,16 +941,17 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                 # (sfm/SfM.cpp:174-178). We clamp instead of erroring so a
                 # trailing frame without a scan still gets an init.
                 j = min(i, len(scans) - 1)
-                p, m = vd.pad_points(scans[j], _scan_cap(scans))
-                T_ci = np.eye(4)
+                pms.append(vd.pad_points(scans[j], scap))
                 T_wl = np.eye(4)
                 T_wl[:3, :3], T_wl[:3, 3] = R_l[j], t_l[j]
                 T_wc = np.eye(4)
                 T_wc[:3, :3], T_wc[:3, 3] = R_c[i], t_c[i]
-                T = np.linalg.inv(T_wc) @ T_wl
-                lidar_depths.append(np.asarray(compute_depth_image(
-                    jnp.asarray(p), jnp.asarray(m), jnp.asarray(T, jnp.float32),
-                    H, W, max_depth=cfg.max_depth)))
+                Ts.append(np.linalg.inv(T_wc) @ T_wl)
+            lidar_depths = list(np.asarray(compute_depth_images(
+                jnp.asarray(np.stack([p for p, _ in pms])),
+                jnp.asarray(np.stack([m for _, m in pms])),
+                jnp.asarray(np.stack(Ts), jnp.float32), H, W,
+                max_depth=cfg.max_depth)))
         else:
             lidar_depths = [None] * n
 

@@ -140,6 +140,26 @@ def depth_completion(sparse_depth, max_depth: float = 20.0):
     return jnp.where(s7 > 0.1, max_depth - s7, s7)
 
 
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "max_depth",
+                                             "splat"))
+def compute_depth_images(points_lidar, mask, T_cl, rows: int, cols: int,
+                         max_depth: float = 20.0, splat: int | None = None):
+    """All scans' completed depth panoramas in ONE device program:
+    points_lidar (N, P, 3), mask (N, P), T_cl (4, 4) or (N, 4, 4) ->
+    (N, rows, cols). lax.map keeps the splat/completion tensors one-frame
+    sized while avoiding a dispatch+sync tunnel round trip per scan
+    (~70 ms each through the remote-TPU link)."""
+    if T_cl.ndim == 2:
+        T_cl = jnp.broadcast_to(T_cl, (points_lidar.shape[0], 4, 4))
+
+    def body(args):
+        p, m, T = args
+        return compute_depth_image(p, m, T, rows, cols,
+                                   max_depth=max_depth, splat=splat)
+
+    return jax.lax.map(body, (points_lidar, mask, T_cl))
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "max_depth", "splat"))
 def compute_depth_image(points_lidar, mask, T_cl, rows: int, cols: int,
                         max_depth: float = 20.0, splat: int | None = None):
