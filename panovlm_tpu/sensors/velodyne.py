@@ -377,10 +377,14 @@ def segment_range_image(r_img, valid, iters: int = 4,
     up_ok = jnp.concatenate([jnp.zeros_like(valid[:1]), valid[:-1]], axis=0)
     conn_up = connected(r_img, up, alpha_y) & valid & up_ok
 
-    lin = jnp.arange(S * H, dtype=jnp.int32).reshape(S, H)
-    labels = jnp.where(valid, lin, jnp.int32(S * H))
+    # the doubling scans are HBM-traffic bound; S*H < 32767, so the label
+    # word is int16 for the whole propagation loop (half the bytes of the
+    # int32 first version), widened only for the scatter reductions below
+    lab_t = jnp.int16 if S * H < 32767 else jnp.int32
+    lin = jnp.arange(S * H, dtype=lab_t).reshape(S, H)
+    big = jnp.asarray(S * H, lab_t)
+    labels = jnp.where(valid, lin, big)
 
-    big = jnp.int32(S * H)
     conn_row = conn_left.at[:, 0].set(False)
 
     def body(_, lab):
@@ -388,14 +392,15 @@ def segment_range_image(r_img, valid, iters: int = 4,
         lab = _seg_run_min(lab, conn_row, axis=1, big=big)
         # wrap column 0 <-> H-1
         wrap = conn_left[:, 0]
-        lab = lab.at[:, 0].min(jnp.where(wrap, lab[:, -1], S * H))
-        lab = lab.at[:, -1].min(jnp.where(wrap, lab[:, 0], S * H))
+        lab = lab.at[:, 0].min(jnp.where(wrap, lab[:, -1], big))
+        lab = lab.at[:, -1].min(jnp.where(wrap, lab[:, 0], big))
         # vertical: full column runs (16-tall), so each iteration moves
         # labels across a whole row+column path, not one vertical step
         lab = _seg_run_min(lab, conn_up, axis=0, big=big)
-        return jnp.where(valid, lab, S * H)
+        return jnp.where(valid, lab, big)
 
     labels = jax.lax.fori_loop(0, iters, body, labels)
+    labels = labels.astype(jnp.int32)
 
     flat = labels.ravel()
     sizes = jnp.zeros((S * H + 1,), jnp.int32).at[flat].add(valid.ravel())
