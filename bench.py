@@ -113,18 +113,26 @@ def tpu_lidar(scans_np):
     assoc_j = jax.jit(lambda feats, poses: association.associate_all_pairs(
         {k: getattr(feats, k) for k in feats._fields}, poses, pair_r, pair_n))
 
-    # NOTE: measure extract BEFORE the association program ever compiles.
-    # The axon remote runtime thrashes when two large executables alternate
-    # (a compiled program measured at ~1 ms/batch degrades to ~370 ms once a
-    # second big program is resident); the real pipeline runs each program
-    # in long homogeneous phases, which this ordering reproduces.
+    # NOTE: measure extract BEFORE the association program ever compiles,
+    # then EVICT the extract executable (jax.clear_caches) before compiling
+    # association. The axon remote runtime thrashes when two compiled
+    # executables are co-resident — the same extract program measured at
+    # 0.3 ms/batch degrades to ~89 ms once the association executable loads
+    # (re-measured 2026-08-20), and vice versa. The real pipeline runs each
+    # program in long homogeneous phases (one executable hot at a time),
+    # which one-resident-executable measurement reproduces.
     feats = extract(pts, msk)               # compile
     _sync(feats)
     t_extract = _median_time(lambda: extract(pts, msk))
+    feats_host = jax.tree_util.tree_map(np.asarray, feats)
 
+    jax.clear_caches()                      # evict the extract executable
+    feats = jax.tree_util.tree_map(jnp.asarray, feats_host)
     out = assoc_j(feats, poses)
     _sync(out)
     t_assoc = _median_time(lambda: assoc_j(feats, poses))
+    print(f"lidar: extract {t_extract*1e3:.1f} ms, assoc {t_assoc*1e3:.1f} ms"
+          f" (B={n})", file=sys.stderr, flush=True)
     return n / (t_extract + t_assoc)
 
 
