@@ -63,29 +63,37 @@ def find_neighbors(poses, valid, k: int = 6, loop_radius: float = 2.0,
 
     Returns (pair_r (M,), pair_n (M,)) unique directed pairs r != n.
     """
+    from scipy.spatial import cKDTree
     centers = np.asarray(scan_centers(jnp.asarray(poses)))
     valid = np.asarray(valid)
     n = len(centers)
-    d = np.linalg.norm(centers[:, None] - centers[None, :], axis=-1)
-    d[~valid] = np.inf
-    d[:, ~valid] = np.inf
-    np.fill_diagonal(d, np.inf)
+    vi = np.nonzero(valid)[0]
     pairs = set()
-    for i in range(n):
-        if not valid[i]:
-            continue
-        order = np.argsort(d[i])
-        for j in order[:k]:
-            if np.isfinite(d[i, j]):
-                pairs.add((i, int(j)))
+    if len(vi) >= 2:
+        # KD-tree over the valid centers: O(n log n) instead of the n x n
+        # distance matrix (610 MB + ~n python sorts at Campus-Large's 8730
+        # scans, /root/reference/README.md:83)
+        tree = cKDTree(centers[vi])
+        kq = min(k + 1, len(vi))                  # +1: self comes back first
+        dd, jj = tree.query(centers[vi], k=kq)
+        dd, jj = np.atleast_2d(dd), np.atleast_2d(jj)
+        for a, i in enumerate(vi):
+            for b in range(kq):
+                j = int(vi[jj[a, b]])
+                if j != i and np.isfinite(dd[a, b]):
+                    pairs.add((int(i), j))
+            # loop closures: far in time, close in space — ball query,
+            # nearest n_loop beyond the index gap
+            ball = tree.query_ball_point(centers[i], loop_radius)
+            cand = [(np.linalg.norm(centers[int(vi[b])] - centers[i]),
+                     int(vi[b])) for b in ball
+                    if abs(int(vi[b]) - int(i)) > loop_min_gap]
+            for _, j in sorted(cand)[:n_loop]:
+                pairs.add((int(i), j))
+    for i in vi:
         for j in (i - 1, i + 1):  # forced temporal
             if 0 <= j < n and valid[j]:
-                pairs.add((i, j))
-        # loop closures: far in time, close in space
-        far = np.where((np.abs(np.arange(n) - i) > loop_min_gap)
-                       & (d[i] < loop_radius))[0]
-        for j in far[np.argsort(d[i][far])][:n_loop]:
-            pairs.add((i, int(j)))
+                pairs.add((int(i), int(j)))
     pair_r = np.array([p[0] for p in sorted(pairs)], np.int32)
     pair_n = np.array([p[1] for p in sorted(pairs)], np.int32)
     return pair_r, pair_n
@@ -111,9 +119,12 @@ def _knn_small(d2, k: int):
         dj = jnp.take_along_axis(d2, j[:, None], axis=1)
         outs_d.append(dj[:, 0])
         outs_i.append(j)
-        # knock out the extracted entry with a Q-element row scatter (the
-        # buffer is donated in place) instead of a full-matrix one-hot
-        # rewrite — the loop's HBM traffic drops from 2k to ~k matrix reads
+        # knock out the extracted entry with a Q-element row scatter instead
+        # of a full-matrix one-hot rewrite — the loop's HBM traffic drops
+        # from 2k to ~k matrix reads. (XLA can alias the scatter in place
+        # only when the caller's d2 is dead after this call; the p2p path
+        # reuses d2 for the cross-ring candidates, so its first scatter
+        # copies once.)
         d2 = d2.at[rows, j].set(jnp.inf)
     return jnp.stack(outs_d, axis=1), jnp.stack(outs_i, axis=1)
 

@@ -238,6 +238,78 @@ def _match_pairs_cached(cfg: Config, scfg, cap: int, desc, fmask, pi, pj):
     return pi, pj, matches
 
 
+def _match_row_fp(idx, mask):
+    """Order-dependent per-row fingerprint of a pair's match set — the
+    invalidation key for the relative-pose cache (a cached pose is only
+    valid for the exact correspondences it was estimated from)."""
+    a = (np.asarray(idx).astype(np.int64) + 1) * np.asarray(mask)[..., None]
+    w = (np.arange(a.shape[1], dtype=np.int64)[None, :, None] * 2
+         + np.arange(2, dtype=np.int64)[None, None, :] + 1)
+    return ((a * w).sum(axis=(1, 2))
+            ^ (np.asarray(mask).sum(axis=1).astype(np.int64) << 48))
+
+
+def _relative_poses_cached(cfg: Config, scfg, bearings, matches, pi, pj):
+    """Row-cached relative poses — the resume artifact the reference
+    persists as the pairs_after_relative_pose binary dir (main.cpp:221-248):
+    the most expensive SfM phase (AC-RANSAC + two-view refinement per pair)
+    is reused across reruns. Rows keyed by (i, j) AND a fingerprint of the
+    pair's matches, so pair surgery / re-matching invalidates exactly the
+    rows it touched. Cache lives beside the match cache in
+    cfg.match_pair_path."""
+    import jax.numpy as jnp
+    from .models import sfm as sfm_mod
+
+    rcache = os.path.join(cfg.match_pair_path, "rel_poses.npz") \
+        if cfg.match_pair_path else ""
+    fp = _match_row_fp(matches["idx"], matches["mask"])
+    P = len(pi)
+    rc = None
+    if rcache and os.path.exists(rcache):
+        rc = artifacts.load_npz(rcache)
+        if rc["tri_points"].shape[1] != matches["idx"].shape[1]:
+            log.info("cached relative poses are stale, re-estimating")
+            rc = None
+    if rc is not None:
+        rowmap = {(int(a), int(b), int(f)): r for r, (a, b, f) in
+                  enumerate(zip(rc["pi"], rc["pj"], rc["fp"]))}
+        hit = np.asarray([rowmap.get((int(a), int(b), int(f)), -1)
+                          for a, b, f in zip(pi, pj, fp)], np.int64)
+        have = hit >= 0
+    else:
+        hit = np.full(P, -1, np.int64)
+        have = hit >= 0
+    K = matches["idx"].shape[1]
+    out = {"rel_aa": np.zeros((P, 3), np.float32),
+           "rel_t": np.zeros((P, 3), np.float32),
+           "n_inliers": np.zeros((P,), np.int32),
+           "ok": np.zeros((P,), bool),
+           "tri_points": np.zeros((P, K, 3), np.float32),
+           "tri_mask": np.zeros((P, K), bool)}
+    if have.any():
+        for k in out:
+            out[k][have] = np.asarray(rc[k])[hit[have]]
+    miss = np.nonzero(~have)[0]
+    if len(miss):
+        if have.any():
+            log.info("relative-pose cache: %d/%d rows reused, %d estimated",
+                     int(have.sum()), P, len(miss))
+        rel = sfm_mod.relative_poses(
+            jnp.asarray(bearings), jnp.asarray(np.asarray(matches["idx"])[miss]),
+            jnp.asarray(np.asarray(matches["mask"])[miss]),
+            np.asarray(pi)[miss], np.asarray(pj)[miss], scfg,
+            keys=np.asarray(miss, np.int32))
+        for k in out:
+            out[k][miss] = np.asarray(rel[k])
+        if rcache:
+            os.makedirs(cfg.match_pair_path, exist_ok=True)
+            artifacts.save_npz(rcache, pi=np.asarray(pi), pj=np.asarray(pj),
+                               fp=fp, **out)
+    elif rc is not None:
+        log.info("Use existing relative poses in %s", cfg.match_pair_path)
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
 def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
     """LiDAR-assisted global SfM (InitCameraPose, main.cpp:91-370)."""
     import jax.numpy as jnp
@@ -259,7 +331,14 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
     with tr.phase("extract sift"):
         # frame cache (main.cpp:138-163): reuse cfg.frame_path features when
         # the cached frame count matches; recompute + re-export otherwise
-        cap = min(cfg.num_sift, 4096)
+        cap = int(cfg.num_sift)
+        if cap > 16384:
+            # hard device-memory ceiling: the full descriptor stack
+            # (N, cap, 128) f32 is shipped to the device for matching
+            log.error("num_sift = %d exceeds the 16384 feature ceiling; "
+                      "capping (matching memory scales with N*num_sift*128)",
+                      cap)
+            cap = 16384
         cache = os.path.join(cfg.frame_path, "frames_sift.npz") \
             if cfg.frame_path else ""
         cached = None
@@ -273,6 +352,8 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         if cached is not None:
             uv, desc, fmask = cached["uv"], cached["desc"], cached["fmask"]
         else:
+            import time as _time
+            t0 = _time.time()
             uv = np.zeros((n, cap, 2), np.float32)
             desc = np.zeros((n, cap, 128), np.float32)
             fmask = np.zeros((n, cap), bool)
@@ -284,9 +365,12 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                     (g * 255).astype(np.uint8), num_features=cap,
                     root_sift=cfg.root_sift, mask=sift_mask)
                 uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
+            t1 = _time.time()
             if cache:
                 os.makedirs(cfg.frame_path, exist_ok=True)
                 artifacts.save_npz(cache, uv=uv, desc=desc, fmask=fmask)
+            log.info("sift: detect %.1f s, cache write %.1f s",
+                     t1 - t0, _time.time() - t1)
         bearings = np.asarray(spherical.image_to_cam(jnp.asarray(uv), H, W))
 
     with tr.phase("compute depth images"):
@@ -349,8 +433,7 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                 if bool(np.asarray(matches["pair_ok"])[k]):
                     f.write(f"{int(pi[k])} {int(pj[k])}\n")
     with tr.phase("relative poses"):
-        rel = sfm_mod.relative_poses(jnp.asarray(bearings), matches["idx"],
-                                     matches["mask"], pi, pj, scfg)
+        rel = _relative_poses_cached(cfg, scfg, bearings, matches, pi, pj)
         ok = np.asarray(rel["ok"]) & np.asarray(matches["pair_ok"])
         # match_pair.txt (ExportMatchPairTXT, SfM.cpp:1568-1584)
         R21 = np.asarray(rel["rel_aa"])
@@ -423,6 +506,24 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
             lower_scale_ratio=cfg.lower_scale_ratio, t_init=t_init,
             irls_iters=cfg.num_iteration_L2IRLS)
     with tr.phase("structure + BA"):
+        # pre-BA pose snapshot (main.cpp:259-262: camera_pose_beforeBA.txt +
+        # .ply + camera_center_beforeBA.pcd right after translation
+        # averaging) — the observability surface for debugging scale issues
+        # between TA and the BA rounds
+        from .utils import visualization as viz
+        poses_ta = np.concatenate([aa_glob, t_glob], axis=1).astype(np.float32)
+        R_ta, t_ta = pose_util.params_to_world(poses_ta)
+        R_ta[~frame_valid] = np.eye(3)
+        t_ta[~frame_valid] = np.inf
+        artifacts.export_pose_t(
+            os.path.join(cfg.sfm_result_path, "camera_pose_beforeBA.txt"),
+            R_ta, t_ta, names)
+        viz.camera_pose_ply(
+            os.path.join(cfg.sfm_result_path, "camera_pose_beforeBA.ply"),
+            poses_ta, frame_valid)
+        viz.camera_centers_pcd(
+            os.path.join(cfg.sfm_result_path, "camera_center_beforeBA.pcd"),
+            poses_ta, frame_valid)
         pair_matches = []
         midx = np.asarray(matches["idx"])
         mmask = np.asarray(matches["mask"])
@@ -436,6 +537,15 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         poses_ba, pts_ba, info = sfm_mod.global_ba(
             poses0, np.asarray(X), timg, tfeat, tmask, bearings,
             np.asarray(x_ok), frame_valid, scfg)
+        # first-refinement snapshot (main.cpp:291: camera_pose_refine.txt —
+        # the reference's own export sits in an `#if 0` BA-1 block, so this
+        # file is the live analog written after our first BA round)
+        R_rf, t_rf = pose_util.params_to_world(poses_ba)
+        R_rf[~frame_valid] = np.eye(3)
+        t_rf[~frame_valid] = np.inf
+        artifacts.export_pose_t(
+            os.path.join(cfg.sfm_result_path, "camera_pose_refine.txt"),
+            R_rf, t_rf, names)
         # filter at 40 px, re-BA, then filter at 10 px (main.cpp:299-300 runs
         # GlobalBundleAdjustment(PIXEL_RESIDUAL, 40) then (PIXEL_RESIDUAL, 10),
         # each followed by FilterTracksPixelResidual, SfM.cpp:1362-1383)

@@ -245,8 +245,11 @@ def extract_panorama_lines_batch(grays, cap: int = 128,
     batched `lbd.line_band_descriptors_batch` call instead of a
     dispatch+sync round trip per frame. Returns dict of stacked arrays:
     normal/e1/e2/mid (N, cap, 3), arc/mask (N, cap), desc (N, cap, 72)."""
+    import logging
+    import time as _time
     arc_list = []
     gray_f = []
+    t0 = _time.time()
     for g in grays:
         if g.dtype != np.uint8:
             gu8 = (np.clip(g, 0.0, 1.0) * 255).astype(np.uint8)
@@ -257,12 +260,16 @@ def extract_panorama_lines_batch(grays, cap: int = 128,
         if with_descriptors:
             gray_f.append(gu8.astype(np.float32) / 255.0)
     out = {k: np.stack([a[k] for a in arc_list]) for k in arc_list[0]}
+    t1 = _time.time()
     if with_descriptors:
         import jax.numpy as jnp
         from ..ops import lbd
         out["desc"] = np.asarray(lbd.line_band_descriptors_batch(
             jnp.asarray(np.stack(gray_f)), jnp.asarray(out["e1"]),
             jnp.asarray(out["e2"]), jnp.asarray(out["mask"])))
+    logging.getLogger("panovlm").info(
+        "image lines: host LSD+fuse %.1f s, LBD device program %.1f s",
+        t1 - t0, _time.time() - t1)
     return out
 
 

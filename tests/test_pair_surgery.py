@@ -88,6 +88,54 @@ def test_recompute_pairs_roundtrip(setup):
     assert {(1, 3), (1, 4), (2, 4)} <= got
 
 
+def test_relative_pose_cache_roundtrip(tmp_path, rng):
+    """The relative-pose resume artifact (reference pairs_after_relative_pose,
+    main.cpp:221-248): rows are reused across reruns and invalidated exactly
+    when a pair's matches change."""
+    import jax.numpy as jnp
+    from panovlm_tpu.pipeline import _relative_poses_cached
+
+    n_f, K = 4, 48
+    pts = rng.uniform(-3, 3, (K, 3)).astype(np.float32)
+    C = np.cumsum(rng.normal(size=(n_f, 3)).astype(np.float32) * 0.2, 0)
+    bearings = np.zeros((n_f, K, 3), np.float32)
+    for i in range(n_f):
+        pc = pts - C[i]
+        bearings[i] = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    pi = np.asarray([0, 1, 2], np.int32)
+    pj = np.asarray([1, 2, 3], np.int32)
+    midx = np.tile(np.arange(K, dtype=np.int32)[None, :, None], (3, 1, 2))
+    mmask = np.ones((3, K), bool)
+    matches = {"idx": midx, "mask": mmask}
+    cfg = Config(match_pair_path=str(tmp_path / "pairs"), num_sift=K)
+    scfg = _sfm_config(cfg, K)._replace(ransac_hypotheses=60, max_matches=K,
+                                        min_inliers=10)
+
+    out1 = _relative_poses_cached(cfg, scfg, jnp.asarray(bearings), matches,
+                                  pi, pj)
+    path = tmp_path / "pairs" / "rel_poses.npz"
+    assert path.exists()
+
+    # tamper with the cache: a rerun must read rows back verbatim
+    z = dict(np.load(path))
+    z["rel_aa"] = z["rel_aa"] + 1.0
+    np.savez(path, **z)
+    out2 = _relative_poses_cached(cfg, scfg, jnp.asarray(bearings), matches,
+                                  pi, pj)
+    np.testing.assert_allclose(np.asarray(out2["rel_aa"]),
+                               np.asarray(out1["rel_aa"]) + 1.0)
+
+    # change ONE pair's matches: exactly that row is re-estimated
+    midx2 = midx.copy()
+    midx2[1, 0, 0] = (midx2[1, 0, 0] + 1) % K
+    out3 = _relative_poses_cached(cfg, scfg, jnp.asarray(bearings),
+                                  {"idx": midx2, "mask": mmask}, pi, pj)
+    aa3 = np.asarray(out3["rel_aa"])
+    np.testing.assert_allclose(aa3[[0, 2]],
+                               np.asarray(out1["rel_aa"])[[0, 2]] + 1.0)
+    assert np.abs(aa3[1] - (np.asarray(out1["rel_aa"])[1] + 1.0)).max() > 0.5
+
+
 def test_surgery_requires_artifacts(tmp_path):
     cfg = Config(frame_path=str(tmp_path / "nope"),
                  match_pair_path=str(tmp_path / "nope2"))
