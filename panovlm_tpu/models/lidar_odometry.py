@@ -77,7 +77,8 @@ def build_blocks(assoc, pair_r, pair_n, pair_valid, *, angle_residual=True,
             (p2l["point"].reshape(-1, 3), p2l["line_pt"].reshape(-1, 3),
              p2l["line_dir"].reshape(-1, 3)),
             jnp.full((M * P,), weight, jnp.float32), mask,
-            loss="huber", loss_scale=loss_scale, name="point2line"))
+            loss="huber", loss_scale=loss_scale, name="point2line",
+            run_length=P))
 
     if point_to_plane:
         p2p = assoc["p2p"]
@@ -91,7 +92,8 @@ def build_blocks(assoc, pair_r, pair_n, pair_valid, *, angle_residual=True,
             (flat_idx(pair_r, Q), flat_idx(pair_n, Q)),
             (p2p["point"].reshape(-1, 3), p2p["plane"].reshape(-1, 4)),
             jnp.full((M * Q,), weight, jnp.float32), mask,
-            loss="huber", loss_scale=loss_scale, name="point2plane"))
+            loss="huber", loss_scale=loss_scale, name="point2plane",
+            run_length=Q))
 
     if line_to_line:
         l2l = assoc["l2l"]
@@ -102,7 +104,8 @@ def build_blocks(assoc, pair_r, pair_n, pair_valid, *, angle_residual=True,
             (flat_idx(pair_r, L), flat_idx(pair_n, L)),
             (l2l["dir_r"].reshape(-1, 3), l2l["dir_n"].reshape(-1, 3)),
             jnp.full((M * L,), weight, jnp.float32), mask,
-            loss="huber", loss_scale=np.radians(2.0), name="line2line"))
+            loss="huber", loss_scale=np.radians(2.0), name="line2line",
+            run_length=L))
     return tuple(blocks)
 
 

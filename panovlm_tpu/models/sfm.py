@@ -161,10 +161,15 @@ def match_all_pairs(desc, fmask, pi, pj, cfg: SfMConfig):
     return out
 
 
-def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig):
+def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig,
+                   keys=None):
     """Relative pose per pair (FilterImagePairs, SfM.cpp:298-480):
     AC-RANSAC essential -> decompose -> CheckRT best-of-4 -> two-view
     refinement with the chordal residual (SfMLocalBA analog), |t| renormalized.
+
+    keys: optional (P,) int32 per-pair RNG folds (defaults to the row
+    index; the pipeline's relative-pose cache passes the full-run row ids
+    so a partial recompute draws the same hypotheses a full run would).
 
     Returns dict with per-pair: rel_aa (P,3), rel_t (P,3) unit, n_inliers,
     ok, tri_points (P,K,3) (frame-i coords), tri_mask (P,K).
@@ -185,28 +190,22 @@ def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig):
             pose = epipolar.best_pose_from_essential(
                 ransac["E"], b1, b2, ransac["inliers"])
             # two-view refinement on triangulated inliers (chordal), pose 1
-            # fixed, then renormalize |t| (Optimization.cpp:160-169)
+            # fixed, then renormalize |t| (Optimization.cpp:160-169).
+            # Specialized Schur-eliminated solver: the generic dense path
+            # factored a (12+3K)^2 system per pair per LM iteration — the
+            # measured 0.22 s/pair wall of the Room-454 relative-pose phase
+            # (solver/two_view.py)
+            from ..solver import two_view_refine
             n_inl = jnp.sum(pose["good"])
             aa0 = se3.log_so3(pose["R_21"])
-            poses0 = jnp.stack([jnp.zeros(6),
-                                jnp.concatenate([aa0, pose["t_21"]])])
-            groups = {"poses": poses0, "pts": pose["points"]}
-            fixed = {"poses": jnp.asarray(np.array([[True] * 6, [False] * 6])),
-                     "pts": jnp.zeros((K, 3), bool)}
-            blocks = []
-            for cam, bb in ((0, b1), (1, b2)):
-                blocks.append(ResidualBlock(
-                    residuals.reproj_chordal, ("poses", "pts"),
-                    (jnp.full((K,), cam, jnp.int32),
-                     jnp.arange(K, dtype=jnp.int32)),
-                    (bb,), jnp.ones((K,), jnp.float32), pose["good"],
-                    loss="huber", loss_scale=float(np.radians(cfg.ba_huber_deg))))
-            out, _ = solve_lm(groups, tuple(blocks), fixed,
-                              LMOptions(max_iters=10, cg_iters=30))
-            aa = out["poses"][1, :3]
-            t = out["poses"][1, 3:]
+            pose_tv, pts_tv, _ = two_view_refine(
+                jnp.concatenate([aa0, pose["t_21"]]), pose["points"],
+                b1, b2, pose["good"],
+                float(np.radians(cfg.ba_huber_deg)), max_iters=10)
+            aa = pose_tv[:3]
+            t = pose_tv[3:]
             t_norm = jnp.linalg.norm(t) + 1e-12
-            pts = out["pts"] / t_norm
+            pts = pts_tv / t_norm
             ok = ransac["ok"] & (n_inl >= cfg.min_inliers)
             return {"rel_aa": aa, "rel_t": t / t_norm, "n_inliers": n_inl,
                     "ok": ok, "tri_points": pts,
@@ -220,7 +219,8 @@ def relative_poses(bearings, matches_idx, matches_mask, pi, pj, cfg: SfMConfig):
     # watchdog); identical results, one compile (last chunk padded)
     P = len(pi)
     chunk = 32
-    keys = jnp.arange(P, dtype=jnp.int32)
+    keys = (jnp.arange(P, dtype=jnp.int32) if keys is None
+            else jnp.asarray(keys, jnp.int32))
     if P <= chunk:
         return run(bearings, jnp.asarray(matches_idx),
                    jnp.asarray(matches_mask), jnp.asarray(pi),

@@ -10,5 +10,6 @@ preconditioned CG, IRLS robust-loss weighting.
 
 from .lm import (ResidualBlock, LMOptions, SchurSpec, make_schur_spec,  # noqa: F401
                  bucket_schur_points, solve_lm, solve_lm_chunked)
+from .two_view import two_view_refine  # noqa: F401
 from . import residuals, robust  # noqa: F401
 from . import l1_admm  # noqa: F401

@@ -47,7 +47,7 @@ class ResidualBlock:
 
     def __init__(self, fn: Callable, groups: tuple, indices: tuple, data: tuple,
                  weight, mask, loss: str = robust.TRIVIAL, loss_scale: float = 1.0,
-                 name: str = ""):
+                 name: str = "", run_length: int = 1):
         self.fn = fn
         self.groups = tuple(groups)
         self.indices = tuple(indices)
@@ -57,17 +57,26 @@ class ResidualBlock:
         self.loss = loss
         self.loss_scale = float(loss_scale)
         self.name = name
+        # Static structure hint: every index array is constant over
+        # consecutive runs of this length (the pair x point layout of the
+        # LiDAR blocks: indices = repeat(pair_ids, P)). JtJ assembly then
+        # sums each run's outer-product blocks BEFORE the scatter-add — the
+        # scatter (the slow per-element path on TPU, PERF.md gather rate)
+        # shrinks by the run length. 1 = no structure.
+        self.run_length = int(run_length)
 
     def tree_flatten(self):
         children = (self.indices, self.data, self.weight, self.mask)
-        aux = (self.fn, self.groups, self.loss, self.loss_scale, self.name)
+        aux = (self.fn, self.groups, self.loss, self.loss_scale, self.name,
+               self.run_length)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         indices, data, weight, mask = children
-        fn, groups, loss, loss_scale, name = aux
-        return cls(fn, groups, indices, data, weight, mask, loss, loss_scale, name)
+        fn, groups, loss, loss_scale, name, run_length = aux
+        return cls(fn, groups, indices, data, weight, mask, loss, loss_scale,
+                   name, run_length)
 
 
 class LMOptions(NamedTuple):
@@ -201,6 +210,40 @@ def _total_cost(groups: dict, blocks: tuple, chunk=None):
     return total
 
 
+def _res_dim(block: ResidualBlock, groups: dict) -> int:
+    """Static residual dimension of one observation (shape-only trace)."""
+    params = [jax.ShapeDtypeStruct(groups[g].shape[1:], groups[g].dtype)
+              for g in block.groups]
+    datas = [jax.ShapeDtypeStruct(d.shape[1:], d.dtype) for d in block.data]
+    return jax.eval_shape(block.fn, *params, *datas).shape[0]
+
+
+def _jac_fn(block: ResidualBlock, groups: dict, r_dim: int, argnums):
+    """Per-observation Jacobian(s): reverse mode when the residual is
+    lower-dimensional than the differentiated parameters (the LiDAR angle
+    residuals are scalar, so ONE backward pass replaces W forward
+    tangents), forward mode otherwise. Cost model: jacfwd ~ sum(Wk)
+    tangent passes, jacrev ~ r_dim pullbacks."""
+    ks = (argnums,) if isinstance(argnums, int) else argnums
+    total_w = sum(groups[block.groups[k]].shape[-1] for k in ks)
+    if r_dim * 2 <= total_w:
+        return jax.jacrev(block.fn, argnums=argnums)
+    return jax.jacfwd(block.fn, argnums=argnums)
+
+
+def _run_length(block: ResidualBlock) -> int:
+    """Effective run length (1 when the layout hint does not divide M)."""
+    rl = block.run_length
+    M = block.mask.shape[0]
+    return rl if rl > 1 and M % rl == 0 else 1
+
+
+def _run_chunk(chunk: int, rl: int) -> int:
+    """Largest chunk <= `chunk` that is a multiple of the run length (so
+    run reduction never straddles a chunk boundary)."""
+    return max(rl, chunk // rl * rl)
+
+
 def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict,
                     chunk=None):
     """Block-diagonal JtJ: one (W,W) block per parameter row of each group."""
@@ -208,8 +251,10 @@ def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict,
     for block, w in zip(blocks, irls):
         data = _safe_data(block)
         scale = (block.weight * w * block.mask.astype(w.dtype))  # (M,)
+        rd = _res_dim(block, groups)
+        rl = _run_length(block)
         for k, (g, idx) in enumerate(zip(block.groups, block.indices)):
-            jac_fn = jax.jacfwd(block.fn, argnums=k)
+            jac_fn = _jac_fn(block, groups, rd, k)
 
             def jtj_rows(idxs, datas, sc):
                 params = [groups[gg][ii]
@@ -217,24 +262,29 @@ def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict,
                 J = jax.vmap(jac_fn)(*params, *datas)  # (m, r_dim, W)
                 J = jnp.where(jnp.isfinite(J), J, 0.0)
                 J = J * sc[:, None, None]
-                return jnp.einsum("mri,mrj->mij", J, J,
-                                  precision=jax.lax.Precision.HIGHEST)
+                blk = jnp.einsum("mri,mrj->mij", J, J,
+                                 precision=jax.lax.Precision.HIGHEST)
+                if rl > 1:  # sum each constant-index run before scattering
+                    blk = blk.reshape((blk.shape[0] // rl, rl)
+                                      + blk.shape[1:]).sum(1)
+                return blk
 
             if not _use_chunk(block, chunk):
-                out[g] = out[g].at[idx].add(
+                out[g] = out[g].at[idx[::rl]].add(
                     jtj_rows(block.indices, data, scale))
             else:
+                ck = _run_chunk(chunk, rl)
                 (idxs, datas, sc, idx_c), K, _ = _chunk_arrays(
-                    (block.indices, data, scale, idx), chunk)
+                    (block.indices, data, scale, idx), ck)
                 # pad rows scatter with weight 0 (scale pads row 0's value
                 # but _chunk_arrays pads every array with row 0, so the pad
                 # rows duplicate row 0's contribution — mask it explicitly)
-                row = jnp.arange(K * chunk).reshape(K, chunk)
+                row = jnp.arange(K * ck).reshape(K, ck)
                 sc = jnp.where(row < block.mask.shape[0], sc, 0.0)
 
                 def body(acc, args):
                     ii, dd, ss, ix = args
-                    return acc.at[ix].add(jtj_rows(ii, dd, ss)), None
+                    return acc.at[ix[::rl]].add(jtj_rows(ii, dd, ss)), None
 
                 out[g], _ = jax.lax.scan(body, out[g],
                                          (idxs, datas, sc, idx_c))
@@ -288,23 +338,32 @@ def _dense_hessian(groups: dict, blocks: tuple, irls: tuple, offs: dict,
             continue
         data = _safe_data(block)
         scale = block.weight * w * block.mask.astype(w.dtype)
-        jac_fns = {k: jax.jacfwd(block.fn, argnums=k) for k in args_k}
+        rd = _res_dim(block, groups)
+        rl = _run_length(block)
+        jac_multi = _jac_fn(block, groups, rd, tuple(args_k))
 
         def hess_rows(idxs, datas, sc):
             params = [groups[g][i] for g, i in zip(block.groups, idxs)]
+            Jt = jax.vmap(jac_multi)(*params, *datas)
+            if not isinstance(Jt, (tuple, list)):
+                Jt = (Jt,)
             Js, rows = {}, {}
-            for k in args_k:
-                J = jax.vmap(jac_fns[k])(*params, *datas)  # (m, r, Wk)
+            for k, J in zip(args_k, Jt):
                 J = jnp.where(jnp.isfinite(J), J, 0.0) * sc[:, None, None]
-                Js[k] = J
+                Js[k] = J                               # (m, r, Wk)
                 Wk = J.shape[-1]
+                # one flat row-id vector per RUN (indices constant inside)
                 rows[k] = (offs[block.groups[k]]
-                           + idxs[k][:, None] * Wk + jnp.arange(Wk)[None, :])
+                           + idxs[k][::rl, None] * Wk
+                           + jnp.arange(Wk)[None, :])
             fidx, vals = [], []
             for a in args_k:
                 for b in args_k:
                     blk = jnp.einsum("mra,mrb->mab", Js[a], Js[b],
                                      precision=jax.lax.Precision.HIGHEST)
+                    if rl > 1:  # sum each run before the scatter-add
+                        blk = blk.reshape((blk.shape[0] // rl, rl)
+                                          + blk.shape[1:]).sum(1)
                     f = rows[a][:, :, None] * P + rows[b][:, None, :]
                     fidx.append(f.reshape(-1))
                     vals.append(blk.reshape(-1))
@@ -314,9 +373,10 @@ def _dense_hessian(groups: dict, blocks: tuple, irls: tuple, offs: dict,
             f, v = hess_rows(block.indices, data, scale)
             Hf = Hf.at[f].add(v)
         else:
+            ck = _run_chunk(chunk, rl)
             (idxs, datas, sc), K, _ = _chunk_arrays(
-                (block.indices, data, scale), chunk)
-            row = jnp.arange(K * chunk).reshape(K, chunk)
+                (block.indices, data, scale), ck)
+            row = jnp.arange(K * ck).reshape(K, ck)
             sc = jnp.where(row < block.mask.shape[0], sc, 0.0)
 
             def body(acc, args):
@@ -639,10 +699,11 @@ def solve_lm(groups: dict, blocks: tuple, fixed: dict | None = None,
         return {g: jnp.where(free[g], tree[g], 0.0) for g in tree}
 
     def lm_iteration(x, lam):
-        # cost, IRLS weights, gradient, preconditioner at x
-        irls = tuple(_block_cost_and_irls(b, x, options.obs_chunk)[1]
-                     for b in blocks)
-        cost = _total_cost(x, blocks, options.obs_chunk)
+        # cost + IRLS weights in ONE residual pass per block (a separate
+        # _total_cost call would re-evaluate every residual)
+        ci = [_block_cost_and_irls(b, x, options.obs_chunk) for b in blocks]
+        irls = tuple(w for _, w in ci)
+        cost = sum((c for c, _ in ci), jnp.asarray(0.0))
 
         F = lambda p: _whitened_flat(p, blocks, irls, options.obs_chunk)
         r, pullback = jax.vjp(F, x)

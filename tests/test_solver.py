@@ -506,3 +506,46 @@ def test_bucket_schur_guard_rejects_unpacked(rng):
     g2, b2, f2, specs, reasm = bucket_schur_points(
         groups, (bad,), fixed, tmask, "pts", short_cap=3)
     assert reasm is None and len(specs) == 1  # fallback, unbucketed
+
+
+def test_two_view_refine_matches_solve_lm(rng):
+    """solver/two_view.py: the Schur-eliminated two-view specialization
+    reaches the same optimum as the generic solve_lm on the identical
+    problem (same residuals, Huber scale, damping rules)."""
+    from panovlm_tpu.solver import two_view_refine
+    pts, (aa1, t1), (aa2, t2), rays1, rays2 = _make_two_view_problem(
+        rng, noise=2e-3)
+    n = len(pts)
+    pose0 = np.concatenate([aa2 + 0.03,
+                            t2 + np.array([0.05, -0.08, 0.1], np.float32)])
+    pts0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    good = np.ones(n, bool)
+    good[::7] = False  # masked rows must not constrain anything
+
+    poses_g = np.stack([np.concatenate([aa1, t1]), pose0]).astype(np.float32)
+    groups = {"poses": jnp.asarray(poses_g), "points": jnp.asarray(pts0)}
+    fixed = {"poses": jnp.asarray(np.array([[True] * 6, [False] * 6])),
+             "points": jnp.zeros((n, 3), bool)}
+    blocks = []
+    for cam, rays in [(0, rays1), (1, rays2)]:
+        blocks.append(ResidualBlock(
+            residuals.reproj_chordal, ("poses", "points"),
+            (jnp.full((n,), cam, jnp.int32), jnp.arange(n, dtype=jnp.int32)),
+            (jnp.asarray(rays),), jnp.ones((n,), jnp.float32),
+            jnp.asarray(good), loss="huber", loss_scale=np.radians(4.0)))
+    ref, info = solve_lm(groups, tuple(blocks), fixed,
+                         LMOptions(max_iters=30))
+
+    pose_tv, pts_tv, cost_tv = two_view_refine(
+        jnp.asarray(pose0), jnp.asarray(pts0), jnp.asarray(rays1),
+        jnp.asarray(rays2), jnp.asarray(good), float(np.radians(4.0)),
+        max_iters=30)
+    np.testing.assert_allclose(np.asarray(pose_tv),
+                               np.asarray(ref["poses"][1]), atol=2e-4)
+    np.testing.assert_allclose(float(cost_tv), float(info["final_cost"]),
+                               rtol=1e-3)
+    # point coordinates only agree loosely: near-parallel-bearing points sit
+    # in flat cost valleys where the two (equivalent) solvers may park at
+    # different spots — the pose and the COST are the converged quantities
+    np.testing.assert_allclose(np.asarray(pts_tv)[good],
+                               np.asarray(ref["points"])[good], atol=2e-2)
