@@ -60,3 +60,10 @@ if failures:
     sys.exit(1)
 print("ACCURACY OK", flush=True)
 PYEOF
+# North-star falsifiability (VERDICT r3 item 5): independent per-view pixel
+# noise (tests/synthetic.py make_independent_noise_scene) breaks the
+# correlated-drift ceiling above; the solver chain itself must then deliver
+# <1e-3 rad rotation and sub-cm sim3 position (asserted in the test).
+timeout 600 python -m pytest tests/test_sfm_pipeline.py::test_solver_chain_north_star -q || {
+  echo "NORTH-STAR FAIL"; exit 1; }
+echo "NORTH-STAR OK (<1e-3 rad / sub-cm on independent-noise keypoints)"

@@ -298,3 +298,54 @@ def make_trajectory_scans(n_scans=5, step=(0.15, 0.02, 0.0), yaw_step=0.02,
         scans.append(pts_l.astype(np.float32))
         poses.append((R, t.astype(np.float64)))
     return scans, poses
+
+
+def make_independent_noise_scene(n_frames=10, n_points=400, H=256, W=512,
+                                 sigma_px=0.05, desc_noise=0.01, seed=11):
+    """Keypoint-level scene with INDEPENDENT per-view pixel noise.
+
+    The rendered-texture e2e datasets carry COMMON-MODE SIFT localization
+    drift (nearby views see nearly the same patch, so their subpixel
+    offsets are correlated and act as fake parallax — PERF.md "Accuracy
+    ceiling"). This mode breaks that by construction: each view's keypoint
+    pixels are the EXACT equirectangular projection of shared 3-D points
+    plus i.i.d. pixel noise, so the solver chain's own bias — not the
+    measurement correlation — is what an accuracy assertion measures
+    (north-star falsifiability, <1e-3 rad / sub-cm).
+
+    Returns dict with uv (N,K,2) pixel keypoints, descs (N,K,128) unit
+    descriptors, fmask (N,K), poses_gt (N,6) world->cam [aa|t], pts (K,3).
+    """
+    rng = np.random.default_rng(seed)
+    from scipy.spatial.transform import Rotation as ScR
+
+    pts = rng.uniform(-4, 4, (n_points, 3)).astype(np.float32)
+    pts[:, 1] *= 0.4
+    aa = np.cumsum(rng.normal(size=(n_frames, 3)) * 0.02, axis=0).astype(np.float32)
+    aa[0] = 0
+    C = np.cumsum(rng.normal(size=(n_frames, 3))
+                  * np.array([0.25, 0.05, 0.25]), axis=0).astype(np.float32)
+    C[0] = 0
+    R = ScR.from_rotvec(aa).as_matrix().astype(np.float32)
+    t = -np.einsum("nij,nj->ni", R, C)
+
+    # exact projection to pixels via the production camera model, then
+    # i.i.d. pixel noise per view (the point of this mode)
+    import jax.numpy as jnp
+    from panovlm_tpu.ops import spherical
+    uv = np.zeros((n_frames, n_points, 2), np.float32)
+    for i in range(n_frames):
+        p_c = pts @ R[i].T + t[i]
+        uv_i = np.asarray(spherical.cam_to_image(jnp.asarray(p_c), H, W))
+        uv[i] = uv_i + rng.normal(size=uv_i.shape) * sigma_px
+
+    desc_gt = rng.normal(size=(n_points, 128)).astype(np.float32)
+    desc_gt /= np.linalg.norm(desc_gt, axis=1, keepdims=True)
+    descs = np.zeros((n_frames, n_points, 128), np.float32)
+    for i in range(n_frames):
+        d = desc_gt + rng.normal(size=desc_gt.shape) * desc_noise
+        descs[i] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    fmask = np.ones((n_frames, n_points), bool)
+    poses_gt = np.concatenate([aa, t], axis=1).astype(np.float32)
+    return {"uv": uv, "descs": descs, "fmask": fmask, "poses_gt": poses_gt,
+            "pts": pts, "H": H, "W": W}

@@ -163,38 +163,29 @@ def test_full_sfm_to_ba(pipeline, scene):
 
 
 def test_solver_chain_north_star():
-    """North-star falsifiability (VERDICT r2 item 5): with INDEPENDENT
-    per-observation bearing noise (no common-mode SIFT drift — the
-    documented accuracy ceiling of the rendered-texture e2e, PERF.md
-    "Accuracy ceiling"), the full solver chain (matching -> relative poses
-    -> triplet/biconnected filters -> L1 rotation averaging -> translation
+    """North-star falsifiability (VERDICT r2 item 5 / r3 item 5): with
+    INDEPENDENT per-view pixel noise on the keypoints (no common-mode SIFT
+    drift — the documented accuracy ceiling of the rendered-texture e2e,
+    PERF.md "Accuracy ceiling"), the full solver chain (pixel -> bearing
+    via the production camera model -> matching -> relative poses ->
+    triplet/biconnected filters -> L1 rotation averaging -> translation
     averaging -> triangulation -> global BA) must reach <1e-3 rad rotation
     and sub-cm sim3-aligned position error. If the chain itself carried a
     bias, this test — not the correlated-noise e2e — would catch it."""
-    rng = np.random.default_rng(11)
+    import synthetic
+    from panovlm_tpu.ops import spherical
+
     n_frames, n_points = 10, 400
-    sigma = 2e-4  # rad, iid per observation (~0.05 px at 512 cols)
-    pts = rng.uniform(-4, 4, (n_points, 3)).astype(np.float32)
-    pts[:, 1] *= 0.4
-    aa = np.cumsum(rng.normal(size=(n_frames, 3)) * 0.02, axis=0).astype(np.float32)
-    aa[0] = 0
-    C = np.cumsum(rng.normal(size=(n_frames, 3)) * np.array([0.25, 0.05, 0.25]),
-                  axis=0).astype(np.float32)
-    C[0] = 0
+    scene_kp = synthetic.make_independent_noise_scene(
+        n_frames=n_frames, n_points=n_points, sigma_px=0.05, seed=11)
+    H, W = scene_kp["H"], scene_kp["W"]
+    aa = scene_kp["poses_gt"][:, :3]
+    t = scene_kp["poses_gt"][:, 3:]
     R = ScR.from_rotvec(aa).as_matrix().astype(np.float32)
-    t = -np.einsum("nij,nj->ni", R, C)
-    desc_gt = rng.normal(size=(n_points, 128)).astype(np.float32)
-    desc_gt /= np.linalg.norm(desc_gt, axis=1, keepdims=True)
-    bearings = np.zeros((n_frames, n_points, 3), np.float32)
-    descs = np.zeros((n_frames, n_points, 128), np.float32)
-    for i in range(n_frames):
-        p_c = pts @ R[i].T + t[i]
-        b = p_c / np.linalg.norm(p_c, axis=1, keepdims=True)
-        b += rng.normal(size=b.shape) * sigma
-        bearings[i] = b / np.linalg.norm(b, axis=1, keepdims=True)
-        d = desc_gt + rng.normal(size=desc_gt.shape) * 0.01
-        descs[i] = d / np.linalg.norm(d, axis=1, keepdims=True)
-    fmask = np.ones((n_frames, n_points), bool)
+    # the production pixel -> unit-bearing path (image_to_cam)
+    bearings = np.asarray(spherical.image_to_cam(
+        jnp.asarray(scene_kp["uv"]), H, W)).astype(np.float32)
+    descs, fmask = scene_kp["descs"], scene_kp["fmask"]
 
     cfg = sfm.SfMConfig(contiguous_window=4, max_matches=512,
                         ransac_hypotheses=200, min_inliers=30,
