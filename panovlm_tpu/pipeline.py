@@ -368,7 +368,7 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
             t1 = _time.time()
             if cache:
                 os.makedirs(cfg.frame_path, exist_ok=True)
-                artifacts.save_npz(cache, uv=uv, desc=desc, fmask=fmask)
+                artifacts.save_npz_raw(cache, uv=uv, desc=desc, fmask=fmask)
             log.info("sift: detect %.1f s, cache write %.1f s",
                      t1 - t0, _time.time() - t1)
         bearings = np.asarray(spherical.image_to_cam(jnp.asarray(uv), H, W))

@@ -31,6 +31,31 @@ from ..ops import se3
 _EPS = 1e-10
 
 
+def _inv3(A):
+    """Closed-form adjugate inverse of (..., 3, 3) SPD-damped blocks: pure
+    elementwise arithmetic, no LU pivoting chain — the batched
+    jnp.linalg.inv is a deep sequential program on TPU and dominated the
+    refine iteration."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack([jnp.stack([A00, A01, A02], -1),
+                     jnp.stack([A10, A11, A12], -1),
+                     jnp.stack([A20, A21, A22], -1)], -2)
+    return adj * inv_det[..., None, None]
+
+
 def _r0(X, b1):
     """Chordal residual in the gauge camera (identity pose)."""
     return X / (jnp.linalg.norm(X) + 1e-12) - b1
@@ -93,7 +118,7 @@ def two_view_refine(pose0, pts0, b1, b2, good, loss_scale,
         dVd = se3.einsum("kii->ki", V)                    # (K, 3)
         Vd = V + jax.vmap(jnp.diag)(lam * (dVd + _EPS)
                                     + (1.0 - mask)[:, None])
-        Vinv = jnp.linalg.inv(Vd)
+        Vinv = _inv3(Vd)
         Y = se3.einsum("kij,kjl->kil", U, Vinv)           # (K, 6, 3)
         D2p = jnp.diagonal(Hpp)
         S = (Hpp + jnp.diag(lam * (D2p + _EPS))
