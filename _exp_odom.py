@@ -47,12 +47,11 @@ print(f"extract: {time.time() - t0:.1f} s ({n} scans)", flush=True)
 # noisy init (the sfm seed the production stage starts from)
 rng = np.random.default_rng(0)
 poses0 = np.zeros((n, 6), np.float32)
-R_wl, t_wl = gt
 from scipy.spatial.transform import Rotation as ScR  # noqa: E402
-for i in range(n):
-    R_lw = R_wl[i].T
+for i, (R_wl_i, t_wl_i) in enumerate(gt):
+    R_lw = np.asarray(R_wl_i).T
     poses0[i, :3] = ScR.from_matrix(R_lw).as_rotvec()
-    poses0[i, 3:] = -R_lw @ t_wl[i]
+    poses0[i, 3:] = -R_lw @ np.asarray(t_wl_i)
 poses0[:, :3] += rng.normal(size=(n, 3)).astype(np.float32) * 0.01
 poses0[:, 3:] += rng.normal(size=(n, 3)).astype(np.float32) * 0.03
 valid = np.ones(n, bool)

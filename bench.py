@@ -113,26 +113,24 @@ def tpu_lidar(scans_np):
     assoc_j = jax.jit(lambda feats, poses: association.associate_all_pairs(
         {k: getattr(feats, k) for k in feats._fields}, poses, pair_r, pair_n))
 
-    # NOTE: measure extract BEFORE the association program ever compiles,
-    # then EVICT the extract executable (jax.clear_caches) before compiling
-    # association. The axon remote runtime thrashes when two compiled
-    # executables are co-resident — the same extract program measured at
-    # 0.3 ms/batch degrades to ~89 ms once the association executable loads
-    # (re-measured 2026-08-20), and vice versa. The real pipeline runs each
-    # program in long homogeneous phases (one executable hot at a time),
-    # which one-resident-executable measurement reproduces.
+    # Measure in the CO-RESIDENT regime the production stage actually runs
+    # in (VERDICT r3 weak #4): extract, association, and the LM solve all
+    # live in one process there. Round-4 on-chip measurement (_exp_odom):
+    # association and solve walls are IDENTICAL one-resident vs
+    # co-resident (4.2/4.2 s and 6.0/6.0 s), so the round-3 eviction
+    # precaution (extract 0.3 -> 89 ms with assoc resident, one observed
+    # degraded session) is dropped; extract is measured both before and
+    # after the association executable loads and the co-resident number is
+    # the headline.
     feats = extract(pts, msk)               # compile
     _sync(feats)
-    t_extract = _median_time(lambda: extract(pts, msk))
-    feats_host = jax.tree_util.tree_map(np.asarray, feats)
-
-    jax.clear_caches()                      # evict the extract executable
-    feats = jax.tree_util.tree_map(jnp.asarray, feats_host)
+    t_extract_solo = _median_time(lambda: extract(pts, msk))
     out = assoc_j(feats, poses)
     _sync(out)
     t_assoc = _median_time(lambda: assoc_j(feats, poses))
-    print(f"lidar: extract {t_extract*1e3:.1f} ms, assoc {t_assoc*1e3:.1f} ms"
-          f" (B={n})", file=sys.stderr, flush=True)
+    t_extract = _median_time(lambda: extract(pts, msk))  # co-resident
+    print(f"lidar: extract {t_extract*1e3:.1f} ms (solo {t_extract_solo*1e3:.1f}),"
+          f" assoc {t_assoc*1e3:.1f} ms (B={n})", file=sys.stderr, flush=True)
     return n / (t_extract + t_assoc), t_extract, t_assoc
 
 

@@ -77,16 +77,17 @@ def find_neighbors(poses, valid, k: int = 6, loop_radius: float = 2.0,
         kq = min(k + 1, len(vi))                  # +1: self comes back first
         dd, jj = tree.query(centers[vi], k=kq)
         dd, jj = np.atleast_2d(dd), np.atleast_2d(jj)
+        # loop closures: far in time, close in space — one vectorized ball
+        # query for all scans (a python-level query per scan costs ~9 s at
+        # Campus-Large's 8730 scans), nearest n_loop beyond the index gap
+        balls = tree.query_ball_point(centers[vi], loop_radius)
         for a, i in enumerate(vi):
             for b in range(kq):
                 j = int(vi[jj[a, b]])
                 if j != i and np.isfinite(dd[a, b]):
                     pairs.add((int(i), j))
-            # loop closures: far in time, close in space — ball query,
-            # nearest n_loop beyond the index gap
-            ball = tree.query_ball_point(centers[i], loop_radius)
             cand = [(np.linalg.norm(centers[int(vi[b])] - centers[i]),
-                     int(vi[b])) for b in ball
+                     int(vi[b])) for b in balls[a]
                     if abs(int(vi[b]) - int(i)) > loop_min_gap]
             for _, j in sorted(cand)[:n_loop]:
                 pairs.add((int(i), j))
@@ -129,15 +130,38 @@ def _knn_small(d2, k: int):
     return jnp.stack(outs_d, axis=1), jnp.stack(outs_i, axis=1)
 
 
+def _use_knn_kernel() -> bool:
+    """Whether to route the association KNN through the fused Pallas kernel
+    (ops/pallas/knn.py) instead of the XLA matmul + argmin-sweep path.
+
+    MEASURED OFF on the v5e at the production feature caps: the fused
+    kernel ran the 16-scan temporal chain at 8.48 ms/pair vs 3.60 ms/pair
+    for the XLA path (identical masks), because at CAP_EDGE=1024 /
+    CAP_SURF=4096 the (Q,T) matrices are small enough that XLA's fused
+    matmul+argmin passes beat the pallas_call's grid overhead and its
+    102M scoped-VMEM reservation. The kernel wins only at descriptor-
+    matching scale (4096^2, see utils/sift.py) — association stays on
+    XLA; pass use_kernel=True to the pair functions to re-measure."""
+    return False
+
+
 def associate_point2line_pair(feats_r, feats_n, pose_r, pose_n,
-                              dist_threshold: float = P2L_DIST):
+                              dist_threshold: float = P2L_DIST,
+                              use_kernel: bool | None = None):
     """Point->line for one (reference, neighbor) pair. Returns per-neighbor-
     edge-point association dict (fixed CAP_EDGE shapes)."""
     er_w = to_world(pose_r, feats_r["less_sharp"])
     en_w = to_world(pose_n, feats_n["less_sharp"])
-    d2 = _masked_cdist2(en_w, feats_n["less_sharp_mask"],
-                        er_w, feats_r["less_sharp_mask"])
-    knn_d2, idx = _knn_small(d2, P2L_KNN)           # (Pn, 5)
+    if use_kernel is None:
+        use_kernel = _use_knn_kernel()
+    if use_kernel:
+        from ..ops.pallas.knn import knn_pallas
+        knn_d2, idx = knn_pallas(en_w, feats_n["less_sharp_mask"],
+                                 er_w, feats_r["less_sharp_mask"], k=P2L_KNN)
+    else:
+        d2 = _masked_cdist2(en_w, feats_n["less_sharp_mask"],
+                            er_w, feats_r["less_sharp_mask"])
+        knn_d2, idx = _knn_small(d2, P2L_KNN)       # (Pn, 5)
     labels = feats_r["point_to_segment"][idx]        # (Pn, 5)
     all_close = knn_d2[:, -1] <= dist_threshold ** 2
     same_seg = jnp.all(labels == labels[:, :1], axis=1) & (labels[:, 0] >= 0)
@@ -154,35 +178,49 @@ def associate_point2line_pair(feats_r, feats_n, pose_r, pose_n,
 
 def associate_point2plane_pair(feats_r, feats_n, pose_r, pose_n,
                                dist_threshold: float = P2P_DIST,
-                               plane_tolerance: float = PLANE_TOL):
+                               plane_tolerance: float = PLANE_TOL,
+                               use_kernel: bool | None = None):
     """Point->plane for one pair (query = neighbor surfFlat, targets =
-    reference surfLessFlat). Plane fitted in the reference local frame."""
+    reference surfLessFlat). Plane fitted in the reference local frame.
+
+    Cross-ring candidates (LOAM-style, a deliberate improvement over the
+    reference's plain 10-NN): on near-horizontal surfaces a VLP scan's
+    nearest neighbors all lie on ONE ring arc -> collinear -> the plane fit
+    degenerates and the reference's FormLine check rejects it, silently
+    dropping every floor/ceiling constraint. Adding the nearest point from
+    each of the 4 adjacent rings makes those fits well-posed."""
     from ..ops import geometry
     q_local = feats_n["flat"]
     q_w = to_world(pose_n, q_local)
     t_local = feats_r["less_flat"]
     t_w = to_world(pose_r, t_local)
-    d2 = _masked_cdist2(q_w, feats_n["flat_mask"], t_w, feats_r["less_flat_mask"])
-    knn_d2, idx = _knn_small(d2, P2P_KNN)            # (Q, 10)
-    close = knn_d2[:, -1] <= dist_threshold ** 2
-    # Cross-ring candidates (LOAM-style, a deliberate improvement over the
-    # reference's plain 10-NN): on near-horizontal surfaces a VLP scan's
-    # nearest neighbors all lie on ONE ring arc -> collinear -> the plane fit
-    # degenerates and the reference's FormLine check rejects it, silently
-    # dropping every floor/ceiling constraint. Adding the nearest point from
-    # each of the 4 adjacent rings makes those fits well-posed.
     q_row = feats_n["flat_row"]
     t_row = feats_r["less_flat_row"]
-    ring_idx = []
-    ring_d2 = []
-    for dr in (-2, -1, 1, 2):
-        same = t_row[None, :] == (q_row[:, None] + dr)
-        d2r = jnp.where(same, d2, jnp.inf)
-        j = jnp.argmin(d2r, axis=1)
-        ring_idx.append(j)
-        ring_d2.append(jnp.take_along_axis(d2r, j[:, None], axis=1)[:, 0])
-    idx_ext = jnp.concatenate([idx, jnp.stack(ring_idx, axis=1)], axis=1)  # (Q, 14)
-    d2_ext = jnp.concatenate([knn_d2, jnp.stack(ring_d2, axis=1)], axis=1)
+    if use_kernel is None:
+        use_kernel = _use_knn_kernel()
+    if use_kernel:
+        # fused pass: 10-NN + the 4 ring candidates from the same VMEM tiles
+        from ..ops.pallas.knn import knn_ring_pallas
+        knn_d2, idx, ring_d2, ring_idx = knn_ring_pallas(
+            q_w, feats_n["flat_mask"], t_w, feats_r["less_flat_mask"],
+            q_row, t_row, k=P2P_KNN, drs=(-2, -1, 1, 2))
+        idx_ext = jnp.concatenate([idx, ring_idx], axis=1)       # (Q, 14)
+        d2_ext = jnp.concatenate([knn_d2, ring_d2], axis=1)
+    else:
+        d2 = _masked_cdist2(q_w, feats_n["flat_mask"], t_w,
+                            feats_r["less_flat_mask"])
+        knn_d2, idx = _knn_small(d2, P2P_KNN)        # (Q, 10)
+        ring_idx = []
+        ring_d2 = []
+        for dr in (-2, -1, 1, 2):
+            same = t_row[None, :] == (q_row[:, None] + dr)
+            d2r = jnp.where(same, d2, jnp.inf)
+            j = jnp.argmin(d2r, axis=1)
+            ring_idx.append(j)
+            ring_d2.append(jnp.take_along_axis(d2r, j[:, None], axis=1)[:, 0])
+        idx_ext = jnp.concatenate([idx, jnp.stack(ring_idx, axis=1)], axis=1)
+        d2_ext = jnp.concatenate([knn_d2, jnp.stack(ring_d2, axis=1)], axis=1)
+    close = knn_d2[:, -1] <= dist_threshold ** 2
     # ground-class agreement over used candidates
     q_g = feats_n["flat_ground"]
     t_g = feats_r["less_flat_ground"][idx]

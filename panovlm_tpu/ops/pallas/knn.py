@@ -50,6 +50,12 @@ def _knn_kernel(q_ref, t_ref, qn_ref, tn_ref, dist_ref, idx_ref,
     d2 = jnp.maximum(d2, 0.0)
     d2 = jnp.where(tn[None, :] >= BIG, BIG, d2)
     d2 = jnp.where(qn[:, None] >= BIG, BIG, d2)
+    _topk_update(d2, j, tile_t, k, best_d, best_i, dist_ref, idx_ref,
+                 j == n_j - 1)
+
+
+def _topk_update(d2, j, tile_t, k, best_d, best_i, dist_ref, idx_ref, emit):
+    """Fold one (TQ, TT) distance tile into the running per-query top-k."""
 
     # top-k state as k separate column vectors: Mosaic cannot lower value
     # scatters (x.at[:, c].set), but per-column where/select is free
@@ -78,10 +84,70 @@ def _knn_kernel(q_ref, t_ref, qn_ref, tn_ref, dist_ref, idx_ref,
     best_d[:] = jnp.stack(bd, axis=1)
     best_i[:] = jnp.stack(bi, axis=1)
 
-    @pl.when(j == n_j - 1)
+    @pl.when(emit)
     def _():
         dist_ref[:] = best_d[:]
         idx_ref[:] = best_i[:]
+
+
+def _knn_ring_kernel(q_ref, t_ref, qn_ref, tn_ref, qr_ref, tr_ref,
+                     dist_ref, idx_ref, rd_ref, ri_ref,
+                     best_d, best_i, ring_d, ring_i,
+                     *, k: int, tile_t: int, t_dim: int, drs: tuple):
+    """KNN + per-ring-offset nearest candidate, one fused pass.
+
+    The point->plane association needs, besides the plain 10-NN, the
+    nearest target on each of 4 adjacent scan rings (the cross-ring
+    candidates that keep near-horizontal plane fits well-posed,
+    models/association.py). The XLA path re-reads the full (Q, T) distance
+    matrix once per ring offset; here each distance tile is already in
+    VMEM, so the 4 masked row-mins ride along at register bandwidth."""
+    j = pl.program_id(t_dim)
+    n_j = pl.num_programs(t_dim)
+    R = len(drs)
+
+    @pl.when(j == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, BIG)
+        best_i[:] = jnp.zeros_like(best_i)
+        ring_d[:] = jnp.full_like(ring_d, BIG)
+        ring_i[:] = jnp.zeros_like(ring_i)
+
+    q = q_ref[:]
+    t = t_ref[:]
+    qn = qn_ref[:, 0]
+    tn = tn_ref[:, 0]
+    d2 = (qn[:, None] + tn[None, :]
+          - 2.0 * jax.lax.dot_general(
+              q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST))
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(tn[None, :] >= BIG, BIG, d2)
+    d2 = jnp.where(qn[:, None] >= BIG, BIG, d2)
+
+    qr = qr_ref[:, 0]                              # (TQ,) int32 ring ids
+    tr = tr_ref[:, 0]                              # (TT,)
+    rd = [ring_d[:, c] for c in range(R)]
+    ri = [ring_i[:, c] for c in range(R)]
+    for c, dr in enumerate(drs):
+        same = tr[None, :] == (qr[:, None] + dr)
+        d2r = jnp.where(same, d2, BIG)
+        vmin = jnp.min(d2r, axis=1)
+        gidx = jnp.argmin(d2r, axis=1).astype(jnp.int32) + j * tile_t
+        better = vmin < rd[c]
+        rd[c] = jnp.where(better, vmin, rd[c])
+        ri[c] = jnp.where(better, gidx, ri[c])
+    ring_d[:] = jnp.stack(rd, axis=1)
+    ring_i[:] = jnp.stack(ri, axis=1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        rd_ref[:] = ring_d[:]
+        ri_ref[:] = ring_i[:]
+
+    _topk_update(d2, j, tile_t, k, best_d, best_i, dist_ref, idx_ref,
+                 j == n_j - 1)
 
 
 @functools.partial(jax.jit,
@@ -149,6 +215,98 @@ def knn_pallas_batched(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
         interpret=interpret,
     )(q4, t4, qn, tn)
     return dist[:, :Q], idx[:, :Q]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "drs", "tile_q", "tile_t",
+                                    "interpret"))
+def knn_ring_pallas_batched(q, q_mask, t, t_mask, q_row, t_row, k: int = 10,
+                            drs: tuple = (-2, -1, 1, 2), tile_q: int = 256,
+                            tile_t: int = 512, interpret: bool = False):
+    """Batched masked KNN + nearest-per-ring-offset, one fused pass.
+
+    q (B,Q,D), t (B,T,D), q_row/t_row (B,Q)/(B,T) int32 scan-ring ids.
+    Returns (d2 (B,Q,k), idx (B,Q,k), ring_d2 (B,Q,R), ring_idx (B,Q,R))
+    where R = len(drs); ring column c holds the nearest target whose ring
+    equals q_row + drs[c]. Masked/absent slots carry d2 >= 1e30."""
+    B, Q, D = q.shape
+    T = t.shape[1]
+    R = len(drs)
+    Qp = ((Q + tile_q - 1) // tile_q) * tile_q
+    Tp = ((T + tile_t - 1) // tile_t) * tile_t
+    Dp = 4 if D <= 4 else ((D + 127) // 128) * 128
+
+    def pad_to(x, n, fill=0.0):
+        return jnp.pad(x, ((0, 0), (0, n - x.shape[1]))
+                       + ((0, 0),) * (x.ndim - 2), constant_values=fill)
+
+    q4 = pad_to(jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - D))), Qp)
+    t4 = pad_to(jnp.pad(t.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - D))), Tp)
+    qn = pad_to(jnp.where(q_mask, jnp.sum(q * q, axis=2), BIG)[..., None], Qp, BIG)
+    tn = pad_to(jnp.where(t_mask, jnp.sum(t * t, axis=2), BIG)[..., None], Tp, BIG)
+    # ring ids; padded rows get -10000 so they never match qr + dr (their
+    # d2 is already BIG via the norm masking — this is belt and braces)
+    qr = pad_to(q_row.astype(jnp.int32)[..., None], Qp, -10000)
+    tr = pad_to(t_row.astype(jnp.int32)[..., None], Tp, -10000)
+
+    grid = (B, Qp // tile_q, Tp // tile_t)
+    qspec = lambda w: pl.BlockSpec((None, tile_q, w), lambda b, i, j: (b, i, 0),
+                                   memory_space=pltpu.VMEM)
+    tspec = lambda w: pl.BlockSpec((None, tile_t, w), lambda b, i, j: (b, j, 0),
+                                   memory_space=pltpu.VMEM)
+    dist, idx, rd, ri = pl.pallas_call(
+        functools.partial(_knn_ring_kernel, k=k, tile_t=tile_t, t_dim=2,
+                          drs=drs),
+        grid=grid,
+        in_specs=[qspec(Dp), tspec(Dp), qspec(1), tspec(1), qspec(1),
+                  tspec(1)],
+        out_specs=(qspec(k), qspec(k), qspec(R), qspec(R)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, Qp, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, Qp, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, Qp, R), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, k), jnp.float32),
+            pltpu.VMEM((tile_q, k), jnp.int32),
+            pltpu.VMEM((tile_q, R), jnp.float32),
+            pltpu.VMEM((tile_q, R), jnp.int32),
+        ],
+        # the plain-KNN kernel's fixed 64.4M Mosaic scoped stack plus the
+        # ring-candidate state measures 102.02M on the v5e (compile-time
+        # "scoped allocation ... exceeded" at the 100M budget); 112M keeps
+        # a margin under the chip's 128M VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(q4, t4, qn, tn, qr, tr)
+    return dist[:, :Q], idx[:, :Q], rd[:, :Q], ri[:, :Q]
+
+
+def knn_ring_pallas(q, q_mask, t, t_mask, q_row, t_row, k: int = 10,
+                    drs: tuple = (-2, -1, 1, 2), tile_q: int = 256,
+                    tile_t: int = 512, interpret: bool = False):
+    """Unbatched knn_ring_pallas_batched; vmap-safe via custom_vmap
+    rerouting to the native batched grid (see knn_pallas)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(q, qm, t, tm, qr, tr):
+        out = knn_ring_pallas_batched(
+            q[None], qm[None], t[None], tm[None], qr[None], tr[None],
+            k=k, drs=drs, tile_q=tile_q, tile_t=tile_t, interpret=interpret)
+        return tuple(o[0] for o in out)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        out = knn_ring_pallas_batched(
+            *(bc(a, b) for a, b in zip(args, in_batched)),
+            k=k, drs=drs, tile_q=tile_q, tile_t=tile_t, interpret=interpret)
+        return out, (True,) * 4
+
+    return run(q, q_mask, t, t_mask, q_row, t_row)
 
 
 def knn_pallas(q, q_mask, t, t_mask, k: int = 8, tile_q: int = 256,
