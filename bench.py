@@ -42,7 +42,9 @@ import numpy as np
 
 sys.path.insert(0, "tests")
 
-N_BENCH_SCANS = 16
+# B=32: measured 4.83 ms/scan vs 5.71 at B=16 on the v5e (batch-width
+# sweep, PERF.md round-4); B=64 showed no further gain
+N_BENCH_SCANS = 32
 ROT = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)  # cam axes
 
 _NATIVE = None
