@@ -60,6 +60,10 @@ class Config:
     # SIFT (Config.h:84-88)
     root_sift: bool = True
     num_sift: int = 8096
+    # panovlm_tpu extension (no reference analog): run SIFT on the TPU
+    # (ops/sift_device.py batched DoG) instead of host cv2 — for 1-core
+    # hosts where cv2 detect costs ~1 s/frame at profile resolution
+    sift_device: bool = False
     sift_match_dist_threshold: float = 0.6
     sift_match_num_threshold: int = 40
 

@@ -358,13 +358,21 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
             desc = np.zeros((n, cap, 128), np.float32)
             fmask = np.zeros((n, cap), bool)
             sift_mask = load_mask(cfg, H, W)
-            sift_mask = None if sift_mask is None else \
-                (sift_mask.astype(np.uint8) * 255)
-            for i, g in enumerate(grays):
-                u, d, _ = sift_mod.extract_sift(
-                    (g * 255).astype(np.uint8), num_features=cap,
-                    root_sift=cfg.root_sift, mask=sift_mask)
-                uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
+            if cfg.sift_device:
+                # on-device DoG SIFT (config extension; ops/sift_device.py)
+                from .ops import sift_device as sd
+                mask_j = None if sift_mask is None else jnp.asarray(sift_mask)
+                uv, desc, fmask = sd.extract_sift_device_batch(
+                    np.stack(grays).astype(np.float32), num_features=cap,
+                    root_sift=cfg.root_sift, mask=mask_j)
+            else:
+                sift_mask = None if sift_mask is None else \
+                    (sift_mask.astype(np.uint8) * 255)
+                for i, g in enumerate(grays):
+                    u, d, _ = sift_mod.extract_sift(
+                        (g * 255).astype(np.uint8), num_features=cap,
+                        root_sift=cfg.root_sift, mask=sift_mask)
+                    uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
             t1 = _time.time()
             if cache:
                 os.makedirs(cfg.frame_path, exist_ok=True)
