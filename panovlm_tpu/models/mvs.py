@@ -392,16 +392,27 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
 
     depths (N,H,W), confs (N,H,W). Returns (filtered depths, filtered confs).
     """
-    depths = jnp.asarray(depths)
-    confs = jnp.asarray(confs)
+    depths = np.asarray(depths)
+    confs = np.asarray(confs)
     N, H, W = depths.shape
     rays = spherical.pixel_ray_grid(H, W)
     if cfg.packed_sampling:
         # one-gather bilinear reads of neighbor depth/conf (u16 quads — the
-        # same quantization the reference stores these maps with on disk)
-        depths_pk = jax.vmap(lambda d: spherical.pack_bilinear_u16(d)[0])(depths)
-        confs_pk = jax.vmap(
-            lambda c: spherical.pack_bilinear_u16(c + 1.0, 16384.0)[0])(confs)
+        # same quantization the reference stores these maps with on disk).
+        # Packed in CHUNKS with the f32 stacks staying on host: at the Room
+        # profile (454 x 720x1440) f32 depths+confs + packed quads together
+        # exceed the 16 GB HBM (RESOURCE_EXHAUSTED observed live); only the
+        # packed stacks stay device-resident, per-ref f32 rows ship per call
+        pack_d = jax.jit(jax.vmap(lambda d: spherical.pack_bilinear_u16(d)[0]))
+        pack_c = jax.jit(jax.vmap(
+            lambda c: spherical.pack_bilinear_u16(c + 1.0, 16384.0)[0]))
+        dpk_host, cpk_host = [], []
+        for s in range(0, N, 32):
+            dpk_host.append(np.asarray(pack_d(jnp.asarray(depths[s:s + 32]))))
+            cpk_host.append(np.asarray(pack_c(jnp.asarray(confs[s:s + 32]))))
+        depths_pk = jnp.asarray(np.concatenate(dpk_host))
+        confs_pk = jnp.asarray(np.concatenate(cpk_host))
+        del dpk_host, cpk_host
     else:
         depths_pk = confs_pk = None
 
@@ -449,16 +460,20 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
               & (jnp.sum(occluded, axis=0) < nei_idx.shape[0] - 1))
         return jnp.where(ok, d_avg, 0.0), jnp.where(ok, conf_ref, -1.0)
 
-    dstack = depths_pk if cfg.packed_sampling else depths
-    cstack = confs_pk if cfg.packed_sampling else confs
+    dstack = depths_pk if cfg.packed_sampling else jnp.asarray(depths)
+    cstack = confs_pk if cfg.packed_sampling else jnp.asarray(confs)
     poses_dev = jnp.asarray(poses_cw)
-    out_d, out_c = [], []
+    out_d = np.zeros((N, H, W), np.float32)
+    out_c = np.zeros((N, H, W), np.float32)
     for ref in range(N):
         d, c = one(ref, depths[ref], confs[ref], jnp.asarray(nei_table[ref]),
                    poses_dev, dstack, cstack)
-        out_d.append(d)
-        out_c.append(c)
-    return jnp.stack(out_d), jnp.stack(out_c)
+        # host pull per ref: accumulating 2N device maps alongside the
+        # packed stacks would put the full-trajectory f32 stacks right
+        # back into HBM
+        out_d[ref] = np.asarray(d)
+        out_c[ref] = np.asarray(c)
+    return out_d, out_c
 
 
 def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
@@ -467,26 +482,46 @@ def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
     depth map to world, conf-weighted voxel merge. colors: (N,H,W) gray or
     (N,H,W,3). Returns (points (M,3), colors (M,...), mask)."""
     from ..sensors.velodyne import voxel_downsample
-    depths = jnp.asarray(depths)
+    depths = np.asarray(depths)
     N, H, W = depths.shape
     rays = spherical.pixel_ray_grid(H, W)
-    poses = jnp.asarray(poses_cw)
+    poses = jnp.asarray(np.asarray(poses_cw))
     R_all = se3.exp_so3(poses[:, :3])
-    pts_w, cols, mask = [], [], []
-    for i in range(N):
-        X = depths[i][..., None] * rays
-        R_wc = jnp.swapaxes(R_all[i], -1, -2)
-        Xw = jnp.einsum("ij,hwj->hwi", R_wc, X - poses[i, 3:])
-        pts_w.append(Xw.reshape(-1, 3))
-        c = jnp.asarray(colors[i]).reshape(H * W, -1)
-        cols.append(c)
-        mask.append((depths[i] > 0).reshape(-1))
-    pts = jnp.concatenate(pts_w)
-    cols = jnp.concatenate(cols)
-    msk = jnp.concatenate(mask)
-    if cols.shape[-1] == 3:
-        msk = msk & ~_is_sky_color(cols)
-    fused, fmask, caux = voxel_downsample(pts, msk, aux=cols, leaf=voxel)
+
+    @jax.jit
+    def chunk_fuse(d_chunk, c_chunk, R_chunk, t_chunk):
+        X = d_chunk[..., None] * rays                    # (B, H, W, 3)
+        R_wc = jnp.swapaxes(R_chunk, -1, -2)
+        Xw = jnp.einsum("bij,bhwj->bhwi", R_wc, X - t_chunk[:, None, None, :])
+        pts = Xw.reshape(-1, 3)
+        cols = c_chunk.reshape(pts.shape[0], -1)
+        msk = (d_chunk > 0).reshape(-1)
+        if cols.shape[-1] == 3:
+            msk = msk & ~_is_sky_color(cols)
+        return voxel_downsample(pts, msk, aux=cols, leaf=voxel)
+
+    # Two-level keep-first voxel merge with chunked residency: the full
+    # back-projected cloud at the Room profile is 454 x 1.04M points x
+    # (xyz + rgb) — past HBM. Chunk frames, voxel-reduce each chunk on
+    # device, accumulate the reduced sets on host, then one final pass.
+    # keep-first semantics compose exactly: a voxel's globally-first point
+    # is the first point of the earliest chunk touching it, which both
+    # levels preserve (concatenation keeps chunk order).
+    B = max(1, min(N, (1 << 24) // (H * W)))             # ~16M px per chunk
+    acc_p, acc_c, acc_m = [], [], []
+    for s in range(0, N, B):
+        e = min(s + B, N)
+        p, m, c = chunk_fuse(jnp.asarray(depths[s:e]),
+                             jnp.asarray(np.asarray(colors[s:e])),
+                             R_all[s:e], poses[s:e, 3:])
+        m_np = np.asarray(m)
+        acc_p.append(np.asarray(p)[m_np])
+        acc_c.append(np.asarray(c)[m_np])
+    pts = np.concatenate(acc_p) if acc_p else np.zeros((0, 3), np.float32)
+    cols = np.concatenate(acc_c) if acc_c else np.zeros((0, 1), np.float32)
+    fused, fmask, caux = voxel_downsample(
+        jnp.asarray(pts), jnp.ones((len(pts),), bool),
+        aux=jnp.asarray(cols), leaf=voxel)
     return fused, caux, fmask
 
 

@@ -1132,7 +1132,7 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             confs[i] = artifacts.read_conf_u16(
                 os.path.join(cfg.mvs_conf_path, f"{i:06d}_{suffix}.npy"))
 
-    def batched_pass(init_for, nei_depths, seed):
+    def batched_pass(init_for, nei_depths, seed, suffix=None):
         # image residency: only the chunk's refs + their neighbor views are
         # shipped to the device per program (host gather + local re-index),
         # never the full image stack — the Room-scale (454+ frame) memory
@@ -1143,8 +1143,28 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
         # never materialized for the whole trajectory at once.
         nei_depths_np = None if nei_depths is None else np.asarray(nei_depths)
         poses_np = np.asarray(poses)
+
+        def _paths(i):
+            return (os.path.join(cfg.mvs_depth_path, f"{i:06d}_{suffix}.npy"),
+                    os.path.join(cfg.mvs_conf_path, f"{i:06d}_{suffix}.npy"),
+                    os.path.join(cfg.mvs_normal_path, f"{i:06d}_{suffix}.npy"))
+
+        n_resumed = 0
         for s in range(my.start, my.stop, chunk):
             live = list(range(s, min(s + chunk, my.stop)))
+            # frame-level resume: a pass interrupted mid-way (stage timeout,
+            # worker crash) restarts at the first frame whose per-frame
+            # artifacts are missing — at profile resolution a pass is 454
+            # sequential programs / ~30 min, too much to lose to a crash
+            if suffix and all(os.path.exists(p) for i in live
+                              for p in _paths(i)):
+                for i in live:
+                    dp, cp, npth = _paths(i)
+                    depths[i] = artifacts.read_depth_u16(dp)
+                    confs[i] = artifacts.read_conf_u16(cp)
+                    normals[i] = np.load(npth)
+                n_resumed += len(live)
+                continue
             idx = live + [live[-1]] * (chunk - len(live))  # pad last chunk
             used = sorted(set(idx) | set(nei_table[idx].ravel().tolist()))
             lut = np.full(n, -1, np.int32)
@@ -1163,6 +1183,18 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             d, nm, cf = np.asarray(d), np.asarray(nm), np.asarray(cf)
             for b, i in enumerate(live):
                 depths[i], normals[i], confs[i] = d[b], nm[b], cf[b]
+                if suffix:
+                    dp, cp, npth = _paths(i)
+                    artifacts.export_depth_u16(dp, depths[i])
+                    artifacts.export_conf_u16(cp, confs[i])
+                    np.save(npth, normals[i])
+            del d, nm, cf, inits
+            if (s - my.start) % (chunk * 25) == 0:
+                log.info("mvs pass: %d/%d frames", s + len(live) - my.start,
+                         my.stop - my.start)
+        if n_resumed:
+            log.info("mvs pass %s: resumed %d frames from per-frame artifacts",
+                     suffix, n_resumed)
 
     if resume_pass:
         with tr.phase("load cached depth maps"):
@@ -1180,15 +1212,9 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                     else jnp.asarray(lidar_depths[i]),
                     mcfg)
                 return np.asarray(d0), np.asarray(n0), np.asarray(fixed)
-            batched_pass(pho_init, None, seed=0)
-            for i in range(my.start, my.stop):
-                # per-pass artifacts, _pho suffix (MVS.cpp:185-189)
-                artifacts.export_depth_u16(
-                    os.path.join(cfg.mvs_depth_path, f"{i:06d}_pho.npy"),
-                    depths[i])
-                artifacts.export_conf_u16(
-                    os.path.join(cfg.mvs_conf_path, f"{i:06d}_pho.npy"),
-                    confs[i])
+            # per-pass artifacts, _pho suffix (MVS.cpp:185-189), written
+            # per frame inside the pass (frame-level resume)
+            batched_pass(pho_init, None, seed=0, suffix="pho")
             _merge_pass("pho")  # geometric pass reads every frame's depth
     if cfg.mvs_use_geometric and not resume_pass:
         with tr.phase("geometric pass"):
@@ -1196,14 +1222,7 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
             normals_pho = normals.copy()
             zeros = np.zeros((H, W), bool)
             batched_pass(lambda i: (depths_pho[i], normals_pho[i], zeros),
-                         jnp.asarray(depths_pho), seed=100)
-            for i in range(my.start, my.stop):
-                artifacts.export_depth_u16(
-                    os.path.join(cfg.mvs_depth_path, f"{i:06d}_geo.npy"),
-                    depths[i])
-                artifacts.export_conf_u16(
-                    os.path.join(cfg.mvs_conf_path, f"{i:06d}_geo.npy"),
-                    confs[i])
+                         jnp.asarray(depths_pho), seed=100, suffix="geo")
             _merge_pass("geo")  # filter/fuse need the full stack
     with tr.phase("post + filter"):
         from .models.mvs import gap_interpolation, remove_small_segments
@@ -1231,15 +1250,10 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
                              rgb=rgb if rgb.shape[1] == 3 else None,
                              intensity=None if rgb.shape[1] == 3
                              else rgb[:, 0] / 255)
-        # raw _geo depth/conf artifacts were exported by the pass itself —
-        # re-exporting the post-processed maps here would clobber the resume
-        # contract (a rerun would double-apply segment removal / gap
-        # interpolation). Normals exist only in memory during a live pass;
-        # on resume they were never computed, so leave the saved ones alone.
-        if not resume_pass:
-            for i in range(my.start, my.stop):
-                np.save(os.path.join(cfg.mvs_normal_path, f"{i:06d}_geo.npy"),
-                        normals[i])
+        # raw _geo depth/conf/normal artifacts were exported per frame by
+        # the pass itself — re-exporting the post-processed maps here would
+        # clobber the resume contract (a rerun would double-apply segment
+        # removal / gap interpolation).
     return depths, confs
 
 
