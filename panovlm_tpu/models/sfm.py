@@ -51,10 +51,11 @@ class SfMConfig(NamedTuple):
     ba_huber_deg: float = 4.0                # Optimization.cpp:104-110
     min_track_length: int = 3                # Structure.cpp:8-85
     # pairs solved concurrently inside one relative-pose device program
-    # (vmap width of the lax.map body). The per-pair RANSAC+LM ops are tiny
-    # and latency-bound on TPU, so widening the batch runs more pairs in
-    # the same sequential depth; the 32-pair chunk above it bounds program
-    # duration for the remote worker regardless.
+    # (vmap width of the lax.map body). MEASURED (round-4 _exp_relpose
+    # sweep, post-QR/two-view): width 2 = 76 ms/pair, 8 = 90, 32 = 99 —
+    # widening does NOT amortize (throughput-bound sort/score stages, and
+    # vmapped while_loops run to max-lane convergence), so 2 stays the
+    # default; the 32-pair chunk above it bounds program duration.
     pair_vmap_width: int = 2
 
 
@@ -123,38 +124,56 @@ def init_image_pairs(n_frames: int, cfg: SfMConfig, embeddings=None,
             np.array([p[1] for p in ordered], np.int32))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("ratio", "max_dist_factor", "max_matches"))
+def _match_one(desc, fmask, i, j, ratio, max_dist_factor, max_matches):
+    """One pair's descriptor match with the pair gather inside the program
+    (see match_all_pairs)."""
+    return match_descriptors(desc[i], fmask[i], desc[j], fmask[j],
+                             ratio=ratio, max_dist_factor=max_dist_factor,
+                             max_matches=max_matches)
+
+
 def match_all_pairs(desc, fmask, pi, pj, cfg: SfMConfig):
     """Match every proposed pair (MatchImagePairs, SfM.cpp:229-295).
     desc (N,F,128), fmask (N,F). Returns dict idx (P,K,2), mask (P,K)."""
 
-    @jax.jit
-    def run(desc, fmask, pi, pj):
-        def one(pair):
-            i, j = pair
-            return match_descriptors(desc[i], fmask[i], desc[j], fmask[j],
-                                     ratio=cfg.sift_match_dist_threshold,
-                                     max_dist_factor=cfg.match_max_dist_factor,
-                                     max_matches=cfg.max_matches)
-        return jax.lax.map(one, (pi, pj), batch_size=4)
-
-    # host-level pair chunking (bounded program duration, see relative_poses)
+    # Pipelined host loop over pairs, ONE single-pair program per step: at
+    # the Room-profile descriptor count a single-pair match_descriptors
+    # runs 73 ms on the v5e, while the same work under lax.map measured
+    # 150 ms/pair (batch_size=1) and 254 ms/pair (batch_size=4) — the
+    # top-2 sort tiles worse inside the loop/batched forms. The pair's
+    # descriptor gather happens INSIDE the program (host-side desc[i] on a
+    # device array costs extra dispatches per pair); dispatches pipeline
+    # (~5 ms floor) and the host syncs once per collection chunk.
+    desc = jnp.asarray(desc)
+    fmask = jnp.asarray(fmask)
     P = len(pi)
-    chunk = 128
-    if P <= chunk:
-        out = run(desc, fmask, jnp.asarray(pi), jnp.asarray(pj))
-        out = dict(out)
-    else:
-        outs = []
-        for s in range(0, P, chunk):
-            sl = np.arange(s, min(s + chunk, P))
-            pad = chunk - len(sl)
-            sl = np.concatenate([sl, np.zeros(pad, int)]) if pad else sl
-            o = run(desc, fmask, jnp.asarray(np.asarray(pi)[sl]),
-                    jnp.asarray(np.asarray(pj)[sl]))
-            outs.append({k: np.asarray(v)[:chunk - pad]
-                         for k, v in o.items()})
-        out = {k: jnp.asarray(np.concatenate([o[k] for o in outs]))
-               for k in outs[0]}
+    pi_np, pj_np = np.asarray(pi), np.asarray(pj)
+    pend, outs = [], []
+
+    def _collect():
+        # stack on DEVICE, one transfer per field per chunk: a per-pair
+        # np.asarray costs a ~28 ms device->host round trip per FIELD
+        # (3/pair), which tripled the per-pair wall when collected naively
+        if pend:
+            outs.append({k: np.asarray(jnp.stack([o[k] for o in pend]))
+                         for k in pend[0]})
+        pend.clear()
+
+    for k in range(P):
+        pend.append(_match_one(
+            desc, fmask, pi_np[k], pj_np[k],
+            cfg.sift_match_dist_threshold, cfg.match_max_dist_factor,
+            cfg.max_matches))
+        if len(pend) >= 128:
+            _collect()
+    _collect()
+    out = {k: jnp.asarray(np.concatenate([o[k] for o in outs]))
+           for k in outs[0]} if outs else {
+        "idx": jnp.zeros((0, cfg.max_matches, 2), jnp.int32),
+        "mask": jnp.zeros((0, cfg.max_matches), bool),
+        "dist": jnp.zeros((0, cfg.max_matches), jnp.float32)}
     # pair acceptance: enough matches (sift_match_num_threshold)
     n_m = np.asarray(out["mask"].sum(axis=1))
     out["pair_ok"] = jnp.asarray(n_m >= cfg.sift_match_num_threshold)

@@ -92,12 +92,15 @@ def match_descriptors(d1, m1, d2, m2, ratio: float = 0.6,
     use_kernel: route the KNN through the fused Pallas tile kernel
     (ops/pallas/knn.py — the (N1,N2) distance matrix never touches HBM,
     replacing the reference's CUDA brute-force matcher, SfM.cpp:235-264).
-    None = auto: on for TPU backends at production descriptor counts.
+    None = auto, currently OFF: measured on the v5e at the Room-profile
+    descriptor count (8096x8096), the XLA matmul+top-2 path runs 75
+    ms/pair vs 146 ms/pair through the kernel (round-4 _exp_match8096;
+    the round-3 "1.5x over XLA at 4096^2" no longer reproduces) — the
+    kernel stays available for re-measurement via use_kernel=True.
     """
     big = jnp.asarray(1e9, jnp.float32)
     if use_kernel is None:
-        use_kernel = (jax.default_backend() == "tpu"
-                      and d1.shape[0] * d2.shape[0] >= 2048 * 2048)
+        use_kernel = False
     if use_kernel:
         from ..ops.pallas.knn import knn_pallas
         d2_12, idx12 = knn_pallas(d1, m1, d2, m2, k=2)
