@@ -301,11 +301,16 @@ def detect_and_describe(gray, num_features: int = 2048, n_octaves: int = 4,
 
 def extract_sift_device_batch(grays, num_features: int = 2048,
                               root_sift: bool = True, mask=None,
-                              chunk: int = 8):
+                              chunk: int | None = None):
     """Batched host entry: grays (N, H, W) float [0,1] numpy -> numpy
     (uv (N, F, 2), desc (N, F, 128), fmask (N, F)).  Chunks the frame axis
-    so one program shape compiles regardless of N."""
+    so one program shape compiles regardless of N; the chunk shrinks with
+    the feature count (the descriptor stage's HLO temps scale with
+    B x num_features x 256 samples — B=8 at 8096 features measured a
+    25.4 GB program on the v5e)."""
     N = len(grays)
+    if chunk is None:
+        chunk = 2 if num_features > 4096 else 8
     f = jax.jit(jax.vmap(
         lambda g: detect_and_describe(g, num_features=num_features,
                                       root_sift=root_sift, mask=mask)))
