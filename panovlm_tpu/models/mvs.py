@@ -498,30 +498,33 @@ def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
         msk = (d_chunk > 0).reshape(-1)
         if cols.shape[-1] == 3:
             msk = msk & ~_is_sky_color(cols)
-        return voxel_downsample(pts, msk, aux=cols, leaf=voxel)
+        return voxel_downsample(pts, msk, aux=cols, leaf=voxel,
+                                return_counts=True)
 
-    # Two-level keep-first voxel merge with chunked residency: the full
+    # Two-level centroid voxel merge with chunked residency: the full
     # back-projected cloud at the Room profile is 454 x 1.04M points x
     # (xyz + rgb) — past HBM. Chunk frames, voxel-reduce each chunk on
-    # device, accumulate the reduced sets on host, then one final pass.
-    # keep-first semantics compose exactly: a voxel's globally-first point
-    # is the first point of the earliest chunk touching it, which both
-    # levels preserve (concatenation keeps chunk order).
+    # device (per-voxel point-count-weighted centroids + counts), accumulate
+    # the reduced sets on host, then one final count-WEIGHTED pass: the
+    # weighted mean of chunk centroids equals the global per-voxel centroid
+    # exactly (sum_i cnt_i * cent_i / sum_i cnt_i), positions and colors both.
     B = max(1, min(N, (1 << 24) // (H * W)))             # ~16M px per chunk
-    acc_p, acc_c, acc_m = [], [], []
+    acc_p, acc_c, acc_n = [], [], []
     for s in range(0, N, B):
         e = min(s + B, N)
-        p, m, c = chunk_fuse(jnp.asarray(depths[s:e]),
-                             jnp.asarray(np.asarray(colors[s:e])),
-                             R_all[s:e], poses[s:e, 3:])
+        p, m, c, cnt = chunk_fuse(jnp.asarray(depths[s:e]),
+                                  jnp.asarray(np.asarray(colors[s:e])),
+                                  R_all[s:e], poses[s:e, 3:])
         m_np = np.asarray(m)
         acc_p.append(np.asarray(p)[m_np])
         acc_c.append(np.asarray(c)[m_np])
+        acc_n.append(np.asarray(cnt)[m_np])
     pts = np.concatenate(acc_p) if acc_p else np.zeros((0, 3), np.float32)
     cols = np.concatenate(acc_c) if acc_c else np.zeros((0, 1), np.float32)
+    cnts = np.concatenate(acc_n) if acc_n else np.zeros((0,), np.float32)
     fused, fmask, caux = voxel_downsample(
         jnp.asarray(pts), jnp.ones((len(pts),), bool),
-        aux=jnp.asarray(cols), leaf=voxel)
+        aux=jnp.asarray(cols), leaf=voxel, weights=jnp.asarray(cnts))
     return fused, caux, fmask
 
 

@@ -282,7 +282,10 @@ def detect_and_describe(gray, num_features: int = 2048, n_octaves: int = 4,
         # one shared layer per octave keeps the gather program small; the
         # scale selectivity lives in the octave + sampling step (ksig)
         scale = float(1 << o) * 0.5               # octave 0 is the 2x upsample
-        uv = jnp.stack([yx[:, 1], yx[:, 0]], axis=1) * scale  # (x, y) full-res
+        # -0.25: jax.image.resize uses half-pixel centers, so up-pixel x
+        # sits at full-res coord x/2 - 0.25; the [::2,::2] octave decimation
+        # keeps alignment with the up grid, so the correction is constant
+        uv = jnp.stack([yx[:, 1], yx[:, 0]], axis=1) * scale - 0.25  # (x, y)
         scores.append(jnp.where(val, sc, -jnp.inf))
         uvs.append(uv)
         sigs.append(ksig * scale)
@@ -291,12 +294,29 @@ def detect_and_describe(gray, num_features: int = 2048, n_octaves: int = 4,
         img_o = img_o[::2, ::2]
         mask_o = None if mask_o is None else mask_o[::2, ::2]
 
+    if not scores:  # image too small for any octave
+        return (jnp.zeros((num_features, 2), jnp.float32),
+                jnp.zeros((num_features, 128), jnp.float32),
+                jnp.zeros((num_features,), bool),
+                jnp.zeros((num_features,), jnp.float32))
     score = jnp.concatenate(scores)
-    top_v, top_i = jax.lax.top_k(score, num_features)
+    # the candidate pool can be smaller than num_features for small inputs
+    # (only the upsampled octave survives the Ho<32 break): clamp k and pad
+    # with valid=False instead of letting top_k raise a shape error
+    k = min(num_features, score.shape[0])
+    top_v, top_i = jax.lax.top_k(score, k)
     uv = jnp.concatenate(uvs)[top_i]
     desc = jnp.concatenate(descs)[top_i]
     valid = jnp.concatenate(valids)[top_i] & jnp.isfinite(top_v)
-    return uv, desc, valid, jnp.where(valid, top_v, 0.0)
+    resp = jnp.where(valid, top_v, 0.0)
+    if k < num_features:
+        pad = num_features - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), uv.dtype)])
+        desc = jnp.concatenate([desc, jnp.zeros((pad, desc.shape[1]),
+                                                desc.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        resp = jnp.concatenate([resp, jnp.zeros((pad,), resp.dtype)])
+    return uv, desc, valid, resp
 
 
 def extract_sift_device_batch(grays, num_features: int = 2048,

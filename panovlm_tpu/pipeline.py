@@ -239,14 +239,20 @@ def _match_pairs_cached(cfg: Config, scfg, cap: int, desc, fmask, pi, pj):
 
 
 def _match_row_fp(idx, mask):
-    """Order-dependent per-row fingerprint of a pair's match set — the
-    invalidation key for the relative-pose cache (a cached pose is only
-    valid for the exact correspondences it was estimated from)."""
-    a = (np.asarray(idx).astype(np.int64) + 1) * np.asarray(mask)[..., None]
-    w = (np.arange(a.shape[1], dtype=np.int64)[None, :, None] * 2
-         + np.arange(2, dtype=np.int64)[None, None, :] + 1)
-    return ((a * w).sum(axis=(1, 2))
-            ^ (np.asarray(mask).sum(axis=1).astype(np.int64) << 48))
+    """Per-row fingerprint of a pair's match set — the invalidation key for
+    the relative-pose cache (a cached pose is only valid for the exact
+    correspondences it was estimated from). blake2b over the row's raw
+    (idx, mask) bytes: no structured-collision surface, unlike a linear
+    position-weighted sum (a swap of two entries must change the key)."""
+    import hashlib
+    idx = np.ascontiguousarray(np.asarray(idx, np.int64))
+    mask = np.ascontiguousarray(np.asarray(mask, bool))
+    out = np.empty(len(idx), np.int64)
+    for r in range(len(idx)):
+        h = hashlib.blake2b(idx[r].tobytes() + mask[r].tobytes(),
+                            digest_size=8).digest()
+        out[r] = np.int64(int.from_bytes(h, "little", signed=True))
+    return out
 
 
 def _relative_poses_cached(cfg: Config, scfg, bearings, matches, pi, pj):
@@ -354,9 +360,6 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
         else:
             import time as _time
             t0 = _time.time()
-            uv = np.zeros((n, cap, 2), np.float32)
-            desc = np.zeros((n, cap, 128), np.float32)
-            fmask = np.zeros((n, cap), bool)
             sift_mask = load_mask(cfg, H, W)
             if cfg.sift_device:
                 # on-device DoG SIFT (config extension; ops/sift_device.py)
@@ -368,11 +371,12 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
             else:
                 sift_mask = None if sift_mask is None else \
                     (sift_mask.astype(np.uint8) * 255)
-                for i, g in enumerate(grays):
-                    u, d, _ = sift_mod.extract_sift(
-                        (g * 255).astype(np.uint8), num_features=cap,
-                        root_sift=cfg.root_sift, mask=sift_mask)
-                    uv[i], desc[i], fmask[i] = sift_mod.pad_features(u, d, cap)
+                # frame-parallel host pool (the reference's OpenMP loop,
+                # sfm/SfM.cpp:23-36 at config num_threads)
+                uv, desc, fmask = sift_mod.extract_sift_batch(
+                    [(g * 255).astype(np.uint8) for g in grays], cap,
+                    root_sift=cfg.root_sift, mask=sift_mask,
+                    num_threads=cfg.num_threads)
             t1 = _time.time()
             if cache:
                 os.makedirs(cfg.frame_path, exist_ok=True)
@@ -809,7 +813,8 @@ def joint_optimization(cfg: Config, tr: TimeReport | None = None):
         line_mask = load_mask(cfg, *grays[0].shape[:2])
         arc_batch = {k: jnp.asarray(v) for k, v in
                      pl.extract_panorama_lines_batch(
-                         grays, mask=line_mask).items()}
+                         grays, mask=line_mask,
+                         num_threads=cfg.num_threads).items()}
     with tr.phase("extract lidar features"):
         lidar_batch = extract_all_features(scans, cap=_scan_cap(scans), cfg=cfg)
     with tr.phase("load poses"):

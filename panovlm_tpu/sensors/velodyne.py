@@ -721,12 +721,17 @@ def combine_edges_hysteresis(strict_img, loose_img, h_size: int = 3,
     return keep, jnp.where(keep, labels, big)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf",))
-def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2):
+@functools.partial(jax.jit, static_argnames=("leaf", "return_counts"))
+def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2, weights=None,
+                     return_counts: bool = False):
     """Centroid voxel-grid filter (pcl::VoxelGrid leaf 0.2, Velodyne.cpp:
     1076-1080). Returns (centroids (N,3), out_mask (N,)) — one entry per
     occupied voxel (first occurrence order after sort), padded with zeros.
-    Optional aux (N,) channel is averaged per voxel too (returned third)."""
+    Optional aux (N,) channel is averaged per voxel too (returned third).
+    `weights` (N,) makes the per-voxel mean weighted (e.g. point counts
+    from a previous voxel_downsample pass, so a two-level chunked merge
+    reproduces the global point-weighted centroid exactly);
+    `return_counts` appends the per-voxel weight sums to the outputs."""
     n = pts.shape[0]
     vox = jnp.floor(pts / leaf).astype(jnp.int32)
     vmin = jnp.min(jnp.where(mask[:, None], vox, 2**30), axis=0)
@@ -739,24 +744,33 @@ def voxel_downsample(pts, mask, aux=None, leaf: float = 0.2):
     ks = key[order]
     ps = pts[order]
     ms = mask[order]
+    if weights is None:
+        ws = ms.astype(pts.dtype)
+    else:
+        ws = jnp.where(ms, jnp.asarray(weights, pts.dtype)[order], 0.0)
     uniq = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]]) & ms
     seg = jnp.cumsum(uniq) - 1  # segment id per sorted point
-    sums = jnp.zeros((n, 3)).at[seg].add(jnp.where(ms[:, None], ps, 0.0))
-    cnts = jnp.zeros((n,)).at[seg].add(ms.astype(pts.dtype))
-    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    sums = jnp.zeros((n, 3)).at[seg].add(ws[:, None] * ps)
+    cnts = jnp.zeros((n,)).at[seg].add(ws)
+    centroids = sums / jnp.maximum(cnts, 1e-9)[:, None]
     out_mask = jnp.arange(n) < jnp.sum(uniq)
     centroids = jnp.where(out_mask[:, None], centroids, 0.0)
+    out_cnts = jnp.where(out_mask, cnts, 0.0)
     if aux is None:
-        return centroids, out_mask
+        return (centroids, out_mask, out_cnts) if return_counts \
+            else (centroids, out_mask)
     aux2 = jnp.asarray(aux, pts.dtype)
     squeeze = aux2.ndim == 1
     if squeeze:
         aux2 = aux2[:, None]
     aux_s = aux2[order]
-    aux_sum = jnp.zeros((n, aux2.shape[1])).at[seg].add(
-        jnp.where(ms[:, None], aux_s, 0.0))
-    aux_out = jnp.where(out_mask[:, None], aux_sum / jnp.maximum(cnts, 1.0)[:, None], 0.0)
-    return centroids, out_mask, (aux_out[:, 0] if squeeze else aux_out)
+    aux_sum = jnp.zeros((n, aux2.shape[1])).at[seg].add(ws[:, None] * aux_s)
+    aux_out = jnp.where(out_mask[:, None],
+                        aux_sum / jnp.maximum(cnts, 1e-9)[:, None], 0.0)
+    aux_out = aux_out[:, 0] if squeeze else aux_out
+    if return_counts:
+        return centroids, out_mask, aux_out, out_cnts
+    return centroids, out_mask, aux_out
 
 
 # ----------------------------------------------------------------------------

@@ -236,18 +236,31 @@ def pad_arcs(arcs: dict, cap: int):
     return out
 
 
+def _lines_worker(args):
+    """Spawn-pool worker: one frame's LSD+fuse (no descriptors — those run
+    batched on device afterwards). Module-level so it pickles."""
+    gu8, cap, mask = args
+    return extract_panorama_lines(gu8, cap=cap, mask=mask,
+                                  with_descriptors=False)
+
+
 def extract_panorama_lines_batch(grays, cap: int = 128,
                                  mask: np.ndarray | None = None,
-                                 with_descriptors: bool = True):
+                                 with_descriptors: bool = True,
+                                 num_threads: int = -1):
     """Detect+Fuse for a whole image stack, descriptors in ONE device
     program. `grays`: iterable of (H, W) uint8 (or float 0..1) panoramas,
-    all the same shape. Host LSD + fusion per frame (ms-scale), then one
-    batched `lbd.line_band_descriptors_batch` call instead of a
-    dispatch+sync round trip per frame. Returns dict of stacked arrays:
-    normal/e1/e2/mid (N, cap, 3), arc/mask (N, cap), desc (N, cap, 72)."""
+    all the same shape. Host LSD + fusion is frame-parallel over the host
+    process pool (the reference's OpenMP image-line loop,
+    joint_optimization/CameraLidarOptimizer.cpp:89-149 at config
+    num_threads), then one batched `lbd.line_band_descriptors_batch` call
+    instead of a dispatch+sync round trip per frame. Returns dict of
+    stacked arrays: normal/e1/e2/mid (N, cap, 3), arc/mask (N, cap),
+    desc (N, cap, 72)."""
     import logging
     import time as _time
-    arc_list = []
+    from .hostpool import map_frames
+    gray_u8 = []
     gray_f = []
     t0 = _time.time()
     for g in grays:
@@ -255,10 +268,12 @@ def extract_panorama_lines_batch(grays, cap: int = 128,
             gu8 = (np.clip(g, 0.0, 1.0) * 255).astype(np.uint8)
         else:
             gu8 = g
-        arc_list.append(extract_panorama_lines(gu8, cap=cap, mask=mask,
-                                               with_descriptors=False))
+        gray_u8.append(gu8)
         if with_descriptors:
             gray_f.append(gu8.astype(np.float32) / 255.0)
+    arc_list = map_frames(_lines_worker,
+                          [(g, cap, mask) for g in gray_u8],
+                          num_threads=num_threads)
     out = {k: np.stack([a[k] for a in arc_list]) for k in arc_list[0]}
     t1 = _time.time()
     if with_descriptors:

@@ -65,6 +65,32 @@ def extract_sift(gray: np.ndarray, num_features: int = 8096,
     return uv, desc, resp
 
 
+def _extract_one_padded(args):
+    """Spawn-pool worker: one frame's SIFT, padded to cap. Module-level so
+    it pickles; `args` = (gray_u8, cap, root_sift, mask_u8 | None)."""
+    gray, cap, root_sift, mask = args
+    u, d, _ = extract_sift(gray, num_features=cap, root_sift=root_sift,
+                           mask=mask)
+    return pad_features(u, d, cap)
+
+
+def extract_sift_batch(grays_u8, cap: int, root_sift: bool = True,
+                       mask: np.ndarray | None = None,
+                       num_threads: int = -1, force_workers: int = 0):
+    """SIFT over a frame stack with the host process pool — the parallel
+    frontend the reference runs under OpenMP (sfm/SfM.cpp:23-36,
+    num_threads from config). Returns (uv (N,cap,2), desc (N,cap,128),
+    fmask (N,cap)) numpy."""
+    from .hostpool import map_frames
+    outs = map_frames(_extract_one_padded,
+                      [(g, cap, root_sift, mask) for g in grays_u8],
+                      num_threads=num_threads, force_workers=force_workers)
+    uv = np.stack([o[0] for o in outs])
+    desc = np.stack([o[1] for o in outs])
+    fmask = np.stack([o[2] for o in outs])
+    return uv, desc, fmask
+
+
 def pad_features(uv, desc, cap: int):
     F = min(len(uv), cap)
     uv_p = np.zeros((cap, 2), np.float32)

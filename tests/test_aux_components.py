@@ -144,6 +144,27 @@ def test_extract_panorama_lines_batch_matches_per_frame():
                                        rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_host_pool_matches_serial():
+    """The spawn process pool (utils/hostpool.py — the reference's OpenMP
+    frontend loops, sfm/SfM.cpp:23-36) must return the same ordered results
+    as the serial loop; forced to 2 workers so the pool path actually runs
+    on this 1-core host."""
+    from synthetic import render_panorama
+    from panovlm_tpu.utils import hostpool, sift as sift_mod
+
+    assert hostpool.pool_workers(-1) >= 1
+    assert hostpool.pool_workers(25) <= (__import__("os").cpu_count() or 1)
+    gs = [(render_panorama(np.array([x, 0.4, 0.0]), 128, 256)[0]
+           * 255).astype(np.uint8) for x in (0.0, 0.15, 0.3)]
+    uv_s, d_s, m_s = sift_mod.extract_sift_batch(gs, cap=128,
+                                                 force_workers=1)
+    uv_p, d_p, m_p = sift_mod.extract_sift_batch(gs, cap=128,
+                                                 force_workers=2)
+    np.testing.assert_array_equal(m_p, m_s)
+    np.testing.assert_allclose(uv_p, uv_s, atol=1e-6)
+    np.testing.assert_allclose(d_p, d_s, atol=1e-6)
+
+
 def test_lbd_descriptor_discriminates(rng):
     """The LBD-equivalent band descriptor (ops/lbd.py) must place the same
     physical line closer across viewpoints than different lines."""

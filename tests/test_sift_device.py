@@ -57,6 +57,36 @@ def test_cross_view_matching_yields_inliers(pano_pair):
     assert n_inl >= 0.5 * n_m, (n_inl, n_m)
 
 
+def test_uv_localization_unbiased():
+    """A symmetric blob's strongest keypoint must land on the blob center:
+    catches the +0.25 px upsample half-pixel-center bias (uv = yx*scale -
+    0.25; with the bias the error is ~0.35 px, without it < 0.2 px)."""
+    H, W = 96, 96
+    cy, cx = 40.0, 57.0
+    yy, xx = np.meshgrid(np.arange(H) + 0.0, np.arange(W) + 0.0,
+                         indexing="ij")
+    g = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0 ** 2)))
+    g = (0.1 + 0.8 * g).astype(np.float32)
+    uv, _, val, resp = sift_device.detect_and_describe(
+        jnp.asarray(g), num_features=16, n_octaves=2)
+    uv, val, resp = np.asarray(uv), np.asarray(val), np.asarray(resp)
+    assert val.any()
+    best = np.argmax(np.where(val, resp, -np.inf))
+    err = np.hypot(uv[best, 0] - cx, uv[best, 1] - cy)
+    assert err < 0.2, (uv[best], err)
+
+
+def test_small_input_pads_instead_of_erroring():
+    """num_features larger than the candidate pool must clamp+pad (ADVICE
+    r4): a tiny image at a huge feature count used to raise a top_k shape
+    error."""
+    g = np.random.default_rng(0).random((40, 40)).astype(np.float32)
+    uv, desc, val, resp = sift_device.detect_and_describe(
+        jnp.asarray(g), num_features=8096, n_octaves=4)
+    assert uv.shape == (8096, 2) and desc.shape == (8096, 128)
+    assert val.shape == (8096,) and resp.shape == (8096,)
+
+
 def test_batch_entry_shapes(pano_pair):
     g1, g2 = pano_pair
     uv, desc, val = sift_device.extract_sift_device_batch(

@@ -119,6 +119,46 @@ def test_voxel_downsample():
     assert int(np.asarray(mask2).sum()) == 2
 
 
+def test_voxel_downsample_two_level_weighted_merge_is_exact():
+    """Chunked level-1 centroids merged with weights=counts must reproduce
+    the single-pass per-voxel centroid exactly (the fuse_depth_maps
+    two-level merge contract) — including aux channels."""
+    rng = np.random.default_rng(1)
+    pts = (rng.random((600, 3)) * 1.5).astype(np.float32)
+    aux = rng.random(600).astype(np.float32)
+    mask = jnp.ones(600, bool)
+    ref_c, ref_m, ref_a = vd.voxel_downsample(
+        jnp.asarray(pts), mask, aux=jnp.asarray(aux), leaf=0.2)
+    ref_m = np.asarray(ref_m)
+
+    # uneven chunks deliberately split voxels across chunk boundaries
+    acc_p, acc_a, acc_n = [], [], []
+    for s, e in ((0, 170), (170, 430), (430, 600)):
+        p, m, a, n = vd.voxel_downsample(
+            jnp.asarray(pts[s:e]), jnp.ones(e - s, bool),
+            aux=jnp.asarray(aux[s:e]), leaf=0.2, return_counts=True)
+        m = np.asarray(m)
+        acc_p.append(np.asarray(p)[m])
+        acc_a.append(np.asarray(a)[m])
+        acc_n.append(np.asarray(n)[m])
+    p2 = np.concatenate(acc_p)
+    out_c, out_m, out_a = vd.voxel_downsample(
+        jnp.asarray(p2), jnp.ones(len(p2), bool),
+        aux=jnp.asarray(np.concatenate(acc_a)), leaf=0.2,
+        weights=jnp.asarray(np.concatenate(acc_n)))
+    out_m = np.asarray(out_m)
+    assert out_m.sum() == ref_m.sum()
+
+    def keyed(c, a):
+        order = np.lexsort(c.T)
+        return c[order], a[order]
+
+    rc, ra = keyed(np.asarray(ref_c)[ref_m], np.asarray(ref_a)[ref_m])
+    oc, oa = keyed(np.asarray(out_c)[out_m], np.asarray(out_a)[out_m])
+    np.testing.assert_allclose(oc, rc, atol=1e-5)
+    np.testing.assert_allclose(oa, ra, atol=1e-5)
+
+
 def test_undistort_identity_and_rotation():
     pts = jnp.asarray(np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32))
     frac = jnp.linspace(0, 1, 100)
