@@ -34,6 +34,22 @@ MIN_LENGTH = 0.3        # FilterLineByLength threshold (:256)
 MIN_ROWS = 3            # FilterLineByScan (:289)
 
 
+def _hyp_priorities(P: int, n_draw: int, l, seed):
+    """(P, n_draw) uint32 hash priorities for round l: column-wise argmax
+    over a masked pool draws one uniform sample per column. Deterministic
+    (multiplicative mixing of point index / draw column / round / seed) —
+    the RANSAC analog of the decimation hash in velodyne.extract_features,
+    and shared verbatim by the XLA and Pallas line-growth paths."""
+    i = jnp.arange(P, dtype=jnp.uint32)[:, None]
+    h = jnp.arange(n_draw, dtype=jnp.uint32)[None, :]
+    a = (i + 1) * jnp.uint32(2654435761)
+    b = ((h + 1) * jnp.uint32(40499)
+         + jnp.uint32(l) * jnp.uint32(69069)
+         + jnp.uint32(seed) * jnp.uint32(2654435761))
+    x = (a ^ b) * jnp.uint32(2246822519)
+    return x ^ (x >> 15)
+
+
 @functools.partial(jax.jit, static_argnames=("max_lines", "n_hyp"))
 def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
                   n_hyp: int = N_HYPOTHESES, seed: int = 0):
@@ -49,30 +65,23 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
       mask (L,), point_label (P,) index of owning line or -1.
     """
     P = pts.shape[0]
-    key0 = jax.random.PRNGKey(seed)
     pts_sq = jnp.sum(pts * pts, axis=1)  # (P,)
 
     def line_round(state):
-        l, streak, remaining, labels, line_pts, line_dirs, line_ends, line_mask = state
-        key = jax.random.fold_in(key0, l)
-        k1, k2 = jax.random.split(key)
+        l, streak, remaining, labels, line_tab = state
         # hypothesis pair = two random REMAINING points gated to lie within
         # 2 m of each other — a cheap stand-in for the reference's kd-tree
         # neighbor-triple seeding (LidarLineExtraction.cpp:15-53): nearby
         # pairs are far more likely to lie on one physical edge, and the gate
-        # avoids building a (P, P) neighbor table per scan. Drawing from the
-        # compacted remaining pool (cumsum slot map) keeps the hit rate
-        # independent of buffer occupancy (the edge buffer is CAP-padded and
-        # mostly invalid).
-        pos = jnp.cumsum(remaining) - 1
-        slot_to_idx = jnp.zeros((P,), jnp.int32).at[
-            jnp.where(remaining, pos, P)].set(
-            jnp.arange(P, dtype=jnp.int32), mode="drop")
-        n_rem = jnp.maximum(jnp.sum(remaining), 1)
-        ua = jax.random.uniform(k1, (n_hyp,))
-        ub = jax.random.uniform(k2, (n_hyp,))
-        ia = slot_to_idx[jnp.minimum((ua * n_rem).astype(jnp.int32), n_rem - 1)]
-        ib = slot_to_idx[jnp.minimum((ub * n_rem).astype(jnp.int32), n_rem - 1)]
+        # avoids building a (P, P) neighbor table per scan. Drawing: argmax
+        # of a per-(point, hypothesis) integer hash masked to the remaining
+        # pool — uniform over the pool with NO cumsum/scatter slot map (each
+        # removed op paid a fixed launch floor, PERF.md round-5), and the
+        # same construction runs unchanged inside the Pallas kernel.
+        pri = _hyp_priorities(P, 2 * n_hyp, l, seed)
+        pri = jnp.where(remaining[:, None], pri, jnp.uint32(0))
+        iab = jnp.argmax(pri, axis=0).astype(jnp.int32)      # (2H,)
+        ia, ib = iab[:n_hyp], iab[n_hyp:]
         pa, pb = pts[ia], pts[ib]
         sep = jnp.linalg.norm(pb - pa, axis=1)
         ok_h = remaining[ia] & remaining[ib] & (sep > 0.02) & (sep < 2.0)
@@ -141,17 +150,17 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
         e0 = c2 + t_lo * u2
         e1 = c2 + t_hi * u2
 
-        line_pts = line_pts.at[l].set(jnp.where(accept, c2, 0.0))
-        line_dirs = line_dirs.at[l].set(jnp.where(accept, u2, 0.0))
-        line_ends = line_ends.at[l].set(jnp.where(accept, jnp.stack([e0, e1]), 0.0))
-        line_mask = line_mask.at[l].set(accept)
+        # one packed row write instead of four table scatters (launch floor
+        # is per op, PERF.md round-5): [c2, u2, e0, e1, accept]
+        row = jnp.where(accept, jnp.concatenate(
+            [c2, u2, e0, e1, jnp.ones((1,))]), 0.0)
+        line_tab = line_tab.at[l].set(row)
         labels = jnp.where(accept & member & (labels < 0), l, labels)
         # claimed points leave the pool even when the line is rejected, so a
         # degenerate cluster can't stall every later round
         remaining = remaining & ~(member & (score[best] > 0))
         streak = jnp.where(accept, 0, streak + 1)
-        return (l + 1, streak, remaining, labels, line_pts, line_dirs,
-                line_ends, line_mask)
+        return (l + 1, streak, remaining, labels, line_tab)
 
     def keep_going(state):
         # early exit: pool can no longer seat a minimal line, or several
@@ -166,12 +175,10 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
         jnp.int32(0),
         mask,
         jnp.full((P,), -1, jnp.int32),
-        jnp.zeros((max_lines, 3)),
-        jnp.zeros((max_lines, 3)),
-        jnp.zeros((max_lines, 2, 3)),
-        jnp.zeros((max_lines,), bool),
+        jnp.zeros((max_lines, 13)),
     )
     state = jax.lax.while_loop(keep_going, line_round, state)
-    _, _, _, labels, line_pts, line_dirs, line_ends, line_mask = state
-    return {"points": line_pts, "dirs": line_dirs, "endpoints": line_ends,
-            "mask": line_mask, "point_label": labels}
+    _, _, _, labels, line_tab = state
+    return {"points": line_tab[:, 0:3], "dirs": line_tab[:, 3:6],
+            "endpoints": line_tab[:, 6:12].reshape(max_lines, 2, 3),
+            "mask": line_tab[:, 12] > 0.5, "point_label": labels}

@@ -215,11 +215,14 @@ def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON,
     point's azimuth (the reference's start_ori, Velodyne.cpp:398-400).
     Collisions keep the nearer return (the reference keeps the last write).
 
-    Gather/scatter traffic is the cost on TPU, so the winner per cell is
-    found with ONE packed int32 scatter-min — 15-bit quantized range (2 mm
-    steps, 65.5 m cap) in the high bits, point index in the low 16 — and the
-    cell attributes (exact f32 xyz / rel_time) are then gathered by winner
-    index, instead of a float min + winner-test gather + 4-channel scatter.
+    Binning runs as two lax.sorts instead of a scatter-min + winner gather
+    (both pay the ~131 M elem/s scatter/gather path; the TPU sort measures
+    ~2x cheaper for the same exact result, PERF.md round-5): points sort by
+    (cell, quantized range, point index) with xyz/rel_time as payloads, one
+    sentinel entry per cell guarantees every cell has a segment, and the
+    per-cell segment heads — the nearest return, ties to the lowest point
+    index, exactly the scatter-min's packed-key order — are compacted back
+    to the dense row-major image by a second sort on (head ? cell : big).
     rel_time in [0,1) is the azimuth sweep fraction, used for undistortion.
     """
     P = pts.shape[0]
@@ -243,19 +246,33 @@ def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON,
 
     ok = mask & ring_ok & (rng > 0)
     rq = jnp.clip(jnp.round(rng / 0.002), 0, 32766).astype(jnp.int32)
-    key = (rq << 16) | jnp.arange(P, dtype=jnp.int32)
-    big = jnp.int32(2**31 - 1)
-    kimg = jnp.full((n_scans, horizon), big, jnp.int32).at[ring, col].min(
-        jnp.where(ok, key, big), mode="drop")
-    valid = kimg != big
-    widx = kimg & 0xFFFF  # winner point index (garbage where invalid)
-
-    # ONE 4-wide gather (xyz + rel_time) — gather cost is per index
-    tbl = jnp.concatenate([pts, rel_time[:, None]], axis=1)  # (P, 4)
-    win = jnp.where(valid[..., None], tbl[widx], 0.0)
-    xyz_img = win[..., :3]
+    SH = n_scans * horizon
+    cell = ring * horizon + col
+    k1 = jnp.where(ok, cell, SH)
+    k2 = (rq << 16) | jnp.arange(P, dtype=jnp.int32)
+    SENT2 = jnp.int32(0x7FFF << 16)      # above any real (rq<<16 | idx)
+    k1_all = jnp.concatenate([k1, jnp.arange(SH, dtype=jnp.int32)])
+    k2_all = jnp.concatenate([k2, jnp.full((SH,), SENT2)])
+    zpad = jnp.zeros((SH,), pts.dtype)
+    xs = jnp.concatenate([x, zpad])
+    ys = jnp.concatenate([y, zpad])
+    zs = jnp.concatenate([z, zpad])
+    ts = jnp.concatenate([rel_time, zpad])
+    k1s, k2s, xs, ys, zs, ts = jax.lax.sort(
+        (k1_all, k2_all, xs, ys, zs, ts), dimension=0, num_keys=2)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), k1s[1:] != k1s[:-1]])
+    win = is_head & (k1s < SH)
+    key_c = jnp.where(win, k1s, SH)
+    real = (k2s < SENT2).astype(pts.dtype)   # sentinel head = empty cell
+    _, xs, ys, zs, ts, rl = jax.lax.sort(
+        (key_c, xs, ys, zs, ts, real), dimension=0, num_keys=1)
+    valid = (rl[:SH] > 0.5).reshape(n_scans, horizon)
+    xyz_img = jnp.where(
+        valid[..., None],
+        jnp.stack([xs[:SH], ys[:SH], zs[:SH]], -1).reshape(
+            n_scans, horizon, 3), 0.0)
     r_img = jnp.where(valid, jnp.linalg.norm(xyz_img, axis=-1), 0.0)
-    t_img = win[..., 3]
+    t_img = jnp.where(valid, ts[:SH].reshape(n_scans, horizon), 0.0)
     return {"range": r_img, "xyz": xyz_img, "valid": valid, "rel_time": t_img}
 
 
@@ -267,42 +284,33 @@ def compact_rows(img):
     adjacency (consecutive points of one scan line), which the curvature and
     picking logic rely on (Velodyne.cpp:506-520).
 
-    The destination of every valid cell is its per-row valid-prefix count, so
-    compaction is a cumsum + one scatter per channel (col/ground/valid packed
-    into a single int32 channel) — replacing the per-row argsort (a full
-    bitonic sort) + 7 gather channels of the first implementation.
+    Compaction IS a per-row sort: key = col for valid cells, H + col for
+    invalid, with the xyz channels riding as lax.sort payloads. XLA's TPU
+    sort at this size measures ~free where the previous cumsum + scatter +
+    winner-gather paid the ~131 M elem/s scatter/gather path twice
+    (PERF.md round-5 probe: 1.1 -> ~0.1 ms/scan).
     """
     valid = img["valid"]
     S, H = valid.shape
-    pos = jnp.cumsum(valid, axis=1) - 1
-    tgt = jnp.where(valid, pos, H)  # H = out of bounds -> dropped
-    rows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, H))
     ground = img.get("ground", jnp.zeros((S, H), bool))
-    packed = ((jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (S, H)) << 2)
-              | (ground.astype(jnp.int32) << 1) | 1)
-    # scatters cost per ELEMENT on this chip while gathers cost per INDEX
-    # (PERF.md), so move the wide data with a gather: scatter only the
-    # source-column index (1 int32 per cell), then gather the 4 packed
-    # channels (xyz + packed meta) by source position in one gather
-    src_col = jnp.full((S, H), -1, jnp.int32).at[rows, tgt].set(
-        jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (S, H)),
-        mode="drop")
-    data = jnp.concatenate(
-        [img["xyz"], jax.lax.bitcast_convert_type(packed, jnp.float32)[..., None]],
-        axis=-1)                                             # (S, H, 4)
-    out_valid = src_col >= 0
-    out = jnp.where(out_valid[..., None],
-                    jnp.take_along_axis(
-                        data, jnp.maximum(src_col, 0)[..., None], axis=1), 0.0)
-    xyz = out[..., :3]
-    pk = jnp.where(out_valid,
-                   jax.lax.bitcast_convert_type(out[..., 3], jnp.int32), 0)
+    col = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (S, H))
+    # key: (invalid)<<13 | col<<1 | ground — cols are unique per row, so the
+    # ground bit never affects ordering; invalid cells sort to the right
+    key = ((~valid).astype(jnp.int32) << 13) | (col << 1) \
+        | ground.astype(jnp.int32)
+    xyz = img["xyz"]
+    key_s, x_s, y_s, z_s = jax.lax.sort(
+        (key, xyz[..., 0], xyz[..., 1], xyz[..., 2]),
+        dimension=1, num_keys=1)
+    out_valid = key_s < (1 << 13)
+    xyz_s = jnp.where(out_valid[..., None],
+                      jnp.stack([x_s, y_s, z_s], axis=-1), 0.0)
     return {
-        "xyz": xyz,
-        "range": jnp.where(out_valid, jnp.linalg.norm(xyz, axis=-1), 0.0),
-        "col": jnp.where(out_valid, pk >> 2, 0),
+        "xyz": xyz_s,
+        "range": jnp.where(out_valid, jnp.linalg.norm(xyz_s, axis=-1), 0.0),
+        "col": jnp.where(out_valid, (key_s >> 1) & 0xFFF, 0),
         "valid": out_valid,
-        "ground": (pk & 2) != 0,
+        "ground": out_valid & ((key_s & 1) != 0),
         "count": jnp.sum(valid, axis=1),
     }
 
@@ -346,6 +354,29 @@ def _seg_run_min(lab, conn, axis: int, big):
         cb = cb & _shift_fill(cb, -d, axis, False)
         d *= 2
     return lab
+
+
+def _segment_totals(x, is_start):
+    """Per-segment totals broadcast to every member. Segments are maximal
+    runs starting at is_start positions; x is summed within each segment
+    and every member receives the segment total. Two associative scans of
+    elementwise ops — no gathers, no scatters (the scatter/gather path on
+    this chip costs ~131 M elem/s while fused elementwise scans are free,
+    PERF.md calibration)."""
+    def seg_sum(a, b):
+        (s1, f1), (s2, f2) = a, b
+        return jnp.where(f2, s2, s1 + s2), f1 | f2
+
+    csum, _ = jax.lax.associative_scan(seg_sum, (x, is_start))
+    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+
+    def carry_last(a, b):
+        (v1, f1), (v2, f2) = a, b
+        return jnp.where(f2, v2, v1), f1 | f2
+
+    rev, _ = jax.lax.associative_scan(
+        carry_last, (jnp.flip(jnp.where(is_end, csum, 0)), jnp.flip(is_end)))
+    return jnp.flip(rev)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -402,17 +433,28 @@ def segment_range_image(r_img, valid, iters: int = 4,
     labels = jax.lax.fori_loop(0, iters, body, labels)
     labels = labels.astype(jnp.int32)
 
+    # Component stats without the big-table scatter/gather round trips
+    # (measured ~1 ms/scan on the v5e — the largest single extraction cost):
+    # sort cells by (label, linear index) — XLA's TPU sort measures ~free at
+    # this size — compute per-segment size and distinct-row counts with
+    # segmented scans, then a second sort by linear index restores cell
+    # order with the keep bit riding in the key's LSB.
+    assert S * H < (1 << 15), "packed sort key needs label and index in 15 bits"
     flat = labels.ravel()
-    sizes = jnp.zeros((S * H + 1,), jnp.int32).at[flat].add(valid.ravel())
-    # distinct rows per component
-    rows_present = jnp.zeros((S * H + 1,), jnp.int32)
-    for r in range(S):
-        pres = jnp.zeros((S * H + 1,), jnp.int32).at[labels[r]].max(
-            valid[r].astype(jnp.int32))
-        rows_present = rows_present + pres
-    size_of = sizes[flat].reshape(S, H)
-    rows_of = rows_present[flat].reshape(S, H)
-    keep = valid & ((size_of >= 30) | ((size_of >= 5) & (rows_of >= 3)))
+    idx = jnp.arange(S * H, dtype=jnp.int32)
+    k = jnp.sort((flat << 15) | idx)
+    lab_s = k >> 15
+    idx_s = k & 0x7FFF
+    valid_s = lab_s < S * H            # invalid cells carry the big label
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), lab_s[1:] != lab_s[:-1]])
+    row_s = idx_s // H                 # rows nondecreasing within a segment
+    new_row = is_start | (row_s != jnp.concatenate([row_s[:1], row_s[:-1]]))
+    size_of = _segment_totals(valid_s.astype(jnp.int32), is_start)
+    rows_of = _segment_totals((new_row & valid_s).astype(jnp.int32), is_start)
+    keep_s = valid_s & ((size_of >= 30) | ((size_of >= 5) & (rows_of >= 3)))
+    k2 = jnp.sort((idx_s << 1) | keep_s.astype(jnp.int32))
+    keep = ((k2 & 1) == 1).reshape(S, H) & valid
     return labels, keep
 
 
@@ -621,31 +663,39 @@ def greedy_pick(seq, curv, eligible, n_picks: int,
     sec, _ = _sector_ids(seq)
     sign = 1.0 if pick_largest else -1.0
     Lext, Rext = _suppression_extents(seq["xyz"])
-    rows6 = jnp.broadcast_to(jnp.arange(S)[None, :], (6, S))
     colidx = jnp.arange(W)[None, None, :]
     sec_onehot = sec[None] == jnp.arange(6)[:, None, None]  # (6,S,W)
+    Lf = Lext.astype(jnp.float32)[None]                     # (1,S,W)
+    Rf = Rext.astype(jnp.float32)[None]
 
-    def body(t, state):
-        picked, rank, disabled, pidx, pok = state
+    # loop body is scatter/gather-free: the round's pick is expressed as a
+    # one-hot (6,S,W) mask (argmax + equality), pick attributes (extents)
+    # come back as masked max-reductions, and the per-round pick lists are
+    # stacked by lax.scan instead of .at[t].set scatters — each removed op
+    # paid a fixed ~15 us launch floor on this runtime (round-5 probes), and
+    # what remains fuses.
+    def body(state, t):
+        picked, rank, disabled = state
         key = jnp.where(eligible & ~picked & ~disabled, sign * curv, -jnp.inf)
         key6 = jnp.where(sec_onehot, key[None], -jnp.inf)   # (6,S,W)
         idx6 = jnp.argmax(key6, axis=2)                     # (6,S)
-        ok6 = jnp.take_along_axis(key6, idx6[..., None], axis=2)[..., 0] > -jnp.inf
-        picked = picked.at[rows6, idx6].max(ok6)
-        rank = rank.at[rows6, idx6].max(jnp.where(ok6, t, -1))
-        lo = (idx6 - Lext[rows6, idx6])[..., None]          # (6,S,1)
-        hi = (idx6 + Rext[rows6, idx6])[..., None]
+        ok6 = jnp.max(key6, axis=2) > -jnp.inf
+        pick6 = (colidx == idx6[..., None]) & ok6[..., None]  # one-hot (6,S,W)
+        pick_any = jnp.any(pick6, axis=0)
+        picked = picked | pick_any
+        rank = jnp.where(pick_any, jnp.maximum(rank, t), rank)
+        L6 = jnp.max(jnp.where(pick6, Lf, 0.0), axis=2).astype(jnp.int32)
+        R6 = jnp.max(jnp.where(pick6, Rf, 0.0), axis=2).astype(jnp.int32)
+        lo = (idx6 - L6)[..., None]                         # (6,S,1)
+        hi = (idx6 + R6)[..., None]
         dis6 = (colidx >= lo) & (colidx <= hi) & ok6[..., None]
         disabled = disabled | jnp.any(dis6, axis=0)
-        pidx = pidx.at[t].set(idx6)
-        pok = pok.at[t].set(ok6)
-        return picked, rank, disabled, pidx, pok
+        return (picked, rank, disabled), (idx6, ok6)
 
     state = (jnp.zeros((S, W), bool), jnp.full((S, W), -1, jnp.int32),
-             jnp.zeros((S, W), bool),
-             jnp.zeros((n_picks, 6, S), jnp.int32),
-             jnp.zeros((n_picks, 6, S), bool))
-    picked, rank, disabled, pidx, pok = jax.lax.fori_loop(0, n_picks, body, state)
+             jnp.zeros((S, W), bool))
+    (picked, rank, disabled), (pidx, pok) = jax.lax.scan(
+        body, state, jnp.arange(n_picks))
     return picked, rank, disabled, pidx, pok
 
 
@@ -853,15 +903,25 @@ CAP_LINES = 64
 
 def gather_masked(values, mask, cap: int, fill=0.0):
     """Compact masked rows of a (S,W,...) array into a (cap, ...) buffer.
-    Cumsum destination + one scatter (no argsort); overflow rows beyond cap
-    are dropped."""
+    One lax.sort by (masked? order : N+order) with the channels as payloads,
+    then slice the head — replacing the cumsum+scatter (big-table scatters
+    pay the ~131 M elem/s path; the TPU sort measures ~free, PERF.md
+    round-5). Overflow rows beyond cap are dropped; order is preserved."""
     flat_mask = mask.ravel()
-    flat_vals = values.reshape((-1,) + values.shape[2:])
-    pos = jnp.cumsum(flat_mask) - 1
-    tgt = jnp.where(flat_mask, pos, cap)  # cap = out of bounds -> dropped
-    out = jnp.full((cap,) + flat_vals.shape[1:], fill, flat_vals.dtype)
-    out = out.at[tgt].set(flat_vals, mode="drop")
+    flat_vals = values.reshape((flat_mask.shape[0], -1))
+    N = flat_mask.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(flat_mask, idx, N + idx)
+    ops = (key,) + tuple(flat_vals[:, c] for c in range(flat_vals.shape[1]))
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+    head = [o[:cap] for o in sorted_ops[1:]]
+    out = jnp.stack(head, axis=-1)
+    if cap > N:
+        out = jnp.concatenate(
+            [out, jnp.zeros((cap - N, out.shape[1]), out.dtype)])
     out_mask = jnp.arange(cap) < jnp.sum(flat_mask)
+    out = jnp.where(out_mask[:, None], out, fill)
+    out = out.reshape((cap,) + values.shape[2:])
     return out, out_mask
 
 
