@@ -420,7 +420,6 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
     # captured concrete arrays lower to HLO constants, and at Room scale
     # (454 frames) the serialized program blows past the remote-compile
     # request limit (observed: HTTP 413 at N=454, 256x512)
-    @jax.jit
     def one(ref, depth_ref, conf_ref, nei_idx, poses_cw, dstack, cstack):
         R_nr, t_nr = relative_to_neighbors(poses_cw, ref, nei_idx)
         X = depth_ref[..., None] * rays
@@ -465,14 +464,23 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
     poses_dev = jnp.asarray(poses_cw)
     out_d = np.zeros((N, H, W), np.float32)
     out_c = np.zeros((N, H, W), np.float32)
-    for ref in range(N):
-        d, c = one(ref, depths[ref], confs[ref], jnp.asarray(nei_table[ref]),
-                   poses_dev, dstack, cstack)
-        # host pull per ref: accumulating 2N device maps alongside the
-        # packed stacks would put the full-trajectory f32 stacks right
-        # back into HBM
-        out_d[ref] = np.asarray(d)
-        out_c[ref] = np.asarray(c)
+    # chunked batch programs: the round-4 per-ref dispatch paid a fixed
+    # ~1.4 s/frame floor (filter wall 1593 s at Room-454 profile; round-3
+    # quarter-res was 1.43 s/frame at 1/8 the pixels — i.e. overhead-bound,
+    # not pixel-bound). vmap over a ref chunk amortizes dispatch + sync
+    # ~16x; per-chunk f32 rows still ship per call so the full-trajectory
+    # f32 stacks never sit in HBM beside the packed stacks (round-4 OOM fix
+    # preserved).
+    B = max(1, min(N, (24 << 20) // (H * W)))       # ~24M px of f32 rows
+    onev = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None)))
+    nei_dev = jnp.asarray(np.asarray(nei_table))
+    for s in range(0, N, B):
+        e = min(s + B, N)
+        refs = jnp.arange(s, e, dtype=jnp.int32)
+        d, c = onev(refs, jnp.asarray(depths[s:e]), jnp.asarray(confs[s:e]),
+                    nei_dev[s:e], poses_dev, dstack, cstack)
+        out_d[s:e] = np.asarray(d)
+        out_c[s:e] = np.asarray(c)
     return out_d, out_c
 
 
@@ -515,10 +523,14 @@ def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
         p, m, c, cnt = chunk_fuse(jnp.asarray(depths[s:e]),
                                   jnp.asarray(np.asarray(colors[s:e])),
                                   R_all[s:e], poses[s:e, 3:])
-        m_np = np.asarray(m)
-        acc_p.append(np.asarray(p)[m_np])
-        acc_c.append(np.asarray(c)[m_np])
-        acc_n.append(np.asarray(cnt)[m_np])
+        # voxel_downsample outputs are head-compacted: pull only the valid
+        # prefix (one scalar sync for the count) instead of the full padded
+        # (B*H*W, ...) arrays — at the Room profile the padding was ~8x the
+        # data and the per-chunk host pull dominated the fuse wall
+        nv = int(np.asarray(jnp.sum(m)))
+        acc_p.append(np.asarray(p[:nv]))
+        acc_c.append(np.asarray(c[:nv]))
+        acc_n.append(np.asarray(cnt[:nv]))
     pts = np.concatenate(acc_p) if acc_p else np.zeros((0, 3), np.float32)
     cols = np.concatenate(acc_c) if acc_c else np.zeros((0, 1), np.float32)
     cnts = np.concatenate(acc_n) if acc_n else np.zeros((0,), np.float32)

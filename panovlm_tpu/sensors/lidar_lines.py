@@ -6,14 +6,21 @@ LidarLineExtraction.cpp:300-389), fuses near-collinear segments (<=3 deg,
 :182-249) and filters by length (>0.3 m, :254-273) and scan-line spread
 (>=3 distinct rings and >= half the points, :275-295).
 
-TPU redesign: sequential greedy RANSAC — each round scores a batch of
-two-point line hypotheses against all remaining edge points at once (a
-(H, P) distance matrix, one fused kernel), refines the best with a PCA fit,
-keeps the longest contiguous run along the line (gap <= 0.5 m, making the
-infinite RANSAC line a *segment* like the reference's grown lines), applies
-the reference's acceptance rules, and removes the claimed points. Lines come
-out in decreasing support order, which also subsumes the reference's fusion
-step (collinear fragments are claimed by one hypothesis).
+TPU redesign (round 5): greedy RANSAC with an UP-FRONT hypothesis pool.
+One batched pass scores every two-point line hypothesis against every edge
+point (the (NH, P) inlier matrix); the sequential part of the greedy
+claiming — pick the hypothesis with the most unclaimed inliers, claim them,
+repeat — is a ~6-op while_loop round (one masked matvec + argmax), so the
+per-round fixed launch floors that dominated the previous per-round-
+refinement design (~1 ms/round at B=32, PERF.md round-5) are paid on almost
+nothing; it exits after ~#lines rounds. Refinement (PCA fit -> inlier
+expansion -> refit -> longest-run split -> acceptance -> final fit) then
+runs for ALL claimed candidates at once in a single batched pass. Claim
+priority is preserved exactly: a point belongs to the first-round
+hypothesis that covers it (argmax over the claim-ordered inlier rows).
+Lines come out in decreasing support order, which also subsumes the
+reference's fusion step (collinear fragments are claimed by one
+hypothesis).
 """
 
 from __future__ import annotations
@@ -23,10 +30,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops import geometry, se3
+from ..ops import geometry
 
 MAX_LINES = 64
-N_HYPOTHESES = 256
+N_HYPOTHESES = 256      # per-round budget of the round-4 design; the pool
+                        # size below is 8x this (one pool for the whole scan)
 INLIER_DIST = 0.05      # reference FormLine tolerance (ExpandLine usage)
 GAP = 0.5               # max along-line gap inside one segment
 MIN_POINTS = 5          # LidarLineExtraction.cpp:70
@@ -35,11 +43,10 @@ MIN_ROWS = 3            # FilterLineByScan (:289)
 
 
 def _hyp_priorities(P: int, n_draw: int, l, seed):
-    """(P, n_draw) uint32 hash priorities for round l: column-wise argmax
-    over a masked pool draws one uniform sample per column. Deterministic
-    (multiplicative mixing of point index / draw column / round / seed) —
-    the RANSAC analog of the decimation hash in velodyne.extract_features,
-    and shared verbatim by the XLA and Pallas line-growth paths."""
+    """(P, n_draw) uint32 hash priorities: column-wise argmax over a masked
+    pool draws one uniform sample per column. Deterministic (multiplicative
+    mixing of point index / draw column / round / seed) — the RANSAC analog
+    of the decimation hash in velodyne.extract_features."""
     i = jnp.arange(P, dtype=jnp.uint32)[:, None]
     h = jnp.arange(n_draw, dtype=jnp.uint32)[None, :]
     a = (i + 1) * jnp.uint32(2654435761)
@@ -65,120 +72,131 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
       mask (L,), point_label (P,) index of owning line or -1.
     """
     P = pts.shape[0]
-    pts_sq = jnp.sum(pts * pts, axis=1)  # (P,)
+    L = max_lines
+    NH = 8 * n_hyp
 
-    def line_round(state):
-        l, streak, remaining, labels, line_tab = state
-        # hypothesis pair = two random REMAINING points gated to lie within
-        # 2 m of each other — a cheap stand-in for the reference's kd-tree
-        # neighbor-triple seeding (LidarLineExtraction.cpp:15-53): nearby
-        # pairs are far more likely to lie on one physical edge, and the gate
-        # avoids building a (P, P) neighbor table per scan. Drawing: argmax
-        # of a per-(point, hypothesis) integer hash masked to the remaining
-        # pool — uniform over the pool with NO cumsum/scatter slot map (each
-        # removed op paid a fixed launch floor, PERF.md round-5), and the
-        # same construction runs unchanged inside the Pallas kernel.
-        pri = _hyp_priorities(P, 2 * n_hyp, l, seed)
-        pri = jnp.where(remaining[:, None], pri, jnp.uint32(0))
-        iab = jnp.argmax(pri, axis=0).astype(jnp.int32)      # (2H,)
-        ia, ib = iab[:n_hyp], iab[n_hyp:]
-        pa, pb = pts[ia], pts[ib]
-        sep = jnp.linalg.norm(pb - pa, axis=1)
-        ok_h = remaining[ia] & remaining[ib] & (sep > 0.02) & (sep < 2.0)
-        d = pb - pa
-        d = d / (jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
-        # (H, P) squared point-line distances via two MXU matmuls instead of
-        # materialized (H, P, 3) difference tensors:
-        # |w|^2 - (w.d)^2, w = p - pa. Full f32 precision is required — the
-        # |p|^2 - 2 p.pa + |pa|^2 cancellation is ~1e-4 relative at room
-        # ranges, far below bf16 MXU accuracy.
-        pd = se3.matmul(pts, d.T)            # (P, H)
-        ppa = se3.matmul(pts, pa.T)          # (P, H)
-        pad = jnp.sum(pa * d, axis=1)        # (H,)
-        pa_sq = jnp.sum(pa * pa, axis=1)     # (H,)
-        w_sq = pts_sq[:, None] - 2.0 * ppa + pa_sq[None, :]
-        wd = pd - pad[None, :]
-        dist2 = w_sq - wd * wd               # (P, H)
-        inl = (dist2 < INLIER_DIST * INLIER_DIST) & remaining[:, None]
-        score = jnp.sum(inl, axis=0) * ok_h  # (H,)
-        best = jnp.argmax(score)
+    # --- hypothesis pool: NH random point pairs from the valid set, gated
+    # to lie within 2 m of each other (a cheap stand-in for the reference's
+    # kd-tree neighbor-triple seeding, LidarLineExtraction.cpp:15-53:
+    # nearby pairs are far more likely to lie on one physical edge)
+    pri = _hyp_priorities(P, 2 * NH, 0, seed)
+    pri = jnp.where(mask[:, None], pri, jnp.uint32(0))
+    iab = jnp.argmax(pri, axis=0).astype(jnp.int32)      # (2NH,)
+    ia, ib = iab[:NH], iab[NH:]
+    pa, pb = pts[ia], pts[ib]
+    sep = jnp.linalg.norm(pb - pa, axis=1)
+    ok_h = mask[ia] & mask[ib] & (sep > 0.02) & (sep < 2.0)
+    d = pb - pa
+    d = d / (jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
 
-        # refine with PCA on best inliers (one reweighted round)
-        m0 = inl[:, best]
-        fit = geometry.fit_line_pca(pts, m0)
-        c, u = fit["point"], fit["dir"]
-        dist2 = geometry.point_to_line_distance(pts, c[None, :], u[None, :])
-        m1 = (dist2 < INLIER_DIST) & remaining
-        fit = geometry.fit_line_pca(pts, m1)
-        c, u = fit["point"], fit["dir"]
+    # (NH, P) inlier matrix in difference form (no |p|^2 cancellation):
+    # dist^2 = |w|^2 - (w.d)^2, w = p - pa — fused elementwise planes
+    wx = pts[:, 0][None, :] - pa[:, 0][:, None]
+    wy = pts[:, 1][None, :] - pa[:, 1][:, None]
+    wz = pts[:, 2][None, :] - pa[:, 2][:, None]
+    wd = wx * d[:, 0][:, None] + wy * d[:, 1][:, None] + wz * d[:, 2][:, None]
+    w_sq = wx * wx + wy * wy + wz * wz
+    dist2 = w_sq - wd * wd                               # (NH, P)
+    inl = (dist2 < INLIER_DIST * INLIER_DIST) & mask[None, :] & ok_h[:, None]
+    inl_f = inl.astype(jnp.float32)
 
-        # longest contiguous run along the line (gap <= GAP), found on a
-        # GAP-sized histogram of the along-line coordinate instead of a full
-        # sort: two inliers more than 2*GAP apart always land in
-        # non-adjacent bins, closer than GAP always in adjacent ones, so the
-        # bin-run split equals the sorted-gap split up to bin granularity.
-        NB = 128
-        t = jnp.einsum("pk,k->p", pts - c[None, :], u)
-        t0 = jnp.min(jnp.where(m1, t, jnp.inf))
-        tbin = jnp.clip(((t - t0) / GAP).astype(jnp.int32), 0, NB - 1)
-        hist = jnp.zeros((NB,), jnp.int32).at[tbin].add(m1.astype(jnp.int32))
-        occ = hist > 0
-        # run id per bin = cumsum of starts-of-run; count points per run
-        starts = occ & ~jnp.concatenate([jnp.array([False]), occ[:-1]])
-        run_id = jnp.cumsum(starts) - 1
-        run_cnt = jnp.zeros((NB,), jnp.int32).at[
-            jnp.where(occ, run_id, NB - 1)].add(hist, mode="drop")
-        best_run = jnp.argmax(run_cnt)
-        member = m1 & (run_id[tbin] == best_run) & occ[tbin]
-
-        n_mem = jnp.sum(member)
-        t_mem = jnp.where(member, t, jnp.inf)
-        t_lo = jnp.min(t_mem)
-        t_hi = jnp.max(jnp.where(member, t, -jnp.inf))
-        length = jnp.where(n_mem > 0, t_hi - t_lo, 0.0)
-        # distinct scan rows among members
-        row_hist = jnp.zeros((17,), jnp.int32).at[jnp.clip(rows, 0, 16)].max(
-            member.astype(jnp.int32))
-        n_rows = jnp.sum(row_hist[:16])
-        accept = ((n_mem >= MIN_POINTS) & (length >= MIN_LENGTH)
-                  & (n_rows >= MIN_ROWS) & (n_rows * 2 >= n_mem)
-                  & (score[best] > 0))
-
-        # refit on members only for the stored line
-        fit2 = geometry.fit_line_pca(pts, member)
-        c2, u2 = fit2["point"], fit2["dir"]
-        e0 = c2 + t_lo * u2
-        e1 = c2 + t_hi * u2
-
-        # one packed row write instead of four table scatters (launch floor
-        # is per op, PERF.md round-5): [c2, u2, e0, e1, accept]
-        row = jnp.where(accept, jnp.concatenate(
-            [c2, u2, e0, e1, jnp.ones((1,))]), 0.0)
-        line_tab = line_tab.at[l].set(row)
-        labels = jnp.where(accept & member & (labels < 0), l, labels)
-        # claimed points leave the pool even when the line is rejected, so a
-        # degenerate cluster can't stall every later round
-        remaining = remaining & ~(member & (score[best] > 0))
-        streak = jnp.where(accept, 0, streak + 1)
-        return (l + 1, streak, remaining, labels, line_tab)
+    # --- greedy claiming: each round takes the hypothesis with the most
+    # UNCLAIMED inliers and claims them. The loop body is one matvec +
+    # argmax + row select — the sequential dependency reduced to its core.
+    def claim_round(state):
+        l, done, remaining, chosen = state
+        votes = inl_f @ remaining.astype(jnp.float32)    # (NH,)
+        best = jnp.argmax(votes)
+        bv = votes[best]
+        go = bv >= MIN_POINTS
+        mem = inl[best] & remaining
+        remaining = jnp.where(go, remaining & ~mem, remaining)
+        chosen = chosen.at[l].set(jnp.where(go, best.astype(jnp.int32), -1))
+        return l + 1, ~go, remaining, chosen
 
     def keep_going(state):
-        # early exit: pool can no longer seat a minimal line, or several
-        # consecutive rounds found nothing acceptable (strong lines come out
-        # first, so a reject streak means the line supply is exhausted)
-        l, streak, remaining = state[0], state[1], state[2]
-        return ((l < max_lines) & (streak < 6)
-                & (jnp.sum(remaining) >= MIN_POINTS))
+        l, done = state[0], state[1]
+        return (l < L) & ~done
 
-    state = (
-        jnp.int32(0),
-        jnp.int32(0),
-        mask,
-        jnp.full((P,), -1, jnp.int32),
-        jnp.zeros((max_lines, 13)),
-    )
-    state = jax.lax.while_loop(keep_going, line_round, state)
-    _, _, _, labels, line_tab = state
-    return {"points": line_tab[:, 0:3], "dirs": line_tab[:, 3:6],
-            "endpoints": line_tab[:, 6:12].reshape(max_lines, 2, 3),
-            "mask": line_tab[:, 12] > 0.5, "point_label": labels}
+    state = (jnp.int32(0), jnp.asarray(False), mask,
+             jnp.full((L,), -1, jnp.int32))
+    _, _, _, chosen = jax.lax.while_loop(keep_going, claim_round, state)
+
+    # --- batched refinement of every claimed candidate at once.
+    # Claim order is reconstructed exactly: a point's owner is the FIRST
+    # chosen hypothesis whose inlier set covers it (argmax of a bool stack
+    # returns the first True), which equals the sequential pool semantics.
+    line_ok = chosen >= 0                                # (L,)
+    inl_rows = inl[jnp.clip(chosen, 0)] & line_ok[:, None]   # (L, P)
+    has_owner = jnp.any(inl_rows, axis=0)
+    owner = jnp.where(has_owner, jnp.argmax(inl_rows, axis=0), L)
+    lids = jnp.arange(L)[:, None]                        # (L, 1)
+    member0 = inl_rows & (owner[None, :] == lids)
+    # a line may expand into unowned points, never into another line's
+    eligible = mask[None, :] & ((owner[None, :] == lids) | (owner == L)[None, :])
+
+    fit = jax.vmap(lambda m: geometry.fit_line_pca(pts, m))(member0)
+    c, u = fit["point"], fit["dir"]                      # (L, 3)
+    dist = jax.vmap(lambda cc, uu: geometry.point_to_line_distance(
+        pts, cc[None, :], uu[None, :]))(c, u)            # (L, P)
+    m1 = (dist < INLIER_DIST) & eligible
+    fit = jax.vmap(lambda m: geometry.fit_line_pca(pts, m))(m1)
+    c, u = fit["point"], fit["dir"]
+
+    # longest contiguous run along each line (gap <= GAP) on a GAP-sized
+    # histogram of the along-line coordinate: two inliers more than 2*GAP
+    # apart always land in non-adjacent bins, closer than GAP always in
+    # adjacent ones, so the bin-run split equals the sorted-gap split up to
+    # bin granularity. All one-hot reductions — no scatters.
+    NB = 128
+    # elementwise projection (a 3-term dot via einsum would hit the bf16
+    # MXU default precision)
+    t = jnp.sum((pts[None, :, :] - c[:, None, :]) * u[:, None, :], axis=-1)
+    t0 = jnp.min(jnp.where(m1, t, jnp.inf), axis=1)      # (L,)
+    tbin = jnp.clip(((t - t0[:, None]) / GAP).astype(jnp.int32), 0, NB - 1)
+    onehot = tbin[:, None, :] == jnp.arange(NB)[None, :, None]   # (L, NB, P)
+    hist = jnp.sum(jnp.where(onehot, m1[:, None, :], False), axis=2)  # (L, NB)
+    occ = hist > 0
+    starts = occ & ~jnp.concatenate([jnp.zeros((L, 1), bool), occ[:, :-1]],
+                                    axis=1)
+    run_id = jnp.cumsum(starts, axis=1) - 1              # (L, NB)
+    run_oh = run_id[:, None, :] == jnp.arange(NB)[None, :, None]
+    run_cnt = jnp.sum(jnp.where(run_oh & occ[:, None, :],
+                                hist[:, None, :], 0), axis=2)    # (L, NB)
+    best_run = jnp.argmax(run_cnt, axis=1)               # (L,)
+    bin_in_best = (run_id == best_run[:, None]) & occ    # (L, NB)
+    member = m1 & jnp.any(onehot & bin_in_best[:, :, None], axis=1)
+
+    n_mem = jnp.sum(member, axis=1)                      # (L,)
+    t_lo = jnp.min(jnp.where(member, t, jnp.inf), axis=1)
+    t_hi = jnp.max(jnp.where(member, t, -jnp.inf), axis=1)
+    length = jnp.where(n_mem > 0, t_hi - t_lo, 0.0)
+    # distinct scan rows among members (17-wide one-hot, no scatter)
+    row_oh = jnp.clip(rows, 0, 16)[None, None, :] == \
+        jnp.arange(16)[None, :, None]                    # (1, 16, P)
+    rows_present = jnp.any(row_oh & member[:, None, :], axis=2)  # (L, 16)
+    n_rows = jnp.sum(rows_present, axis=1)
+    accept = (line_ok & (n_mem >= MIN_POINTS) & (length >= MIN_LENGTH)
+              & (n_rows >= MIN_ROWS) & (n_rows * 2 >= n_mem))
+
+    # final fit on members only for the stored line
+    fit2 = jax.vmap(lambda m: geometry.fit_line_pca(pts, m))(member)
+    c2, u2 = fit2["point"], fit2["dir"]
+    e0 = c2 + t_lo[:, None] * u2
+    e1 = c2 + t_hi[:, None] * u2
+    a3 = accept[:, None]
+    ends = jnp.where(a3[:, None], jnp.stack([e0, e1], axis=1), 0.0)
+
+    # point labels: the first ACCEPTED line whose member set covers the
+    # point (accepted lines only — matching the sequential design where
+    # labels were only written on accept)
+    lab_mat = member & accept[:, None]                   # (L, P)
+    has_lab = jnp.any(lab_mat, axis=0)
+    labels = jnp.where(has_lab, jnp.argmax(lab_mat, axis=0), -1).astype(
+        jnp.int32)
+
+    return {"points": jnp.where(a3, c2, 0.0),
+            "dirs": jnp.where(a3, u2, 0.0),
+            "endpoints": ends,
+            "mask": accept,
+            "point_label": labels}
