@@ -345,6 +345,15 @@ def init_camera_pose(cfg: Config, tr: TimeReport | None = None):
                       "capping (matching memory scales with N*num_sift*128)",
                       cap)
             cap = 16384
+        # host plan for the stage's dominant arrays (utils/membudget):
+        # the descriptor stack is the big one at num_sift x N
+        from .utils.membudget import assert_host_budget
+        assert_host_budget("init_camera_pose", {
+            "grays": ((n, H, W), np.float32),
+            "desc stack": ((n, cap, 128), np.float32),
+            "uv+mask": ((n, cap, 3), np.float32),
+            "depth maps": ((n, H, W), np.float32),
+        })
         cache = os.path.join(cfg.frame_path, "frames_sift.npz") \
             if cfg.frame_path else ""
         cached = None
@@ -936,6 +945,19 @@ def joint_mvs(cfg: Config, tr: TimeReport | None = None):
     grays, names = load_images(cfg)
     n = len(grays)
     H, W = grays[0].shape
+    # host plan for the stage's dominant arrays (utils/membudget): images +
+    # per-frame depth/normal/conf stacks + the filter in/out pairs. The
+    # first profile-454 run discovered its 82.6 GB peak at hour two; this
+    # fails in seconds instead.
+    from .utils.membudget import assert_host_budget
+    assert_host_budget("joint_mvs", {
+        "grays": ((n, H, W), np.float32),
+        "depths+confs": ((2, n, H, W), np.float32),
+        "normals": ((n, H, W, 3), np.float32),
+        "filtered d+c": ((2, n, H, W), np.float32),
+        "colors (fuse)": ((n, H, W), np.float32),
+        "packed stacks (host staging)": ((2, n, H, W), np.uint32),
+    })
     R_c, t_c, _, c_ok = artifacts.read_pose_t(
         os.path.join(cfg.joint_result_path, "camera_pose_joint.txt"))
     poses = pose_util.world_to_params(R_c, t_c)
