@@ -349,3 +349,115 @@ def make_independent_noise_scene(n_frames=10, n_points=400, H=256, W=512,
     poses_gt = np.concatenate([aa, t], axis=1).astype(np.float32)
     return {"uv": uv, "descs": descs, "fmask": fmask, "poses_gt": poses_gt,
             "pts": pts, "H": H, "W": W}
+
+
+def seed_sfm_state(cfg, gt, n_points: int = 800, seed: int = 0,
+                   noise_px: float = 0.15):
+    """Write GT-quality stage-1/2 artifacts (frames.npz, points.npz, pose
+    txts) so the joint/colorize/mvs stages can be tested without running
+    the sfm/odometry chain first — the suite-splitting device that keeps
+    tests/test_pipeline_cli.py (stages 1-2) and tests/test_pipeline_cli_
+    late.py (stages 3-5) on different xdist workers (VERDICT r4 weak #6:
+    the five-stage file was the suite's serial multi-minute tail).
+
+    Tracks are geometrically exact: world points sampled by back-projecting
+    random pixels of the GT depth renders, observations projected into
+    every frame and kept only where the GT depth test confirms visibility.
+    """
+    import os
+    from panovlm_tpu.io import artifacts
+    from panovlm_tpu.utils import poses as pose_util
+
+    rng = np.random.default_rng(seed)
+    R_wc, C = np.asarray(gt["R_wc"]), np.asarray(gt["C"])
+    n = len(R_wc)
+    import glob
+    import cv2
+    img0 = cv2.imread(sorted(glob.glob(f"{cfg.image_path}/*.png"))[0], 0)
+    H, W = img0.shape
+    depths = [render_panorama(C[i], H, W, R_wc=R_wc[i])[1] for i in range(n)]
+    rays = pano_rays(H, W)
+
+    # world points from random pixels of each frame's GT depth
+    pts_w = []
+    per = n_points // n + 1
+    for i in range(n):
+        yy = rng.integers(H // 5, 4 * H // 5, per)
+        xx = rng.integers(0, W, per)
+        d = depths[i][yy, xx]
+        ok = d > 0.3
+        X_cam = rays[yy, xx] * d[:, None]
+        pts_w.append((X_cam[ok] @ R_wc[i].T) + C[i])
+    X = np.concatenate(pts_w)[:n_points]
+    T = len(X)
+
+    # project into every frame; visibility by GT depth agreement
+    uv_all = np.zeros((n, T, 2), np.float32)
+    vis = np.zeros((n, T), bool)
+    for i in range(n):
+        Xc = (X - C[i]) @ R_wc[i]
+        d = np.linalg.norm(Xc, axis=1)
+        theta = np.arccos(np.clip(-Xc[:, 1] / np.maximum(d, 1e-9), -1, 1))
+        phi = np.arctan2(Xc[:, 0], Xc[:, 2])
+        u = (phi + np.pi) / (2 * np.pi) * W - 0.5
+        v = theta / np.pi * H - 0.5
+        yi = np.clip(np.round(v).astype(int), 0, H - 1)
+        xi = np.clip(np.round(u).astype(int), 0, W - 1)
+        d_gt = depths[i][yi, xi]
+        vis[i] = (d > 0.3) & (np.abs(d - d_gt) < 0.03 * np.maximum(d_gt, 1))
+        uv_all[i] = np.stack([u, v], 1) + rng.normal(0, noise_px, (T, 2))
+
+    keep = vis.sum(0) >= 2
+    X, uv_all, vis = X[keep], uv_all[:, keep], vis[:, keep]
+    T = len(X)
+
+    # per-frame feature slots; track arrays in export_point_tracks form
+    cap = int(cfg.num_sift)
+    uv = np.zeros((n, cap, 2), np.float32)
+    fmask = np.zeros((n, cap), bool)
+    L = n
+    track_img = np.zeros((T, L), np.int32)
+    track_feat = np.zeros((T, L), np.int32)
+    track_mask = np.zeros((T, L), bool)
+    counts = np.zeros(n, int)
+    for t in range(T):
+        li = 0
+        for i in range(n):
+            if vis[i, t] and counts[i] < cap and li < L:
+                f = counts[i]
+                uv[i, f] = uv_all[i, t]
+                fmask[i, f] = True
+                track_img[t, li] = i
+                track_feat[t, li] = f
+                track_mask[t, li] = True
+                counts[i] += 1
+                li += 1
+
+    import jax.numpy as jnp
+    from panovlm_tpu.ops import spherical
+    bearings = np.asarray(spherical.image_to_cam(jnp.asarray(uv), H, W))
+    poses = pose_util.world_to_params(R_wc, C)
+    frame_valid = np.ones(n, bool)
+
+    os.makedirs(cfg.sfm_result_path, exist_ok=True)
+    os.makedirs(cfg.odo_result_path, exist_ok=True)
+    artifacts.save_npz(os.path.join(cfg.sfm_result_path, "frames.npz"),
+                       uv=uv, fmask=fmask, bearings=bearings, poses=poses,
+                       frame_valid=frame_valid, rows=np.asarray([H]),
+                       cols=np.asarray([W]))
+    artifacts.export_point_tracks(
+        os.path.join(cfg.sfm_result_path, "points.npz"),
+        track_img, track_feat, track_mask, X.astype(np.float32),
+        np.ones(T, bool))
+    artifacts.export_pose_t(
+        os.path.join(cfg.sfm_result_path, "camera_pose_final.txt"),
+        R_wc, C, [f"{i:06d}" for i in range(n)])
+    # lidar poses: GT (z-up convention as produced by make_trajectory_scans,
+    # stored in the same camera-convention world as the odometry stage does)
+    S = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
+    R_wl = np.stack([S @ p[0] @ S.T for p in gt["poses_lidar"]])
+    t_wl = np.stack([S @ p[1] for p in gt["poses_lidar"]])
+    artifacts.export_pose_t(
+        os.path.join(cfg.odo_result_path, "lidar_pose_refined.txt"),
+        R_wl, t_wl)
+    return X

@@ -1,5 +1,9 @@
-"""End-to-end five-stage pipeline test on a synthetic Room-style dataset,
-driven through the same entry points as the CLI (pipeline.STAGES)."""
+"""Stages 1-2 (SfM + LiDAR odometry) of the five-stage pipeline on a
+synthetic Room-style dataset, driven through the same entry points as the
+CLI (pipeline.STAGES). Stages 3-5 live in test_pipeline_cli_late.py on
+GT-seeded inputs so the two halves run on different xdist workers (the
+chained file was the suite's serial multi-minute tail); the full chained
+path is covered by the _room_scale.sh end-to-end runs."""
 
 import os
 
@@ -100,38 +104,4 @@ def test_stage2_undistort_round(dataset, odo_done):
         assert abs(d_est - d_gt) < 0.07, (i, d_est, d_gt)
 
 
-@pytest.fixture(scope="module")
-def joint_done(dataset, odo_done):
-    cfg, gt = dataset
-    return pipeline.joint_optimization(cfg)
-
-
-def test_stage3_joint_optimization(dataset, joint_done):
-    cfg, gt = dataset
-    cam_poses, lidar_poses = joint_done
-    assert np.isfinite(cam_poses).all() and np.isfinite(lidar_poses).all()
-    assert os.path.exists(os.path.join(cfg.joint_result_path,
-                                       "camera_pose_joint.txt"))
-
-
-def test_stage4_colorize(dataset, joint_done):
-    cfg, gt = dataset
-    fused, fmask = pipeline.colorize_lidar_map(cfg)
-    assert int(fmask.sum()) > 5000
-    assert os.path.exists(os.path.join(cfg.texture_result_path,
-                                       "colorized_map.pcd"))
-
-
-def test_stage5_joint_mvs(dataset, joint_done):
-    cfg, gt = dataset
-    depths, confs = pipeline.joint_mvs(cfg)
-    assert os.path.exists(os.path.join(cfg.mvs_result_path, "mvs_fused.pcd"))
-    # depth quality vs GT render for frame 0
-    from synthetic import render_panorama
-    _, d_gt = render_panorama(gt["C"][0], depths.shape[1], depths.shape[2],
-                              R_wc=gt["R_wc"][0])
-    band = slice(depths.shape[1] // 4, 3 * depths.shape[1] // 4)
-    have = depths[0] > 0
-    rel = np.abs(depths[0] - d_gt)[have & np.isfinite(d_gt)] / \
-        d_gt[have & np.isfinite(d_gt)]
-    assert np.median(rel) < 0.08, np.median(rel)
+# stages 3-5: tests/test_pipeline_cli_late.py (GT-seeded inputs)
