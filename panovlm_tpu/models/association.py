@@ -107,27 +107,41 @@ def _masked_cdist2(a, a_mask, b, b_mask):
     return jnp.where(a_mask[:, None] & b_mask[None, :], jnp.maximum(d2, 0.0), jnp.inf)
 
 
+def _pack_dist_keys(d2):
+    """Monotone packed keys: f32 d2 >= 0 bitcast to int32 keeps order, so
+    the low ceil(log2(T)) mantissa bits can carry the column index — one
+    min-reduction then yields BOTH the (quantized) min distance and its
+    argmin. Returns (key (Q,T) int32, low_mask int)."""
+    T = d2.shape[1]
+    nbits = max((T - 1).bit_length(), 1)
+    low_mask = (1 << nbits) - 1
+    bits = jax.lax.bitcast_convert_type(
+        jnp.minimum(d2, jnp.float32(3e37)).astype(jnp.float32), jnp.int32)
+    key = (bits & ~jnp.int32(low_mask)) \
+        | jnp.arange(T, dtype=jnp.int32)[None, :]
+    return key, low_mask
+
+
 def _knn_small(d2, k: int):
     """k smallest entries per row of d2 (ascending), returned as
-    (dist2 (Q,k), idx (Q,k)). Iterative argmin extraction: k elementwise
-    min/argmin passes over the row, instead of lax.top_k, which lowers to
-    a full per-row sort on TPU and dominates the association pass for
-    row widths in the thousands."""
-    rows = jnp.arange(d2.shape[0])
-    outs_d, outs_i = [], []
+    (dist2 (Q,k), idx (Q,k)). k min-reductions over PACKED keys (index in
+    the low mantissa bits) — one pass per extraction where argmin +
+    take_along + knockout cost ~3, and lax.top_k lowers to a full per-row
+    sort (measured 48 / 62 / 29 ms for sweep / top_k / packed at the p2p
+    shape, PERF.md round-5). Selection order is exact up to ties within
+    the dropped ~log2(T) mantissa bits (<0.03% relative distance);
+    returned distances are exact (re-gathered from d2)."""
+    Q, T = d2.shape
+    key, low_mask = _pack_dist_keys(d2)
+    cols = jnp.arange(T, dtype=jnp.int32)[None, :]
+    outs_i = []
     for _ in range(k):
-        j = jnp.argmin(d2, axis=1)
-        dj = jnp.take_along_axis(d2, j[:, None], axis=1)
-        outs_d.append(dj[:, 0])
+        kmin = jnp.min(key, axis=1)
+        j = kmin & low_mask
         outs_i.append(j)
-        # knock out the extracted entry with a Q-element row scatter instead
-        # of a full-matrix one-hot rewrite — the loop's HBM traffic drops
-        # from 2k to ~k matrix reads. (XLA can alias the scatter in place
-        # only when the caller's d2 is dead after this call; the p2p path
-        # reuses d2 for the cross-ring candidates, so its first scatter
-        # copies once.)
-        d2 = d2.at[rows, j].set(jnp.inf)
-    return jnp.stack(outs_d, axis=1), jnp.stack(outs_i, axis=1)
+        key = jnp.where(cols == j[:, None], jnp.int32(2**31 - 1), key)
+    idx = jnp.stack(outs_i, axis=1)
+    return jnp.take_along_axis(d2, idx, axis=1), idx
 
 
 def _use_knn_kernel() -> bool:
@@ -210,14 +224,19 @@ def associate_point2plane_pair(feats_r, feats_n, pose_r, pose_n,
         d2 = _masked_cdist2(q_w, feats_n["flat_mask"], t_w,
                             feats_r["less_flat_mask"])
         knn_d2, idx = _knn_small(d2, P2P_KNN)        # (Q, 10)
+        # per-ring nearest in ONE masked min-reduction each over the packed
+        # keys (index rides in the low bits) instead of argmin + take_along
+        key0, low_mask = _pack_dist_keys(d2)
+        BIGKEY = jnp.int32(2**31 - 1)
         ring_idx = []
         ring_d2 = []
         for dr in (-2, -1, 1, 2):
             same = t_row[None, :] == (q_row[:, None] + dr)
-            d2r = jnp.where(same, d2, jnp.inf)
-            j = jnp.argmin(d2r, axis=1)
+            kmin = jnp.min(jnp.where(same, key0, BIGKEY), axis=1)
+            j = jnp.where(kmin != BIGKEY, kmin & low_mask, 0)
             ring_idx.append(j)
-            ring_d2.append(jnp.take_along_axis(d2r, j[:, None], axis=1)[:, 0])
+            dval = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+            ring_d2.append(jnp.where(kmin != BIGKEY, dval, jnp.inf))
         idx_ext = jnp.concatenate([idx, jnp.stack(ring_idx, axis=1)], axis=1)
         d2_ext = jnp.concatenate([knn_d2, jnp.stack(ring_d2, axis=1)], axis=1)
     close = knn_d2[:, -1] <= dist_threshold ** 2

@@ -140,12 +140,18 @@ def match_descriptors(d1, m1, d2, m2, ratio: float = 0.6,
                          precision=jax.lax.Precision.HIGHEST)
         d2sq = jnp.maximum(2.0 - 2.0 * sim, 0.0)
         d2sq = jnp.where(m1[:, None] & m2[None, :], d2sq, big)
-        # top-2 along axis 1
-        neg, idx = jax.lax.top_k(-d2sq, 2)
-        best, second = -neg[:, 0], -neg[:, 1]
+        # top-2 along axis 1 via two argmin sweeps: the ratio test needs
+        # exactly the two smallest, and lax.top_k full-sorts each
+        # N2-wide row (the dominant cost of the 8096-profile match program)
+        j1 = jnp.argmin(d2sq, axis=1)
+        best = jnp.take_along_axis(d2sq, j1[:, None], axis=1)[:, 0]
+        knocked = jnp.where(
+            jnp.arange(d2sq.shape[1])[None, :] == j1[:, None], big, d2sq)
+        second = jnp.min(knocked, axis=1)
+        idx = j1[:, None]
         # mutual best
         best2 = jnp.argmin(d2sq, axis=0)  # for each d2 col, best d1 row
-        mutual = best2[idx[:, 0]] == jnp.arange(d1.shape[0])
+        mutual = best2[j1] == jnp.arange(d1.shape[0])
     pass_ratio = best < (ratio ** 2) * second  # squared-distance ratio test
     ok = pass_ratio & mutual & m1 & (best < big)
     dist = jnp.sqrt(jnp.maximum(best, 0.0))
