@@ -9,6 +9,9 @@ pair surgery (patch a persisted pair set without recomputing the stage):
 
     python -m panovlm_tpu add_pair <config.txt> <i> <j>
     python -m panovlm_tpu recompute_pairs <config.txt> <idx1> <idx2>
+    python -m panovlm_tpu set_straight_motion <config.txt> <start> <end> <len>
+    python -m panovlm_tpu dump_relative_poses <config.txt> [out.txt]
+    python -m panovlm_tpu dump_global_poses <config.txt> [out.txt]
 """
 
 from __future__ import annotations
@@ -42,6 +45,22 @@ def main(argv=None):
         from . import pair_surgery
         getattr(pair_surgery, argv[0])(load_config(argv[1]),
                                        int(argv[2]), int(argv[3]))
+        return 0
+    if len(argv) == 5 and argv[0] == "set_straight_motion":
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s %(levelname)s %(message)s")
+        _enable_compile_cache()
+        from . import pair_surgery
+        pair_surgery.set_straight_motion(load_config(argv[1]), int(argv[2]),
+                                         int(argv[3]), int(argv[4]))
+        return 0
+    if argv and argv[0] in ("dump_relative_poses", "dump_global_poses") \
+            and len(argv) in (2, 3):
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s %(levelname)s %(message)s")
+        from . import pair_surgery
+        getattr(pair_surgery, argv[0])(load_config(argv[1]),
+                                       argv[2] if len(argv) == 3 else None)
         return 0
     if len(argv) != 2 or argv[0] not in STAGES:
         print(__doc__)

@@ -128,3 +128,138 @@ def recompute_pairs(cfg: Config, idx1: int, idx2: int):
              "%d pairs total", idx1, idx2, int(inside.sum()), len(pi_new),
              len(out["pi"]))
     return out
+
+
+def set_straight_motion(cfg: Config, start: int, end: int, length: int):
+    """SetToStraightMotion (SfM_test.cpp:83-153): replace every persisted
+    pair whose two frames both lie in [start, end] with forced straight-
+    motion pairs — identity relative rotation, translation along +z of the
+    first frame — for idx1 in [start, end), idx2 in (idx1, idx1+length].
+    Matches are freshly SIFT-matched; the relative-pose cache rows for the
+    touched pairs are overwritten with the forced pose (R = I, unit
+    t_21 = -z) and CheckRT-triangulated points, so the next stage run
+    consumes them instead of re-estimating (the reference writes R_21 /
+    t_21 / E_21 / triangulated into the pair itself)."""
+    import jax.numpy as jnp
+
+    from .ops import epipolar, spherical
+    from .pipeline import _match_row_fp
+
+    mpath, mc, fs = _load_state(cfg)
+    n = len(fs["uv"])
+    start, end = int(start), min(int(end), n - 1)
+    length = int(length)
+    if not (0 <= start < end and length >= 1):
+        raise ValueError("need 0 <= start < end and length >= 1")
+    pi_new, pj_new = [], []
+    for i1 in range(start, end):
+        for i2 in range(i1 + 1, min(i1 + length, end) + 1):
+            pi_new.append(i1)
+            pj_new.append(i2)
+    pi_new = np.asarray(pi_new, np.int32)
+    pj_new = np.asarray(pj_new, np.int32)
+    inside = ((mc["pi"] >= start) & (mc["pi"] <= end)
+              & (mc["pj"] >= start) & (mc["pj"] <= end))
+    mm = _match_rows(cfg, fs, pi_new, pj_new, int(mc["idx"].shape[1]))
+    out = _upsert(mc, pi_new, pj_new, mm, np.ones(len(pi_new), bool),
+                  drop=inside)
+    artifacts.save_npz(mpath, **out)
+
+    # forced relative poses for the new rows (keyed by the fresh match
+    # fingerprints, so _relative_poses_cached reuses them verbatim)
+    import cv2
+    import glob as g
+    img0 = cv2.imread(sorted(
+        g.glob(os.path.join(cfg.image_path, "*")))[0], 0)
+    H, W = img0.shape
+    uv = jnp.asarray(fs["uv"])
+    bearings = spherical.image_to_cam(uv, H, W)
+    aa = np.zeros((len(pi_new), 3), np.float32)
+    t21 = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32),
+                  (len(pi_new), 1))
+    K = int(mc["idx"].shape[1])
+    tri_p = np.zeros((len(pi_new), K, 3), np.float32)
+    tri_m = np.zeros((len(pi_new), K), bool)
+    n_inl = np.zeros((len(pi_new),), np.int32)
+    R_I = jnp.eye(3)
+    t_u = jnp.asarray([0.0, 0.0, -1.0])
+    midx = np.asarray(mm["idx"])
+    mmask = np.asarray(mm["mask"])
+    for r in range(len(pi_new)):
+        b1 = bearings[pi_new[r]][jnp.asarray(midx[r, :, 0])]
+        b2 = bearings[pj_new[r]][jnp.asarray(midx[r, :, 1])]
+        chk = epipolar.check_rt(R_I, t_u, b1, b2, jnp.asarray(mmask[r]))
+        good = np.asarray(chk["good"])
+        tri_p[r] = np.where(good[:, None], np.asarray(chk["points"]), 0.0)
+        tri_m[r] = good
+        n_inl[r] = int(np.asarray(chk["n_good"]))
+    rcache = os.path.join(cfg.match_pair_path, "rel_poses.npz")
+    fp_new = _match_row_fp(midx, mmask)
+    rows = dict(pi=pi_new, pj=pj_new, fp=fp_new, rel_aa=aa, rel_t=t21,
+                n_inliers=n_inl, ok=np.ones(len(pi_new), bool),
+                tri_points=tri_p, tri_mask=tri_m)
+    if os.path.exists(rcache):
+        rc = {k: np.asarray(v) for k, v in artifacts.load_npz(rcache).items()}
+        if rc["tri_points"].shape[1] == K:
+            newkey = {(int(a), int(b)) for a, b in zip(pi_new, pj_new)}
+            keep = np.asarray([(int(a), int(b)) not in newkey
+                               for a, b in zip(rc["pi"], rc["pj"])])
+            rows = {k: np.concatenate([rc[k][keep], rows[k]])
+                    for k in rows}
+    artifacts.save_npz(rcache, **rows)
+    log.info("set_straight_motion(%d, %d, %d): %d forced pairs (dropped "
+             "%d), rel-pose rows written", start, end, length, len(pi_new),
+             int(inside.sum()))
+    return out
+
+
+def dump_relative_poses(cfg: Config, out_path: str | None = None):
+    """PrintRelativePose (SfM_test.cpp:251-269): dump every persisted
+    pair's relative pose as t_12 and the axis-angle of R_12 (degrees)."""
+    from scipy.spatial.transform import Rotation as ScR
+    rcache = os.path.join(cfg.match_pair_path, "rel_poses.npz")
+    if not os.path.exists(rcache):
+        raise FileNotFoundError(f"{rcache} not found — run init_camera_pose")
+    rc = artifacts.load_npz(rcache)
+    out_path = out_path or os.path.join(cfg.sfm_result_path,
+                                        "relative_poses.txt")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        for r in range(len(rc["pi"])):
+            R_21 = ScR.from_rotvec(np.asarray(rc["rel_aa"][r],
+                                              np.float64)).as_matrix()
+            t_21 = np.asarray(rc["rel_t"][r], np.float64)
+            t_12 = -R_21.T @ t_21
+            f.write(f"pair : {int(rc['pi'][r])} {int(rc['pj'][r])} "
+                    f"{'good' if bool(rc['ok'][r]) else 'bad'}\n")
+            f.write(f"{t_12[0]} {t_12[1]} {t_12[2]}\n")
+            rv = ScR.from_matrix(R_21.T).as_rotvec()
+            ang = np.linalg.norm(rv)
+            ax = rv / ang if ang > 1e-12 else np.array([1.0, 0, 0])
+            f.write(f"{ax[0]} {ax[1]} {ax[2]} {np.degrees(ang)}\n")
+    log.info("dump_relative_poses: %d pairs -> %s", len(rc["pi"]), out_path)
+    return out_path
+
+
+def dump_global_poses(cfg: Config, out_path: str | None = None):
+    """PrintGlobalPose (SfM_test.cpp:272-292): dump each frame's rotation
+    relative to frame 0's gauge as axis-angle (degrees)."""
+    from scipy.spatial.transform import Rotation as ScR
+    pose_txt = os.path.join(cfg.sfm_result_path, "camera_pose_final.txt")
+    if not os.path.exists(pose_txt):
+        raise FileNotFoundError(f"{pose_txt} not found — run init_camera_pose")
+    R_wc, _, _, ok = artifacts.read_pose_t(pose_txt)
+    out_path = out_path or os.path.join(cfg.sfm_result_path,
+                                        "global_poses.txt")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    R_w0 = R_wc[int(np.argmax(ok))]
+    with open(out_path, "w") as f:
+        for i in range(len(R_wc)):
+            R_ci = (R_wc[i].T @ R_w0).T
+            rv = ScR.from_matrix(R_ci).as_rotvec()
+            ang = np.linalg.norm(rv)
+            ax = rv / ang if ang > 1e-12 else np.array([1.0, 0, 0])
+            f.write(f"frame : {i}, rotation : {ax[0]} {ax[1]} {ax[2]} "
+                    f"{np.degrees(ang)}\n")
+    log.info("dump_global_poses: %d frames -> %s", len(R_wc), out_path)
+    return out_path

@@ -141,3 +141,51 @@ def test_surgery_requires_artifacts(tmp_path):
                  match_pair_path=str(tmp_path / "nope2"))
     with pytest.raises(FileNotFoundError):
         pair_surgery.add_pair(cfg, 0, 1)
+
+
+def test_set_straight_motion_and_dumps(setup, tmp_path):
+    """SetToStraightMotion (SfM_test.cpp:83-153) + the pose dump helpers
+    (:251-292): forced pairs land in both the match cache and the
+    relative-pose cache with R = I / unit -z translation; dumps write the
+    reference's text formats."""
+    import dataclasses
+    import cv2
+    cfg, scfg, desc, fmask, pi, pj, _ = setup
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "000000.png"),
+                np.zeros((64, 128), np.uint8))
+    cfg = dataclasses.replace(cfg, image_path=str(img_dir),
+                              result_path=str(tmp_path))
+    out = pair_surgery.set_straight_motion(cfg, 0, 3, 2)
+    # forced pairs (0,1),(0,2),(1,2),(1,3),(2,3) present and flagged extra
+    keys = set(zip(out["pi"].tolist(), out["pj"].tolist()))
+    for want in ((0, 1), (0, 2), (1, 2), (1, 3), (2, 3)):
+        assert want in keys
+    rc = artifacts.load_npz(str(tmp_path / "pairs" / "rel_poses.npz"))
+    row = {(int(a), int(b)): r for r, (a, b) in
+           enumerate(zip(rc["pi"], rc["pj"]))}
+    r01 = row[(0, 1)]
+    np.testing.assert_allclose(rc["rel_aa"][r01], 0.0)
+    np.testing.assert_allclose(rc["rel_t"][r01], [0.0, 0.0, -1.0])
+    assert bool(rc["ok"][r01])
+
+    outp = pair_surgery.dump_relative_poses(
+        cfg, str(tmp_path / "rel_dump.txt"))
+    txt = open(outp).read()
+    assert "pair : 0 1" in txt and "good" in txt
+
+    # global dump needs a final pose file
+    from panovlm_tpu.io.artifacts import export_pose_t
+    from scipy.spatial.transform import Rotation as ScR
+    R = np.stack([ScR.from_euler("y", 10 * i, degrees=True).as_matrix()
+                  for i in range(N)])
+    t = np.zeros((N, 3))
+    export_pose_t(str(tmp_path / "sfm" / "camera_pose_final.txt"), R, t)
+    outg = pair_surgery.dump_global_poses(
+        cfg, str(tmp_path / "glob_dump.txt"))
+    lines = open(outg).read().strip().splitlines()
+    assert len(lines) == N and lines[0].startswith("frame : 0")
+    # frame 1 is 10 deg from frame 0's gauge
+    ang1 = float(lines[1].split()[-1])
+    assert abs(ang1 - 10.0) < 1e-3, ang1
