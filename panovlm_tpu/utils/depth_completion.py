@@ -143,21 +143,41 @@ def depth_completion(sparse_depth, max_depth: float = 20.0):
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "max_depth",
                                              "splat"))
 def compute_depth_images(points_lidar, mask, T_cl, rows: int, cols: int,
-                         max_depth: float = 20.0, splat: int | None = None):
-    """All scans' completed depth panoramas in ONE device program:
-    points_lidar (N, P, 3), mask (N, P), T_cl (4, 4) or (N, 4, 4) ->
-    (N, rows, cols). lax.map keeps the splat/completion tensors one-frame
-    sized while avoiding a dispatch+sync tunnel round trip per scan
-    (~70 ms each through the remote-TPU link)."""
+                         max_depth: float = 20.0, splat: int | None = None,
+                         chunk: int = 256):
+    """All scans' completed depth panoramas, chunked into bounded device
+    programs: points_lidar (N, P, 3), mask (N, P), T_cl (4, 4) or
+    (N, 4, 4) -> (N, rows, cols). lax.map inside each chunk keeps the
+    splat/completion tensors one-frame sized without a dispatch+sync
+    tunnel round trip per scan (~70 ms each); the host-level chunking
+    bounds per-program duration (one unbounded program over a
+    Floor/Campus-sized trajectory can trip the remote worker's watchdog,
+    PERF.md) at one compile (the last chunk is padded)."""
+    N = points_lidar.shape[0]
     if T_cl.ndim == 2:
-        T_cl = jnp.broadcast_to(T_cl, (points_lidar.shape[0], 4, 4))
+        T_cl = jnp.broadcast_to(T_cl, (N, 4, 4))
 
-    def body(args):
-        p, m, T = args
-        return compute_depth_image(p, m, T, rows, cols,
-                                   max_depth=max_depth, splat=splat)
+    @jax.jit
+    def run(p_c, m_c, T_c):
+        def body(args):
+            p, m, T = args
+            return compute_depth_image(p, m, T, rows, cols,
+                                       max_depth=max_depth, splat=splat)
+        return jax.lax.map(body, (p_c, m_c, T_c))
 
-    return jax.lax.map(body, (points_lidar, mask, T_cl))
+    if N <= chunk:
+        return run(points_lidar, mask, T_cl)
+    import numpy as np
+    outs = []
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        pad = chunk - (e - s)
+        p_c = jnp.concatenate([points_lidar[s:e], points_lidar[:pad]]) \
+            if pad else points_lidar[s:e]
+        m_c = jnp.concatenate([mask[s:e], mask[:pad]]) if pad else mask[s:e]
+        T_c = jnp.concatenate([T_cl[s:e], T_cl[:pad]]) if pad else T_cl[s:e]
+        outs.append(np.asarray(run(p_c, m_c, T_c))[:e - s])
+    return jnp.asarray(np.concatenate(outs))
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "max_depth", "splat"))
