@@ -186,22 +186,12 @@ def _match_pairs_cached(cfg: Config, scfg, cap: int, desc, fmask, pi, pj):
                 or mc["idx"].shape[0] != mc["pi"].shape[0]:
             log.info("cached match pairs are stale, re-matching")
             mc = None
-    if mc is None:
-        matches = sfm_mod.match_all_pairs(jnp.asarray(desc),
-                                          jnp.asarray(fmask), pi, pj, scfg)
-        if mcache:
-            os.makedirs(cfg.match_pair_path, exist_ok=True)
-            artifacts.save_npz(mcache, pi=pi, pj=pj, num_sift=cap,
-                               idx=np.asarray(matches["idx"]),
-                               mask=np.asarray(matches["mask"]),
-                               pair_ok=np.asarray(matches["pair_ok"]),
-                               extra=np.zeros(len(pi), bool))
-        return pi, pj, matches
 
-    cpi, cpj = mc["pi"], mc["pj"]
+    cpi = mc["pi"] if mc is not None else np.zeros((0,), np.int32)
+    cpj = mc["pj"] if mc is not None else np.zeros((0,), np.int32)
     rowmap = {(int(a), int(b)): r for r, (a, b) in enumerate(zip(cpi, cpj))}
-    cextra = mc["extra"].astype(bool) if "extra" in mc \
-        else np.zeros(len(cpi), bool)
+    cextra = (mc["extra"].astype(bool) if mc is not None and "extra" in mc
+              else np.zeros(len(cpi), bool))
     gen = set(zip(pi.tolist(), pj.tolist()))
     keep_extra = [r for r in range(len(cpi))
                   if cextra[r] and (int(cpi[r]), int(cpj[r])) not in gen]
@@ -214,25 +204,52 @@ def _match_pairs_cached(cfg: Config, scfg, cap: int, desc, fmask, pi, pj):
     idx = np.zeros((P, K, 2), np.int32)
     msk = np.zeros((P, K), bool)
     pok = np.zeros((P,), bool)
-    idx[have] = mc["idx"][hit[have]]
-    msk[have] = mc["mask"][hit[have]]
-    pok[have] = mc["pair_ok"][hit[have]]
+    if have.any():
+        idx[have] = mc["idx"][hit[have]]
+        msk[have] = mc["mask"][hit[have]]
+        pok[have] = mc["pair_ok"][hit[have]]
     miss = np.nonzero(~have)[0]
-    if len(miss):
-        log.info("match-pair cache: %d/%d rows reused, %d re-matched",
-                 int(have.sum()), P, len(miss))
-        mm = sfm_mod.match_all_pairs(jnp.asarray(desc), jnp.asarray(fmask),
-                                     pi[miss], pj[miss], scfg)
-        idx[miss] = np.asarray(mm["idx"])
-        msk[miss] = np.asarray(mm["mask"])
-        pok[miss] = np.asarray(mm["pair_ok"])
-    else:
-        log.info("Use existing match pairs in %s", cfg.match_pair_path)
     extra = np.asarray([(int(a), int(b)) not in gen
                         for a, b in zip(pi, pj)], bool)
-    if len(miss) or len(keep_extra) != int(cextra.sum()) or len(pi) != len(cpi):
-        artifacts.save_npz(mcache, pi=pi, pj=pj, num_sift=cap, idx=idx,
-                           mask=msk, pair_ok=pok, extra=extra)
+
+    def _save(done_mask):
+        if not mcache:
+            return
+        os.makedirs(cfg.match_pair_path, exist_ok=True)
+        artifacts.save_npz(mcache, pi=pi[done_mask], pj=pj[done_mask],
+                           num_sift=cap, idx=idx[done_mask],
+                           mask=msk[done_mask], pair_ok=pok[done_mask],
+                           extra=extra[done_mask])
+
+    if len(miss):
+        if len(cpi):
+            log.info("match-pair cache: %d/%d rows reused, %d re-matched",
+                     int(have.sum()), P, len(miss))
+        # incremental checkpoints: a long matching phase (thousands of
+        # pairs on a Floor/Campus-sized trajectory) must survive a stage
+        # timeout/crash — only COMPLETED rows are persisted, so a rerun
+        # resumes where this one stopped (§5.4 checkpoint contract)
+        desc_j, fmask_j = jnp.asarray(desc), jnp.asarray(fmask)
+        done = have.copy()
+        save_every = 1024
+        for s in range(0, len(miss), save_every):
+            part = miss[s:s + save_every]
+            mm = sfm_mod.match_all_pairs(desc_j, fmask_j, pi[part], pj[part],
+                                         scfg)
+            idx[part] = np.asarray(mm["idx"])
+            msk[part] = np.asarray(mm["mask"])
+            pok[part] = np.asarray(mm["pair_ok"])
+            done[part] = True
+            if s + save_every < len(miss):
+                _save(done)
+                log.info("match-pair cache: checkpoint %d/%d rows",
+                         int(done.sum()), P)
+        _save(np.ones(P, bool))
+    else:
+        if len(cpi):
+            log.info("Use existing match pairs in %s", cfg.match_pair_path)
+        if len(keep_extra) != int(cextra.sum()) or len(pi) != len(cpi):
+            _save(np.ones(P, bool))
     matches = {"idx": jnp.asarray(idx), "mask": jnp.asarray(msk),
                "pair_ok": jnp.asarray(pok)}
     return pi, pj, matches
