@@ -704,12 +704,18 @@ def main():
         "unit": "scans/sec",
         "vs_baseline": 0.0,
     }
-    lid, err = _run_half("--lidar", timeout_s=330, attempts=3)
+    # generous windows: the axon tunnel's degraded regime stretches a
+    # trivial first op to 200+ s and compiles to tens of minutes; a fresh
+    # process + the persistent cache usually recovers, so the retries keep
+    # their own budgets (round-5 session: the tunnel stayed wedged for
+    # hours — a short timeout would record 0 for reasons the calibration
+    # fields exist to distinguish)
+    lid, err = _run_half("--lidar", timeout_s=900, attempts=3)
     if lid is not None:
         result.update(lid)
     else:
         result["lidar_error"] = err
-    mvs, err = _run_half("--mvs", timeout_s=480, attempts=2)
+    mvs, err = _run_half("--mvs", timeout_s=900, attempts=2)
     if mvs is not None:
         result.update(mvs)
     else:
