@@ -235,3 +235,27 @@ def test_undistort_scan_exact_with_gt_poses():
     # ...and the undistortion puts ALL of them back (sub-mm)
     assert np.percentile(e_und, 99) < 1e-3, np.percentile(e_und, 99)
     assert e_und.max() < 5e-3, e_und.max()
+
+
+def test_packed_knn_matches_bruteforce():
+    """_knn_small's packed-key extraction must return the true k nearest
+    (exact distances, ascending) up to reordering of quantized ties — the
+    contract PERF.md round-5 documents."""
+    from panovlm_tpu.models import association as assoc
+    rng = np.random.default_rng(3)
+    d2 = jnp.asarray(np.abs(rng.normal(size=(64, 1024))).astype(np.float32))
+    dist, idx = assoc._knn_small(d2, 10)
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    ref = np.sort(np.asarray(d2), axis=1)[:, :10]
+    # ascending and value-exact vs brute force (ties may swap indices, but
+    # the VALUE sequence of the k smallest must match exactly)
+    assert (np.diff(dist, axis=1) >= -1e-7).all()
+    np.testing.assert_allclose(dist, ref, rtol=3e-4, atol=0)
+    # idx must address the returned distances exactly
+    np.testing.assert_array_equal(
+        np.take_along_axis(np.asarray(d2), idx, axis=1), dist)
+    # masked rows: fewer than k valid -> padded with inf
+    d2m = jnp.asarray(np.where(np.arange(1024)[None, :] < 4,
+                               np.asarray(d2), np.inf).astype(np.float32))
+    dist2, _ = assoc._knn_small(d2m, 10)
+    assert np.isinf(np.asarray(dist2)[:, 4:]).all()
