@@ -112,8 +112,13 @@ def read_conf_u16(path):
 # ----------------------------------------------------------------------------
 
 def save_npz(path, **arrays):
+    """Atomic write (tmp + rename): cache/checkpoint files are rewritten
+    mid-run (incremental match-cache checkpoints, rel-pose cache) and a
+    kill during the write must never leave a truncated zip behind."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(path, **arrays)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def save_npz_raw(path, **arrays):
@@ -121,14 +126,32 @@ def save_npz_raw(path, **arrays):
     panoramas): zlib on hundreds of MB costs ~5x the write wall on the
     single-core host for <10% size (measured: 9.5 s vs 1.9 s at the
     Room-100 descriptor-cache shape) — the reference stores these raw too
-    (boost binary, util/FileIO.h:62-65). load_npz reads both formats."""
+    (boost binary, util/FileIO.h:62-65). load_npz reads both formats.
+    Atomic like save_npz."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **arrays)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def load_npz(path) -> dict:
     with np.load(path, allow_pickle=False) as z:
         return {k: z[k] for k in z.files}
+
+
+def load_npz_or_none(path):
+    """Cache-tolerant load: a missing or unreadable (e.g. truncated by a
+    crash predating atomic writes) cache is simply a cache miss, never an
+    abort — the caller recomputes."""
+    import logging
+    if not os.path.exists(path):
+        return None
+    try:
+        return load_npz(path)
+    except Exception as e:  # zipfile.BadZipFile, OSError, ValueError
+        logging.getLogger("panovlm").warning(
+            "unreadable cache %s (%s) — recomputing", path, e)
+        return None
 
 
 def export_match_pairs(folder, pairs: dict):

@@ -473,14 +473,20 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
     # preserved).
     B = max(1, min(N, (24 << 20) // (H * W)))       # ~24M px of f32 rows
     onev = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None)))
-    nei_dev = jnp.asarray(np.asarray(nei_table))
+    nei_np = np.asarray(nei_table)
     for s in range(0, N, B):
         e = min(s + B, N)
-        refs = jnp.arange(s, e, dtype=jnp.int32)
-        d, c = onev(refs, jnp.asarray(depths[s:e]), jnp.asarray(confs[s:e]),
-                    nei_dev[s:e], poses_dev, dstack, cstack)
-        out_d[s:e] = np.asarray(d)
-        out_c[s:e] = np.asarray(c)
+        # pad the last partial chunk to B (wrap rows) so the big vmapped
+        # program compiles ONCE — remote compiles of this program are
+        # minutes-scale at Room size
+        sel = np.arange(s, e)
+        if e - s < B:
+            sel = np.concatenate([sel, np.zeros(B - (e - s), np.int64)])
+        refs = jnp.asarray(sel, jnp.int32)
+        d, c = onev(refs, jnp.asarray(depths[sel]), jnp.asarray(confs[sel]),
+                    jnp.asarray(nei_np[sel]), poses_dev, dstack, cstack)
+        out_d[s:e] = np.asarray(d)[:e - s]
+        out_c[s:e] = np.asarray(c)[:e - s]
     return out_d, out_c
 
 

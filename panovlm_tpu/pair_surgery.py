@@ -166,12 +166,20 @@ def set_straight_motion(cfg: Config, start: int, end: int, length: int):
     artifacts.save_npz(mpath, **out)
 
     # forced relative poses for the new rows (keyed by the fresh match
-    # fingerprints, so _relative_poses_cached reuses them verbatim)
+    # fingerprints, so _relative_poses_cached reuses them verbatim).
+    # H, W must be the WORKING resolution the persisted uv coordinates are
+    # in (config `scale` pyramid applies — e.g. Room runs at scale -2 of
+    # the 5.7K capture), so derive it from the raw image shape exactly the
+    # way load_images does (cv2.pyrDown halves with ceil rounding).
     import cv2
-    import glob as g
-    img0 = cv2.imread(sorted(
-        g.glob(os.path.join(cfg.image_path, "*")))[0], 0)
+    from .pipeline import _list_files
+    img0 = cv2.imread(_list_files(cfg.image_path,
+                                  ("jpg", "jpeg", "png"))[0], 0)
     H, W = img0.shape
+    for _ in range(-cfg.scale if cfg.scale < 0 else 0):
+        H, W = (H + 1) // 2, (W + 1) // 2
+    for _ in range(cfg.scale if cfg.scale > 0 else 0):
+        H, W = H * 2, W * 2
     uv = jnp.asarray(fs["uv"])
     bearings = spherical.image_to_cam(uv, H, W)
     aa = np.zeros((len(pi_new), 3), np.float32)

@@ -179,9 +179,8 @@ def _match_pairs_cached(cfg: Config, scfg, cap: int, desc, fmask, pi, pj):
     mcache = os.path.join(cfg.match_pair_path, "match_pairs.npz") \
         if cfg.match_pair_path else ""
     K = min(int(scfg.max_matches), cap)  # match_descriptors pads to this
-    mc = None
-    if mcache and os.path.exists(mcache):
-        mc = artifacts.load_npz(mcache)
+    mc = artifacts.load_npz_or_none(mcache) if mcache else None
+    if mc is not None:
         if int(mc["num_sift"]) != cap or mc["idx"].shape[1] != K \
                 or mc["idx"].shape[0] != mc["pi"].shape[0]:
             log.info("cached match pairs are stale, re-matching")
@@ -287,9 +286,8 @@ def _relative_poses_cached(cfg: Config, scfg, bearings, matches, pi, pj):
         if cfg.match_pair_path else ""
     fp = _match_row_fp(matches["idx"], matches["mask"])
     P = len(pi)
-    rc = None
-    if rcache and os.path.exists(rcache):
-        rc = artifacts.load_npz(rcache)
+    rc = artifacts.load_npz_or_none(rcache) if rcache else None
+    if rc is not None:
         if rc["tri_points"].shape[1] != matches["idx"].shape[1]:
             log.info("cached relative poses are stale, re-estimating")
             rc = None

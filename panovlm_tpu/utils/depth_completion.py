@@ -140,13 +140,27 @@ def depth_completion(sparse_depth, max_depth: float = 20.0):
     return jnp.where(s7 > 0.1, max_depth - s7, s7)
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "max_depth",
-                                             "splat"))
+@functools.lru_cache(maxsize=8)
+def _depth_images_program(rows, cols, max_depth, splat):
+    """Jitted chunk program, cached per static config so repeated chunk
+    calls hit one trace."""
+    @jax.jit
+    def run(p_c, m_c, T_c):
+        def body(args):
+            p, m, T = args
+            return compute_depth_image(p, m, T, rows, cols,
+                                       max_depth=max_depth, splat=splat)
+        return jax.lax.map(body, (p_c, m_c, T_c))
+    return run
+
+
 def compute_depth_images(points_lidar, mask, T_cl, rows: int, cols: int,
                          max_depth: float = 20.0, splat: int | None = None,
                          chunk: int = 256):
-    """All scans' completed depth panoramas, chunked into bounded device
-    programs: points_lidar (N, P, 3), mask (N, P), T_cl (4, 4) or
+    """All scans' completed depth panoramas, chunked into bounded HOST-
+    DRIVEN device programs (the function itself is NOT jitted — the
+    chunk loop pulls each chunk to host, which under an outer trace would
+    fail on tracers): points_lidar (N, P, 3), mask (N, P), T_cl (4, 4) or
     (N, 4, 4) -> (N, rows, cols). lax.map inside each chunk keeps the
     splat/completion tensors one-frame sized without a dispatch+sync
     tunnel round trip per scan (~70 ms each); the host-level chunking
@@ -156,18 +170,10 @@ def compute_depth_images(points_lidar, mask, T_cl, rows: int, cols: int,
     N = points_lidar.shape[0]
     if T_cl.ndim == 2:
         T_cl = jnp.broadcast_to(T_cl, (N, 4, 4))
-
-    @jax.jit
-    def run(p_c, m_c, T_c):
-        def body(args):
-            p, m, T = args
-            return compute_depth_image(p, m, T, rows, cols,
-                                       max_depth=max_depth, splat=splat)
-        return jax.lax.map(body, (p_c, m_c, T_c))
+    run = _depth_images_program(rows, cols, max_depth, splat)
 
     if N <= chunk:
         return run(points_lidar, mask, T_cl)
-    import numpy as np
     outs = []
     for s in range(0, N, chunk):
         e = min(s + chunk, N)

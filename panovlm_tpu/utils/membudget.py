@@ -35,9 +35,14 @@ def os_sysconf(name):
 def assert_host_budget(stage: str, plan: dict, limit_frac: float = 0.85,
                        slack: float = 1.5):
     """plan: {name: (shape tuple, dtype)}. Computes the expected dominant
-    host bytes, logs the itemized plan, raises MemoryError when
-    slack * total_plan exceeds limit_frac of physical RAM. `slack` covers
-    transient copies (np.stack, device transfers buffers)."""
+    host bytes and logs the itemized plan. Raises MemoryError only when
+    the PLAN ALONE exceeds limit_frac of physical RAM (certain failure);
+    the borderline band — plan fits but slack * plan does not (`slack`
+    covers transient copies: np.stack, transfer buffers) — gets a loud
+    warning instead, so near-limit runs that completed before budgets
+    existed still start. PANOVLM_IGNORE_HOST_BUDGET=1 downgrades even the
+    hard failure to a warning (operator override)."""
+    import os
     items = []
     total = 0
     for name, (shape, dtype) in plan.items():
@@ -49,12 +54,18 @@ def assert_host_budget(stage: str, plan: dict, limit_frac: float = 0.85,
                       for n, s, b in items)
     log.info("host budget [%s]: %.2f GB planned (x%.1f slack) of %.1f GB "
              "RAM — %s", stage, total / 2**30, slack, avail / 2**30, lines)
-    if slack * total > limit_frac * avail:
+    override = os.environ.get("PANOVLM_IGNORE_HOST_BUDGET") == "1"
+    if total > limit_frac * avail and not override:
         raise MemoryError(
-            f"stage {stage}: planned host arrays need "
-            f"{slack * total / 2**30:.1f} GB (incl. {slack}x transient "
-            f"slack) but only {limit_frac * avail / 2**30:.1f} GB of RAM is "
+            f"stage {stage}: planned host arrays need {total / 2**30:.1f} "
+            f"GB but only {limit_frac * avail / 2**30:.1f} GB of RAM is "
             f"budgeted. Itemized plan: {lines}. Reduce the working "
-            f"resolution (config scale), the frame count, or run the stage "
-            f"on a larger host.")
+            f"resolution (config scale), the frame count, run on a larger "
+            f"host, or set PANOVLM_IGNORE_HOST_BUDGET=1 to proceed anyway.")
+    if slack * total > limit_frac * avail:
+        log.warning(
+            "host budget [%s]: plan fits RAM but x%.1f transient slack "
+            "does not (%.1f GB > %.1f GB) — the stage may OOM under "
+            "transient copies", stage, slack, slack * total / 2**30,
+            limit_frac * avail / 2**30)
     return total

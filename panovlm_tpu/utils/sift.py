@@ -18,8 +18,12 @@ import functools
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+# NOTE: no module-level jax import — the spawn-pool SIFT workers
+# (hostpool.map_frames pickling _extract_one_padded) import this module,
+# and their import path must stay cv2/numpy-only: a jax import in every
+# worker costs seconds each and registers the PJRT TPU plugin near-fork
+# (the hazard the spawn design avoids). Device-side matching imports jax
+# lazily below.
 
 
 def extract_sift(gray: np.ndarray, num_features: int = 8096,
@@ -102,10 +106,24 @@ def pad_features(uv, desc, cap: int):
     return uv_p, d_p, m
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches", "use_kernel"))
-def match_descriptors(d1, m1, d2, m2, ratio: float = 0.6,
-                      max_dist_factor: float = 0.8, max_matches: int = 1024,
-                      use_kernel: bool | None = None):
+_match_descriptors_jit = None
+
+
+def match_descriptors(*args, **kwargs):
+    """Lazily-jitted wrapper over _match_descriptors (see its docstring):
+    keeps this module importable without jax for the spawn-pool workers."""
+    global _match_descriptors_jit
+    if _match_descriptors_jit is None:
+        import jax
+        _match_descriptors_jit = functools.partial(
+            jax.jit, static_argnames=("max_matches", "use_kernel"))(
+            _match_descriptors)
+    return _match_descriptors_jit(*args, **kwargs)
+
+
+def _match_descriptors(d1, m1, d2, m2, ratio: float = 0.6,
+                       max_dist_factor: float = 0.8, max_matches: int = 1024,
+                       use_kernel: bool | None = None):
     """Brute-force KNN matching on the MXU.
 
     Mirrors MatchSIFT + the reference's pair filter (sfm/SfM.cpp:229-295):
@@ -124,6 +142,8 @@ def match_descriptors(d1, m1, d2, m2, ratio: float = 0.6,
     the round-3 "1.5x over XLA at 4096^2" no longer reproduces) — the
     kernel stays available for re-measurement via use_kernel=True.
     """
+    import jax
+    import jax.numpy as jnp
     big = jnp.asarray(1e9, jnp.float32)
     if use_kernel is None:
         use_kernel = False

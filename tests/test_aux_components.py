@@ -336,3 +336,23 @@ def test_time_report_total_counts_top_level_only():
         time.sleep(0.01)
     t2 = float(tr2.report().splitlines()[-1].split()[-2])
     assert abs(t2 - sum(tr2.time_spent.values())) < 0.02
+
+
+def test_sift_module_imports_without_jax():
+    """The spawn-pool worker import path (panovlm_tpu.utils.sift) must not
+    pull in jax — hostpool's design contract (each worker would pay a
+    multi-second jax import and register the PJRT plugin near-fork)."""
+    import subprocess, sys
+    # this image's sitecustomize pre-imports jax into every interpreter, so
+    # the assertion is "importing the worker modules must not ADD jax",
+    # not "jax is absent"
+    code = ("import sys\n"
+            "pre = 'jax' in sys.modules\n"
+            "import panovlm_tpu.utils.sift\n"
+            "import panovlm_tpu.utils.hostpool\n"
+            "post = 'jax' in sys.modules\n"
+            "print('PRELOADED' if pre else ('ADDED' if post else 'clean'))\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "ADDED" not in r.stdout, "worker import path pulls in jax"

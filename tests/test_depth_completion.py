@@ -100,3 +100,21 @@ def test_depth_conf_quantization(tmp_path):
     artifacts.export_conf_u16(pc, c)
     c2 = artifacts.read_conf_u16(pc)
     np.testing.assert_allclose(c2, c, atol=1e-4)
+
+
+def test_compute_depth_images_chunked_matches_unchunked():
+    """The host-level chunking (bounded device programs for Floor/Campus
+    trajectories) must reproduce the single-program result exactly,
+    including a padded last chunk — and must work when called with N >
+    chunk (regression: an outer jit made the host loop trace-crash)."""
+    rng = np.random.default_rng(0)
+    N, P = 5, 512
+    pts = rng.normal(size=(N, P, 3)).astype(np.float32) * 2 + np.array(
+        [0, 0, 3], np.float32)
+    msk = rng.random((N, P)) < 0.9
+    T = np.eye(4, dtype=np.float32)
+    a = dc.compute_depth_images(jnp.asarray(pts), jnp.asarray(msk),
+                                jnp.asarray(T), 32, 64, chunk=256)
+    b = dc.compute_depth_images(jnp.asarray(pts), jnp.asarray(msk),
+                                jnp.asarray(T), 32, 64, chunk=2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
