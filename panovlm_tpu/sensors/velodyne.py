@@ -644,7 +644,7 @@ def _suppression_extents(xyz, max_off: int = 16):
 
 @functools.partial(jax.jit, static_argnames=("n_picks", "pick_largest"))
 def greedy_pick(seq, curv, eligible, n_picks: int,
-                pick_largest: bool = True):
+                pick_largest: bool = True, extents=None):
     """Greedy per-(scan, sector) picking with neighbor suppression.
 
     Vectorized analog of the pick loops (Velodyne.cpp:905-989 edges,
@@ -662,7 +662,10 @@ def greedy_pick(seq, curv, eligible, n_picks: int,
     S, W = curv.shape
     sec, _ = _sector_ids(seq)
     sign = 1.0 if pick_largest else -1.0
-    Lext, Rext = _suppression_extents(seq["xyz"])
+    # extents depend only on the point sequence — callers running several
+    # pick passes (edges + planes, double extraction) hoist them once
+    Lext, Rext = _suppression_extents(seq["xyz"]) if extents is None \
+        else extents
     colidx = jnp.arange(W)[None, None, :]
     sec_onehot = sec[None] == jnp.arange(6)[:, None, None]  # (6,S,W)
     Lf = Lext.astype(jnp.float32)[None]                     # (1,S,W)
@@ -969,8 +972,9 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
         & (vang >= intersect_angle_threshold)
         & (vang <= 180.0 - intersect_angle_threshold)
     )
+    extents = _suppression_extents(seq["xyz"])
     picked_e, rank_e, disabled, eidx, eok = greedy_pick(
-        seq, curv, edge_eligible, n_picks=30)
+        seq, curv, edge_eligible, n_picks=30, extents=extents)
 
     hyst_keep = None
     if method == 2:
@@ -981,7 +985,7 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
             & (vang <= 180.0 - 2.0 * intersect_angle_threshold)
         )
         picked_s, _, _, _, _ = greedy_pick(seq, curv, strict_eligible,
-                                           n_picks=30)
+                                           n_picks=30, extents=extents)
         S_, W_ = seq["valid"].shape
         rows_ = jnp.broadcast_to(jnp.arange(S_, dtype=jnp.int32)[:, None],
                                  (S_, W_))
@@ -1000,7 +1004,8 @@ def extract_features(pts, mask, max_curvature: float = 5.0,
         & ~picked_e & ~disabled
     )
     picked_f, _, disabled_f, fidx, fok = greedy_pick(
-        seq, curv, plane_eligible, n_picks=4, pick_largest=False)
+        seq, curv, plane_eligible, n_picks=4, pick_largest=False,
+        extents=extents)
     all_disabled = disabled | disabled_f
     less_flat_sw = (interior & window_ok & (curv >= 0) & (curv < 0.3)
                     & ~picked_e & ~picked_f & ~all_disabled)
