@@ -697,6 +697,27 @@ def _run_half(flag: str, timeout_s: int, attempts: int):
     return None, err
 
 
+def _probe_device(timeout_s: int = 300):
+    """Fast tunnel-health probe in a bounded subprocess: distinguishes a
+    DEAD tunnel (relay process gone — clients hang in the dial loop
+    forever; observed for hours in round 5) from a merely degraded one.
+    Returns (ok, seconds or error string)."""
+    import subprocess
+    code = ("import time,sys; t0=time.time()\n"
+            "import jax, jax.numpy as jnp, numpy as np\n"
+            "np.asarray(jnp.sum(jnp.ones((8,128))).ravel()[:1])\n"
+            "print('PROBE_OK', time.time()-t0)\n")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s, cwd="/root/repo")
+        for line in p.stdout.splitlines():
+            if line.startswith("PROBE_OK"):
+                return True, float(line.split()[1])
+        return False, f"exit={p.returncode}: {p.stderr[-120:]}"
+    except Exception as e:
+        return False, f"{type(e).__name__}"
+
+
 def main():
     result = {
         "metric": "lidar_scans_per_sec_reproject_associate",
@@ -704,6 +725,23 @@ def main():
         "unit": "scans/sec",
         "vs_baseline": 0.0,
     }
+    ok, info = _probe_device()
+    result["device_probe"] = info if ok else f"unhealthy: {info}"
+    if not ok:
+        # one short attempt each (the long windows only help when the
+        # device eventually answers); the probe result is in the JSON
+        lid, err = _run_half("--lidar", timeout_s=300, attempts=1)
+        if lid is not None:
+            result.update(lid)
+        else:
+            result["lidar_error"] = err
+        mvs, err = _run_half("--mvs", timeout_s=300, attempts=1)
+        if mvs is not None:
+            result.update(mvs)
+        else:
+            result["mvs_error"] = err
+        print(json.dumps(result))
+        return
     # generous windows: the axon tunnel's degraded regime stretches a
     # trivial first op to 200+ s and compiles to tens of minutes; a fresh
     # process + the persistent cache usually recovers, so the retries keep
