@@ -98,18 +98,34 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
     w_sq = wx * wx + wy * wy + wz * wz
     dist2 = w_sq - wd * wd                               # (NH, P)
     inl = (dist2 < INLIER_DIST * INLIER_DIST) & mask[None, :] & ok_h[:, None]
-    inl_f = inl.astype(jnp.float32)
 
     # --- greedy claiming: each round takes the hypothesis with the most
-    # UNCLAIMED inliers and claims them. The loop body is one matvec +
-    # argmax + row select — the sequential dependency reduced to its core.
+    # UNCLAIMED inliers and claims them. The inlier rows are bit-packed to
+    # uint32 words so each round's vote pass is AND + population_count over
+    # a (NH, P/32) table — ~128x less HBM traffic per round than the f32
+    # matvec it replaces, with bit-identical votes (bool counts are exact
+    # in either form; argmax tie-breaking is unchanged).
+    PW = -(-P // 32)
+    pad = PW * 32 - P
+    inl_pb = inl if pad == 0 else jnp.pad(inl, ((0, 0), (0, pad)))
+    mask_pb = mask if pad == 0 else jnp.pad(mask, (0, pad))
+    bits = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    inl_packed = jnp.sum(
+        jnp.where(inl_pb.reshape(NH, PW, 32), bits[None, None, :],
+                  jnp.uint32(0)), axis=2)                # (NH, PW)
+    mask_packed = jnp.sum(
+        jnp.where(mask_pb.reshape(PW, 32), bits[None, :], jnp.uint32(0)),
+        axis=1)                                          # (PW,)
+
     def claim_round(state):
         l, done, remaining, chosen = state
-        votes = inl_f @ remaining.astype(jnp.float32)    # (NH,)
+        votes = jnp.sum(
+            jax.lax.population_count(inl_packed & remaining[None, :]),
+            axis=1).astype(jnp.int32)                    # (NH,)
         best = jnp.argmax(votes)
         bv = votes[best]
         go = bv >= MIN_POINTS
-        mem = inl[best] & remaining
+        mem = inl_packed[best] & remaining
         remaining = jnp.where(go, remaining & ~mem, remaining)
         chosen = chosen.at[l].set(jnp.where(go, best.astype(jnp.int32), -1))
         return l + 1, ~go, remaining, chosen
@@ -118,7 +134,7 @@ def extract_lines(pts, mask, rows, max_lines: int = MAX_LINES,
         l, done = state[0], state[1]
         return (l < L) & ~done
 
-    state = (jnp.int32(0), jnp.asarray(False), mask,
+    state = (jnp.int32(0), jnp.asarray(False), mask_packed,
              jnp.full((L,), -1, jnp.int32))
     _, _, _, chosen = jax.lax.while_loop(keep_going, claim_round, state)
 
