@@ -257,22 +257,28 @@ def build_range_image(pts, mask, n_scans: int = N_SCANS, horizon: int = HORIZON,
     xs = jnp.concatenate([x, zpad])
     ys = jnp.concatenate([y, zpad])
     zs = jnp.concatenate([z, zpad])
-    ts = jnp.concatenate([rel_time, zpad])
-    k1s, k2s, xs, ys, zs, ts = jax.lax.sort(
-        (k1_all, k2_all, xs, ys, zs, ts), dimension=0, num_keys=2)
+    # rel_time and validity are NOT carried as sort payloads: both are
+    # recomputed from the winner xyz after compaction (bit-exact — same
+    # formula on the same stored values; an ok point has rng>0 so only
+    # sentinel winners have |xyz|=0). Sorts go 6 -> 5 and 6 -> 4 operands.
+    k1s, k2s, xs, ys, zs = jax.lax.sort(
+        (k1_all, k2_all, xs, ys, zs), dimension=0, num_keys=2)
     is_head = jnp.concatenate([jnp.ones((1,), bool), k1s[1:] != k1s[:-1]])
     win = is_head & (k1s < SH)
     key_c = jnp.where(win, k1s, SH)
-    real = (k2s < SENT2).astype(pts.dtype)   # sentinel head = empty cell
-    _, xs, ys, zs, ts, rl = jax.lax.sort(
-        (key_c, xs, ys, zs, ts, real), dimension=0, num_keys=1)
-    valid = (rl[:SH] > 0.5).reshape(n_scans, horizon)
-    xyz_img = jnp.where(
-        valid[..., None],
-        jnp.stack([xs[:SH], ys[:SH], zs[:SH]], -1).reshape(
-            n_scans, horizon, 3), 0.0)
-    r_img = jnp.where(valid, jnp.linalg.norm(xyz_img, axis=-1), 0.0)
-    t_img = jnp.where(valid, ts[:SH].reshape(n_scans, horizon), 0.0)
+    _, xs, ys, zs = jax.lax.sort(
+        (key_c, xs, ys, zs), dimension=0, num_keys=1)
+    xyz_img = jnp.stack([xs[:SH], ys[:SH], zs[:SH]], -1).reshape(
+        n_scans, horizon, 3)
+    sq = jnp.sum(xyz_img * xyz_img, axis=-1)
+    valid = sq > 0
+    xyz_img = jnp.where(valid[..., None], xyz_img, 0.0)
+    r_img = jnp.where(valid, jnp.sqrt(sq), 0.0)
+    ori_w = jnp.arctan2(xyz_img[..., 0], xyz_img[..., 2])
+    ori_w = jnp.where(ori_w < 0, ori_w + 2 * jnp.pi, ori_w)
+    t_img = jnp.where(valid,
+                      jnp.mod(ori_w - start_ori, 2 * jnp.pi) / (2 * jnp.pi),
+                      0.0)
     return {"range": r_img, "xyz": xyz_img, "valid": valid, "rel_time": t_img}
 
 
