@@ -403,6 +403,11 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
         # profile (454 x 720x1440) f32 depths+confs + packed quads together
         # exceed the 16 GB HBM (RESOURCE_EXHAUSTED observed live); only the
         # packed stacks stay device-resident, per-ref f32 rows ship per call
+        from ..utils import membudget
+        membudget.assert_device_budget("joint_mvs/filter", {
+            "depth_quads": ((N, H, W, 2), np.int32),
+            "conf_quads": ((N, H, W, 2), np.int32),
+        })
         pack_d = jax.jit(jax.vmap(lambda d: spherical.pack_bilinear_u16(d)[0]))
         pack_c = jax.jit(jax.vmap(
             lambda c: spherical.pack_bilinear_u16(c + 1.0, 16384.0)[0]))

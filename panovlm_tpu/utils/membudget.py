@@ -69,3 +69,47 @@ def assert_host_budget(stage: str, plan: dict, limit_frac: float = 0.85,
             "transient copies", stage, slack, slack * total / 2**30,
             limit_frac * avail / 2**30)
     return total
+
+
+def device_total_bytes() -> int:
+    """HBM capacity of device 0; 16 GiB (v5e) when the backend does not
+    report memory stats (e.g. the CPU backend used by the test mesh)."""
+    try:
+        import jax
+        stats = jax.devices()[0].memory_stats() or {}
+        v = int(stats.get("bytes_limit", 0))
+        if v > 0:
+            return v
+    except Exception:
+        pass
+    return 16 << 30
+
+
+def assert_device_budget(stage: str, plan: dict, limit_frac: float = 0.85):
+    """Device-HBM analog of assert_host_budget for the stages that pin a
+    whole-trajectory stack in HBM (MVS filter/fuse packed quads — the
+    round-4 profile run died RESOURCE_EXHAUSTED at the filter pass two
+    hours in; this fails the run in seconds instead, VERDICT r4 item 5/7).
+    plan: {name: (shape, dtype)}. PANOVLM_IGNORE_DEVICE_BUDGET=1
+    downgrades to a warning."""
+    import os
+    items = []
+    total = 0
+    for name, (shape, dtype) in plan.items():
+        nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        items.append((name, shape, nbytes))
+        total += nbytes
+    avail = device_total_bytes()
+    lines = ", ".join(f"{n} {tuple(s)} = {b / 2**30:.2f} GB"
+                      for n, s, b in items)
+    log.info("device budget [%s]: %.2f GB planned of %.1f GB HBM — %s",
+             stage, total / 2**30, avail / 2**30, lines)
+    if total > limit_frac * avail and \
+            os.environ.get("PANOVLM_IGNORE_DEVICE_BUDGET") != "1":
+        raise MemoryError(
+            f"stage {stage}: planned device-resident arrays need "
+            f"{total / 2**30:.1f} GB but only {limit_frac * avail / 2**30:.1f}"
+            f" GB of HBM is budgeted. Itemized plan: {lines}. Reduce the "
+            f"working resolution (config scale) or the frame count, or set "
+            f"PANOVLM_IGNORE_DEVICE_BUDGET=1 to proceed anyway.")
+    return total

@@ -356,3 +356,31 @@ def test_sift_module_imports_without_jax():
                        text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-500:]
     assert "ADDED" not in r.stdout, "worker import path pulls in jax"
+
+
+def test_memory_budgets_raise_on_oversized_plans(monkeypatch):
+    """Host and device budget assertions (§5.3 failure detection): an
+    oversized plan fails at stage start with an itemized message; a small
+    plan passes and returns the planned byte total."""
+    import numpy as np
+    import pytest
+    from panovlm_tpu.utils import membudget
+
+    small = membudget.assert_host_budget(
+        "t", {"a": ((4, 4), np.float32)})
+    assert small == 64
+    with pytest.raises(MemoryError, match="Itemized plan"):
+        membudget.assert_host_budget(
+            "t", {"huge": ((1 << 22, 1 << 22), np.float32)})
+
+    assert membudget.assert_device_budget(
+        "t", {"a": ((8,), np.int32)}) == 32
+    with pytest.raises(MemoryError, match="HBM"):
+        membudget.assert_device_budget(
+            "t", {"quads": ((1593, 720, 1440, 2), np.int32),
+                  "quads2": ((1593, 720, 1440, 2), np.int32)})
+    # operator override downgrades to a warning
+    monkeypatch.setenv("PANOVLM_IGNORE_DEVICE_BUDGET", "1")
+    membudget.assert_device_budget(
+        "t", {"quads": ((1593, 720, 1440, 2), np.int32),
+              "quads2": ((1593, 720, 1440, 2), np.int32)})
