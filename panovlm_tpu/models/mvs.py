@@ -398,26 +398,34 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
     rays = spherical.pixel_ray_grid(H, W)
     if cfg.packed_sampling:
         # one-gather bilinear reads of neighbor depth/conf (u16 quads — the
-        # same quantization the reference stores these maps with on disk).
-        # Packed in CHUNKS with the f32 stacks staying on host: at the Room
-        # profile (454 x 720x1440) f32 depths+confs + packed quads together
-        # exceed the 16 GB HBM (RESOURCE_EXHAUSTED observed live); only the
-        # packed stacks stay device-resident, per-ref f32 rows ship per call
+        # same quantization the reference stores these maps with on disk,
+        # util/FileIO.h:101-123; the resume path reloads them from that u16
+        # grid anyway). Transfer-lean staging: quantize to u16 on HOST,
+        # ship the u16 planes (half the f32 bytes — host<->device moves
+        # ~18-32 MB/s through the axon tunnel and is the measured filter
+        # wall, PERF.md round-5), build the quads ON DEVICE and keep them
+        # resident. The previous design packed on device but staged the
+        # quad stacks through host memory — pulling and re-pushing 8x the
+        # u16 bytes. The ref rows are read back out of tap 0 of the
+        # resident quads (the pixel's own value), so no per-chunk f32 rows
+        # ship with the main loop either.
         from ..utils import membudget
         membudget.assert_device_budget("joint_mvs/filter", {
             "depth_quads": ((N, H, W, 2), np.int32),
             "conf_quads": ((N, H, W, 2), np.int32),
         })
-        pack_d = jax.jit(jax.vmap(lambda d: spherical.pack_bilinear_u16(d)[0]))
-        pack_c = jax.jit(jax.vmap(
-            lambda c: spherical.pack_bilinear_u16(c + 1.0, 16384.0)[0]))
-        dpk_host, cpk_host = [], []
-        for s in range(0, N, 32):
-            dpk_host.append(np.asarray(pack_d(jnp.asarray(depths[s:s + 32]))))
-            cpk_host.append(np.asarray(pack_c(jnp.asarray(confs[s:s + 32]))))
-        depths_pk = jnp.asarray(np.concatenate(dpk_host))
-        confs_pk = jnp.asarray(np.concatenate(cpk_host))
-        del dpk_host, cpk_host
+        pack_q = jax.jit(jax.vmap(lambda q: jax.lax.bitcast_convert_type(
+            spherical._quad_taps(q).reshape(H, W, 2, 2), jnp.int32)))
+
+        def stage_quads(a, scale, offset):
+            q16 = np.clip(np.round((a + offset) * scale), 0, 65535) \
+                .astype(np.uint16)
+            outs = [pack_q(jnp.asarray(q16[s:s + 32]))
+                    for s in range(0, N, 32)]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+        depths_pk = stage_quads(depths, 256.0, 0.0)
+        confs_pk = stage_quads(confs, 16384.0, 1.0)
     else:
         depths_pk = confs_pk = None
 
@@ -464,6 +472,23 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
               & (jnp.sum(occluded, axis=0) < nei_idx.shape[0] - 1))
         return jnp.where(ok, d_avg, 0.0), jnp.where(ok, conf_ref, -1.0)
 
+    def one_packed(ref, nei_idx, poses_cw, dstack, cstack):
+        # ref depth/conf come out of tap 0 of the RESIDENT quads (the
+        # pixel's own u16 value) — the u16 grid the artifacts/resume path
+        # already uses — so the main loop ships no f32 rows at all.
+        depth_ref = (dstack[ref][..., 0] & 0xFFFF).astype(jnp.float32) \
+            * (1.0 / 256.0)
+        conf_ref = (cstack[ref][..., 0] & 0xFFFF).astype(jnp.float32) \
+            * (1.0 / 16384.0) - 1.0
+        d, c = one(ref, depth_ref, conf_ref, nei_idx, poses_cw, dstack,
+                   cstack)
+        # quantized pulls: half the d2h bytes; exact under the caller's own
+        # export_depth_u16 roundtrip (0 -> 0, -1 conf -> 0)
+        d16 = jnp.clip(jnp.round(d * 256.0), 0, 65535).astype(jnp.uint16)
+        c16 = jnp.clip(jnp.round((c + 1.0) * 16384.0), 0,
+                       65535).astype(jnp.uint16)
+        return d16, c16
+
     dstack = depths_pk if cfg.packed_sampling else jnp.asarray(depths)
     cstack = confs_pk if cfg.packed_sampling else jnp.asarray(confs)
     poses_dev = jnp.asarray(poses_cw)
@@ -473,11 +498,12 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
     # ~1.4 s/frame floor (filter wall 1593 s at Room-454 profile; round-3
     # quarter-res was 1.43 s/frame at 1/8 the pixels — i.e. overhead-bound,
     # not pixel-bound). vmap over a ref chunk amortizes dispatch + sync
-    # ~16x; per-chunk f32 rows still ship per call so the full-trajectory
-    # f32 stacks never sit in HBM beside the packed stacks (round-4 OOM fix
-    # preserved).
-    B = max(1, min(N, (24 << 20) // (H * W)))       # ~24M px of f32 rows
-    onev = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None)))
+    # ~16x.
+    B = max(1, min(N, (24 << 20) // (H * W)))       # ~24M px of work rows
+    if cfg.packed_sampling:
+        onev = jax.jit(jax.vmap(one_packed, in_axes=(0, 0, None, None, None)))
+    else:
+        onev = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None)))
     nei_np = np.asarray(nei_table)
     for s in range(0, N, B):
         e = min(s + B, N)
@@ -488,10 +514,18 @@ def filter_depth_maps(depths, confs, poses_cw, nei_table, cfg: MVSConfig):
         if e - s < B:
             sel = np.concatenate([sel, np.zeros(B - (e - s), np.int64)])
         refs = jnp.asarray(sel, jnp.int32)
-        d, c = onev(refs, jnp.asarray(depths[sel]), jnp.asarray(confs[sel]),
-                    jnp.asarray(nei_np[sel]), poses_dev, dstack, cstack)
-        out_d[s:e] = np.asarray(d)[:e - s]
-        out_c[s:e] = np.asarray(c)[:e - s]
+        if cfg.packed_sampling:
+            d, c = onev(refs, jnp.asarray(nei_np[sel]), poses_dev,
+                        dstack, cstack)
+            out_d[s:e] = np.asarray(d)[:e - s].astype(np.float32) / 256.0
+            out_c[s:e] = np.asarray(c)[:e - s].astype(np.float32) \
+                / 16384.0 - 1.0
+        else:
+            d, c = onev(refs, jnp.asarray(depths[sel]),
+                        jnp.asarray(confs[sel]), jnp.asarray(nei_np[sel]),
+                        poses_dev, dstack, cstack)
+            out_d[s:e] = np.asarray(d)[:e - s]
+            out_c[s:e] = np.asarray(c)[:e - s]
     return out_d, out_c
 
 
@@ -506,9 +540,20 @@ def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
     rays = spherical.pixel_ray_grid(H, W)
     poses = jnp.asarray(np.asarray(poses_cw))
     R_all = se3.exp_so3(poses[:, :3])
+    # transfer-lean chunk uploads (host->device moves ~18 MB/s through the
+    # axon tunnel — the measured fuse wall): depth ships on the u16 artifact
+    # grid (exact under the export/read roundtrip the resume path applies),
+    # colors as u8 (the source images' own quantization — an exact
+    # roundtrip for u8-loaded frames)
+    d16_all = np.clip(np.round(depths * 256.0), 0, 65535).astype(np.uint16)
+    colors_np = np.asarray(colors)
+    c8_all = colors_np if colors_np.dtype == np.uint8 else \
+        np.clip(np.round(colors_np * 255.0), 0, 255).astype(np.uint8)
 
     @jax.jit
-    def chunk_fuse(d_chunk, c_chunk, R_chunk, t_chunk):
+    def chunk_fuse(d16_chunk, c8_chunk, R_chunk, t_chunk):
+        d_chunk = d16_chunk.astype(jnp.float32) * (1.0 / 256.0)
+        c_chunk = c8_chunk.astype(jnp.float32) * (1.0 / 255.0)
         X = d_chunk[..., None] * rays                    # (B, H, W, 3)
         R_wc = jnp.swapaxes(R_chunk, -1, -2)
         Xw = jnp.einsum("bij,bhwj->bhwi", R_wc, X - t_chunk[:, None, None, :])
@@ -531,8 +576,8 @@ def fuse_depth_maps(depths, confs, colors, poses_cw, cfg: MVSConfig,
     acc_p, acc_c, acc_n = [], [], []
     for s in range(0, N, B):
         e = min(s + B, N)
-        p, m, c, cnt = chunk_fuse(jnp.asarray(depths[s:e]),
-                                  jnp.asarray(np.asarray(colors[s:e])),
+        p, m, c, cnt = chunk_fuse(jnp.asarray(d16_all[s:e]),
+                                  jnp.asarray(c8_all[s:e]),
                                   R_all[s:e], poses[s:e, 3:])
         # voxel_downsample outputs are head-compacted: pull only the valid
         # prefix (one scalar sync for the count) instead of the full padded
