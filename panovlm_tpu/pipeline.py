@@ -315,17 +315,38 @@ def _relative_poses_cached(cfg: Config, scfg, bearings, matches, pi, pj):
         if have.any():
             log.info("relative-pose cache: %d/%d rows reused, %d estimated",
                      int(have.sum()), P, len(miss))
-        rel = sfm_mod.relative_poses(
-            jnp.asarray(bearings), jnp.asarray(np.asarray(matches["idx"])[miss]),
-            jnp.asarray(np.asarray(matches["mask"])[miss]),
-            np.asarray(pi)[miss], np.asarray(pj)[miss], scfg,
-            keys=np.asarray(miss, np.int32))
-        for k in out:
-            out[k][miss] = np.asarray(rel[k])
-        if rcache:
+
+        def _save(done_rows):
+            # incremental checkpoints, same §5.4 contract as the match
+            # cache: only COMPLETED rows are persisted (keyed (i,j,fp)),
+            # so a stage timeout mid-phase on a Floor/Campus-sized pair
+            # list (61k+ pairs measured at Floor-1593) resumes where it
+            # stopped instead of losing the whole most-expensive phase
             os.makedirs(cfg.match_pair_path, exist_ok=True)
-            artifacts.save_npz(rcache, pi=np.asarray(pi), pj=np.asarray(pj),
-                               fp=fp, **out)
+            artifacts.save_npz(
+                rcache, pi=np.asarray(pi)[done_rows],
+                pj=np.asarray(pj)[done_rows], fp=fp[done_rows],
+                **{k: v[done_rows] for k, v in out.items()})
+
+        bearings_j = jnp.asarray(bearings)
+        done = have.copy()
+        save_every = 4096
+        for s in range(0, len(miss), save_every):
+            part = miss[s:s + save_every]
+            rel = sfm_mod.relative_poses(
+                bearings_j, jnp.asarray(np.asarray(matches["idx"])[part]),
+                jnp.asarray(np.asarray(matches["mask"])[part]),
+                np.asarray(pi)[part], np.asarray(pj)[part], scfg,
+                keys=np.asarray(part, np.int32))
+            for k in out:
+                out[k][part] = np.asarray(rel[k])
+            done[part] = True
+            if rcache and s + save_every < len(miss):
+                _save(done)
+                log.info("relative-pose cache: checkpoint %d/%d rows",
+                         int(done.sum()), P)
+        if rcache:
+            _save(np.ones(P, bool))
     elif rc is not None:
         log.info("Use existing relative poses in %s", cfg.match_pair_path)
     return {k: jnp.asarray(v) for k, v in out.items()}
