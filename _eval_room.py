@@ -35,6 +35,7 @@ else:
 
 CANDIDATES = [
     ("sfm cam", "sfm/camera_pose_sfm.txt", False),
+    ("sfm cam final", "sfm/camera_pose_final.txt", False),
     ("odometry lidar", "odometry/lidar_pose_undis_refined.txt", True),
     ("joint cam", "joint/camera_pose_joint.txt", False),
     ("joint lidar", "joint/lidar_pose_joint.txt", True),
