@@ -137,21 +137,36 @@ def _safe_data(block: ResidualBlock):
 
 
 def _chunk_arrays(tree, chunk: int):
-    """Reshape every (M, ...) array in the pytree to (K, chunk, ...), padding
-    M up with copies of row 0 (callers mask the pad rows out; row-0 copies
-    keep every AD partial finite, same rationale as _safe_data)."""
-    leaves = jax.tree_util.tree_leaves(tree)
+    """Reshape every (M, ...) array in the pytree to (K, chunk * prod(...)),
+    padding M up with copies of row 0 (callers mask the pad rows out; row-0
+    copies keep every AD partial finite, same rationale as _safe_data).
+
+    Trailing dims are FLATTENED into the minor axis: a (K, chunk, 3) scan
+    input tiles its size-3 minor dim up to the TPU lane width of 128 —
+    42.7x HBM padding, the allocation that OOMed the Floor-1593 odometry
+    solve at 13.1M rows — while (K, chunk*3) tiles exactly. The returned
+    `restore` reshapes ONE step's leaves back to (chunk, ...) inside the
+    loop body, where the unflattened form is a small transient."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
     M = leaves[0].shape[0] if leaves else 0
     K = -(-M // chunk)
     pad = K * chunk - M
+    shapes = [a.shape[1:] for a in leaves]
 
     def prep(a):
         if pad:
             a = jnp.concatenate(
                 [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        return a.reshape((K, chunk) + a.shape[1:])
+        return a.reshape((K, -1))
 
-    return jax.tree_util.tree_map(prep, tree), K, pad
+    def restore(step_tree):
+        ls = jax.tree_util.tree_leaves(step_tree)
+        return jax.tree_util.tree_unflatten(
+            treedef, [a.reshape((chunk,) + tuple(s))
+                      for a, s in zip(ls, shapes)])
+
+    chunked = jax.tree_util.tree_unflatten(treedef, [prep(a) for a in leaves])
+    return chunked, K, pad, restore
 
 
 def _use_chunk(block: ResidualBlock, chunk):
@@ -177,11 +192,13 @@ def _raw_residuals(block: ResidualBlock, groups: dict, chunk=None):
     if not _use_chunk(block, chunk):
         return eval_rows(block.indices, data, block.weight, block.mask)
     M = block.mask.shape[0]
-    (idxs, datas, w, m), K, pad = _chunk_arrays(
+    (idxs, datas, w, m), K, pad, restore = _chunk_arrays(
         (block.indices, data, block.weight, block.mask), chunk)
-    body = jax.checkpoint(lambda args: eval_rows(*args))
+    # the stacked map OUTPUT flattens (chunk, r_dim) -> (chunk*r_dim,) for
+    # the same lane-padding reason _chunk_arrays flattens its inputs
+    body = jax.checkpoint(lambda args: eval_rows(*restore(args)).reshape(-1))
     r = jax.lax.map(body, (idxs, datas, w, m))
-    r = r.reshape((K * chunk,) + r.shape[2:])
+    r = r.reshape((K * chunk, -1))
     return r[:M] if pad else r
 
 
@@ -274,7 +291,7 @@ def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict,
                     jtj_rows(block.indices, data, scale))
             else:
                 ck = _run_chunk(chunk, rl)
-                (idxs, datas, sc, idx_c), K, _ = _chunk_arrays(
+                (idxs, datas, sc, idx_c), K, _, restore = _chunk_arrays(
                     (block.indices, data, scale, idx), ck)
                 # pad rows scatter with weight 0 (scale pads row 0's value
                 # but _chunk_arrays pads every array with row 0, so the pad
@@ -283,7 +300,7 @@ def _precond_blocks(groups: dict, blocks: tuple, irls: tuple, free: dict,
                 sc = jnp.where(row < block.mask.shape[0], sc, 0.0)
 
                 def body(acc, args):
-                    ii, dd, ss, ix = args
+                    ii, dd, ss, ix = restore(args)
                     return acc.at[ix[::rl]].add(jtj_rows(ii, dd, ss)), None
 
                 out[g], _ = jax.lax.scan(body, out[g],
@@ -374,13 +391,13 @@ def _dense_hessian(groups: dict, blocks: tuple, irls: tuple, offs: dict,
             Hf = Hf.at[f].add(v)
         else:
             ck = _run_chunk(chunk, rl)
-            (idxs, datas, sc), K, _ = _chunk_arrays(
+            (idxs, datas, sc), K, _, restore = _chunk_arrays(
                 (block.indices, data, scale), ck)
             row = jnp.arange(K * ck).reshape(K, ck)
             sc = jnp.where(row < block.mask.shape[0], sc, 0.0)
 
             def body(acc, args):
-                ii, dd, ss = args
+                ii, dd, ss = restore(args)
                 f, v = hess_rows(ii, dd, ss)
                 return acc.at[f].add(v), None
 
