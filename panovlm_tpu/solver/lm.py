@@ -136,37 +136,33 @@ def _safe_data(block: ResidualBlock):
     return tuple(out)
 
 
-def _chunk_arrays(tree, chunk: int):
-    """Reshape every (M, ...) array in the pytree to (K, chunk * prod(...)),
-    padding M up with copies of row 0 (callers mask the pad rows out; row-0
-    copies keep every AD partial finite, same rationale as _safe_data).
+def _chunk_slices(tree, chunk: int):
+    """Slice-based chunk access over a pytree of (M, ...) arrays: returns
+    (K_full, rem, slice_k, tail) where slice_k(k) yields the k-th
+    (chunk, ...) window via lax.dynamic_slice_in_dim and tail() the final
+    (rem, ...) remainder (both static shapes).
 
-    Trailing dims are FLATTENED into the minor axis: a (K, chunk, 3) scan
-    input tiles its size-3 minor dim up to the TPU lane width of 128 —
-    42.7x HBM padding, the allocation that OOMed the Floor-1593 odometry
-    solve at 13.1M rows — while (K, chunk*3) tiles exactly. The returned
-    `restore` reshapes ONE step's leaves back to (chunk, ...) inside the
-    loop body, where the unflattened form is a small transient."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    This replaces reshape-based chunking on purpose: reshaping a big
+    (M, 3) array to (K, chunk, 3) — or even (K, chunk*3) — materializes a
+    lane-padded relayout on TPU (a size-3 minor dim tiles up to the
+    128-lane width: 42.7x HBM, 6.4 GB of temp at the Floor-1593 odometry
+    shape, the compile-time OOM), while dynamic slices read the compact
+    layout with ZERO temp (both measured via compile memory_analysis,
+    PERF.md round-5). No padding rows exist, so no pad masking either."""
+    leaves = jax.tree_util.tree_leaves(tree)
     M = leaves[0].shape[0] if leaves else 0
-    K = -(-M // chunk)
-    pad = K * chunk - M
-    shapes = [a.shape[1:] for a in leaves]
+    K_full = M // chunk
+    rem = M - K_full * chunk
 
-    def prep(a):
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        return a.reshape((K, -1))
+    def slice_k(k):
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, k * chunk, chunk, 0),
+            tree)
 
-    def restore(step_tree):
-        ls = jax.tree_util.tree_leaves(step_tree)
-        return jax.tree_util.tree_unflatten(
-            treedef, [a.reshape((chunk,) + tuple(s))
-                      for a, s in zip(ls, shapes)])
+    def tail():
+        return jax.tree_util.tree_map(lambda a: a[K_full * chunk:], tree)
 
-    chunked = jax.tree_util.tree_unflatten(treedef, [prep(a) for a in leaves])
-    return chunked, K, pad, restore
+    return K_full, rem, slice_k, tail
 
 
 def _use_chunk(block: ResidualBlock, chunk):
